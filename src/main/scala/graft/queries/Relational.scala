@@ -1,0 +1,222 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** The Athena-equivalent relational surface over the lake (SURVEY §2.7–2.9).
+  *
+  * The reference's clean zone exists "for Athena performance"
+  * (reference `data_cleaner/pnp-cleanerLambda.py:106`) but ships no query
+  * layer; this module IS that layer, expressed Spark-first. Every query is a
+  * declarative DataFrame plan — filters and projections reach the parquet
+  * scan, aggregations get map-side partial combine, small dimensions are
+  * broadcast — so the same code survives a 100 TB scale-up.
+  *
+  * Shared conventions (driver hash-compare parity):
+  *  - every computed column is aliased identically in Spark and oracle SQL;
+  *  - money sums rounded to 2 decimals, ratios to 4, in BOTH engines;
+  *  - timestamps projected as 'yyyy-MM-dd' strings;
+  *  - every result deterministically ordered with a unique tie-break.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def ts(s: String): Column = to_timestamp(lit(s))
+
+  /** TPC-H Q1 shape: full-scan aggregate with map-side partial aggregation.
+    * One shuffle on (returnflag, linestatus) — 6 groups, trivially balanced.
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .filter(col("l_shipdate") <= ts("1999-12-31 00:00:00"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val pricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | round(sum(l_quantity), 2) AS sum_qty,
+      | round(sum(l_extendedprice), 2) AS sum_base_price,
+      | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      | round(avg(l_quantity), 4) AS avg_qty,
+      | round(avg(l_discount), 4) AS avg_disc,
+      | count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1999-12-31 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q6 shape: selective scan + scalar aggregate. The three predicates
+    * are all pushed to the parquet reader (PushedFilters); no shuffle at all
+    * beyond the final single-row combine.
+    */
+  def revenueForecast(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .filter(
+        col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+          col("l_shipdate") < ts("1997-01-01 00:00:00") &&
+          col("l_discount") >= lit(0.03) && col("l_discount") <= lit(0.07) &&
+          col("l_quantity") < lit(24))
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+
+  val revenueForecastSql: String =
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount >= 0.03 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q3 shape: selective fact-fact join + top-k. `customer` is tiny
+    * relative to the facts → broadcast; orders⋈lineitem shuffles on orderkey.
+    * Top-k is computed with TakeOrderedAndProject (no full sort).
+    */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val c = t.customer.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = t.orders.filter(col("o_orderdate") < ts("1998-01-01 00:00:00"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val l = t.lineitem.filter(col("l_shipdate") > ts("1998-01-01 00:00:00"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .select(
+        col("l_orderkey"),
+        col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .limit(10)
+  }
+
+  val shippingPrioritySql: String =
+    """SELECT l_orderkey,
+      | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      | strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** TPC-H Q4 shape: EXISTS → left-semi join. The semi-join build side is the
+    * filtered lineitem key set; AQE converts it to broadcast when small.
+    */
+  def orderPriorityCheck(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val o = t.orders.filter(
+      col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+        col("o_orderdate") < ts("1996-07-01 00:00:00"))
+    val bigLines = t.lineitem.filter(col("l_quantity") > lit(45)).select("l_orderkey")
+    o.join(bigLines, o("o_orderkey") === bigLines("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  val orderPriorityCheckSql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q5 shape: star join over 6 tables. All dimensions
+    * (region/nation/customer/supplier) broadcast; the only shuffle is
+    * orders⋈lineitem on orderkey and the final 25-group aggregate.
+    */
+  def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val o = t.orders.filter(
+      col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+        col("o_orderdate") < ts("1998-01-01 00:00:00"))
+      .select("o_orderkey", "o_custkey")
+    t.lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.customer.select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(t.nation.select("n_nationkey", "n_name", "n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region.select("r_regionkey", "r_name")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(asc("r_name"), desc("revenue"), asc("n_name"))
+  }
+
+  val localSupplierVolumeSql: String =
+    """SELECT r_name, n_name,
+      | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, revenue DESC, n_name""".stripMargin
+
+  /** TPC-H Q10 shape: returned-item revenue per customer, top 20. */
+  def returnedItemRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val l = t.lineitem.filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    l.join(t.orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.customer.select("c_custkey", "c_name", "c_acctbal", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables(spark, dir).nation.select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .select(col("c_custkey"), col("c_name"), round(col("c_acctbal"), 2).as("c_acctbal"),
+        col("n_name"), col("revenue"))
+      .orderBy(desc("revenue"), asc("c_custkey"))
+      .limit(20)
+  }
+
+  val returnedItemRevenueSql: String =
+    """SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal, n_name,
+      | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q1_pricing_summary" -> (pricingSummary _),
+    "q3_shipping_priority" -> (shippingPriority _),
+    "q4_order_priority_check" -> (orderPriorityCheck _),
+    "q5_local_supplier_volume" -> (localSupplierVolume _),
+    "q6_revenue_forecast" -> (revenueForecast _),
+    "q10_returned_item_revenue" -> (returnedItemRevenue _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" -> pricingSummarySql,
+    "q3_shipping_priority" -> shippingPrioritySql,
+    "q4_order_priority_check" -> orderPriorityCheckSql,
+    "q5_local_supplier_volume" -> localSupplierVolumeSql,
+    "q6_revenue_forecast" -> revenueForecastSql,
+    "q10_returned_item_revenue" -> returnedItemRevenueSql)
+}

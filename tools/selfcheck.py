@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate (NOT part of the library).
+
+Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir>
+
+Loads each <outDir>/<name> parquet produced by graft.Verify, runs the matching
+oracle SQL from <outDir>/oracle_sql.json in DuckDB over the same sf tables,
+sorts columns by name / rows by value, and compares.
+"""
+import json
+import math
+import os
+import sys
+
+import duckdb
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = f"{v:.6f}"
+            vals.append(str(v))
+        out.append(tuple(vals))
+    out.sort()
+    return out
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    names = sorted(
+        d for d in os.listdir(out_dir)
+        if os.path.isdir(os.path.join(out_dir, d)))
+    n_pass = n_fail = n_noora = 0
+    for name in names:
+        got = con.sql(
+            f"SELECT * FROM '{os.path.join(out_dir, name)}/*.parquet'")
+        grows, gcols = got.fetchall(), [c for c in got.columns]
+        if name not in oracles:
+            print(f"  [rows-only] {name}: {len(grows)} rows")
+            n_noora += 1
+            continue
+        try:
+            want = con.sql(oracles[name])
+            wrows, wcols = want.fetchall(), [c for c in want.columns]
+        except Exception as e:
+            print(f"  [FAIL-ORACLE] {name}: {e}")
+            n_fail += 1
+            continue
+        if sorted(gcols) != sorted(wcols):
+            print(f"  [FAIL-SCHEMA] {name}: spark={sorted(gcols)} duckdb={sorted(wcols)}")
+            n_fail += 1
+            continue
+        g, w = canon(grows, gcols), canon(wrows, wcols)
+        if g == w:
+            print(f"  [PASS] {name}: {len(g)} rows")
+            n_pass += 1
+        else:
+            print(f"  [FAIL-DATA] {name}: spark {len(g)} rows vs duckdb {len(w)}")
+            diff = [(a, b) for a, b in zip(g, w) if a != b][:3]
+            for a, b in diff:
+                print(f"     spark : {a}\n     duckdb: {b}")
+            n_fail += 1
+    print(f"PASS={n_pass} FAIL={n_fail} ROWS_ONLY={n_noora}")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
