@@ -1,6 +1,8 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Loaders for the driver's synthetic star schema (TESTDATA.md).
   *
@@ -19,7 +21,17 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame = table("part")
   def orders: DataFrame = table("orders")
   def lineitem: DataFrame = table("lineitem")
-  def events: DataFrame = table("events")
+  /** The events table carries TIMESTAMP(NANOS) parquet, which Spark 4 only
+    * reads via the nanosAsLong legacy path; normalize back to TimestampType
+    * (microsecond precision) so downstream time logic is uniform.
+    */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table("events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else raw
+  }
   def documents: DataFrame = table("documents")
   def embeddings: DataFrame = table("embeddings")
 }

@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Event-stream analytics in batch form (the reference is a file-granularity
+  * stream, SURVEY §1.1/§2.10; the streaming variants live in
+  * graft.streaming with identical logic so batch oracles validate them).
+  *
+  * Time bucketing uses date_trunc — a pure projection, so the aggregation
+  * shuffles on (bucket, type), which stays balanced as data scales; user
+  * sessionization partitions by user_id, the natural high-cardinality key.
+  */
+object Events {
+
+  /** Tumbling-hour event counts/values per type. */
+  def hourlyRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      .orderBy("hour_ts", "event_type")
+
+  val hourlyRollupSql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+      | event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY hour_ts, event_type""".stripMargin
+
+  /** Session counting: a session break is a >30-minute gap between a user's
+    * consecutive events (lag window + conditional sum).
+    */
+  def userSessions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+    Tables(spark, dir).events
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1L).otherwise(0L))
+      .groupBy("user_id")
+      .agg(sum("new_sess").as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  val userSessionsSql: String =
+    """SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+      | count(*) AS n_events
+      |FROM (SELECT user_id,
+      |        CASE WHEN lag(ts, 1) OVER w IS NULL
+      |               OR ts > lag(ts, 1) OVER w + INTERVAL 30 MINUTE
+      |             THEN 1 ELSE 0 END AS new_sess
+      |      FROM events
+      |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** Per-user conditional aggregation (manual pivot over event types). */
+  def userTypePivot(spark: SparkSession, dir: String): DataFrame = {
+    def cnt(t: String) = sum(when(col("event_type") === t, 1L).otherwise(0L))
+    Tables(spark, dir).events
+      .groupBy("user_id")
+      .agg(
+        cnt("purchase").as("n_purchase"),
+        cnt("click").as("n_click"),
+        cnt("view").as("n_view"),
+        cnt("signup").as("n_signup"),
+        cnt("error").as("n_error"),
+        round(sum(when(col("event_type") === "purchase", col("value")).otherwise(lit(0.0))), 2)
+          .as("purchase_value"))
+      .orderBy("user_id")
+  }
+
+  val userTypePivotSql: String =
+    """SELECT user_id,
+      | CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+      | CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+      | CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+      | CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+      | CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+      | round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2) AS purchase_value
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** JSON prop extraction (the reference's tolerant JSON parse, SURVEY P15):
+    * props is a JSON string column; pull k out with get_json_object.
+    */
+  def propsExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .filter(col("k") >= 90)
+      .orderBy("event_id")
+
+  val propsExtractSql: String =
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |FROM events
+      |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 90
+      |ORDER BY event_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e1_hourly_rollup" -> (hourlyRollup _),
+    "e2_user_sessions" -> (userSessions _),
+    "e3_user_type_pivot" -> (userTypePivot _),
+    "e4_props_extract" -> (propsExtract _))
+
+  val oracles: Map[String, String] = Map(
+    "e1_hourly_rollup" -> hourlyRollupSql,
+    "e2_user_sessions" -> userSessionsSql,
+    "e3_user_type_pivot" -> userTypePivotSql,
+    "e4_props_extract" -> propsExtractSql)
+}
