@@ -1,0 +1,304 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextHash
+import graft.functions.TextHash.{hash60, hash60Sql, P}
+
+/** Document deduplication — the training-data-pipeline operator family
+  * (extension tier; the reference ships `thefuzz` in `requirements.txt:13`
+  * without using it, SURVEY §7.1 step 8 makes fuzzy dedup a first-class
+  * engine capability).
+  *
+  * Scale design: every variant is shuffle-bounded by design —
+  *  - exact dedup shuffles once on the content hash (never the content);
+  *  - MinHash/LSH turns the O(n²) pair problem into an equi-join on
+  *    (band, band_hash) buckets, so only genuine candidates meet;
+  *  - SimHash reduces each doc to one 32-bit integer before any pairing;
+  *  - n-gram Jaccard joins on shingle values, so cost is proportional to
+  *    shared-shingle pairs, not all pairs.
+  * Candidate/pair sets are tiny relative to the corpus and are broadcast.
+  * All hashing is md5-derived integer arithmetic (graft.functions.TextHash)
+  * so each query has an exact DuckDB oracle built from the SAME constants.
+  */
+object Dedup {
+
+  private val ShingleK = 8  // char-shingle width
+  private val NumPerms = 16 // minhash signature length
+  private val Bands = 4     // LSH bands (x 4 rows each)
+  private val RowsPerBand = NumPerms / Bands
+
+  /** Exact dedup: keep-first by content hash. On 100 TB this is THE first
+    * pass — one shuffle on a 16-byte digest, no text ever moves.
+    */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_doc_id")
+
+  val exactDedupSql: String =
+    """SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id,
+      | count(*) AS n_copies
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY keep_doc_id""".stripMargin
+
+  /** Distinct (doc_id, shingle) pairs — shared by minhash + jaccard. */
+  private def shingles(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(TextHash.charShingles("text", ShingleK)).as("g"))
+      .distinct()
+
+  private def shinglesSql: String =
+    s"""sh AS (
+       |  SELECT DISTINCT doc_id, g FROM (
+       |    SELECT doc_id, unnest(${TextHash.charShinglesSql("text", ShingleK)}) AS g
+       |    FROM documents))""".stripMargin
+
+  /** MinHash + LSH near-dup pairs: shingle → 16-perm signature → 4 banded
+    * hashes → bucket equi-join for candidates → exact Jaccard verify ≥ 0.8.
+    */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(Tables(spark, dir).documents)
+    val h = sh.select(col("doc_id"), (hash60(col("g")) % P).as("h"))
+    val sigAggs = (0 until NumPerms).map { i =>
+      min((lit(TextHash.MinhashA(i)) * col("h") + lit(TextHash.MinhashB(i))) % P)
+        .as(s"sig_$i")
+    }
+    val sigs = h.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+    val bandStructs = (0 until Bands).map { b =>
+      val cat = (0 until RowsPerBand)
+        .map(r => col(s"sig_${RowsPerBand * b + r}").cast("string"))
+      struct(lit(b).as("band"), hash60(concat_ws(",", cat: _*)).as("bh"))
+    }
+    val bands = sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("x"))
+      .select(col("doc_id"), col("x.band").as("band"), col("x.bh").as("bh"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    jaccardOverCandidates(sh, cand, minJaccard = 0.8)
+  }
+
+  /** Exact Jaccard on shingle sets for a (small) candidate-pair set; the
+    * pair set is broadcast so the shingle table is never re-shuffled.
+    */
+  private def jaccardOverCandidates(
+      sh: DataFrame, cand: DataFrame, minJaccard: Double): DataFrame = {
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    broadcast(cand)
+      .join(sh.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sh.as("s2"), col("d2") === col("s2.doc_id") && col("s1.g") === col("s2.g"))
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(counts).as("c1"), col("d1") === col("c1.doc_id"))
+      .join(broadcast(counts).as("c2"), col("d2") === col("c2.doc_id"))
+      .select(col("d1"), col("d2"),
+        round(col("inter").cast("double") /
+          (col("c1.n") + col("c2.n") - col("inter")), 4).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+      .orderBy("d1", "d2")
+  }
+
+  val minhashLshSql: String = {
+    val sigSelect = (0 until NumPerms).map { i =>
+      s"min((${TextHash.MinhashA(i)}*h + ${TextHash.MinhashB(i)}) % $P) AS sig_$i"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until Bands).map { b =>
+      val cat = (0 until RowsPerBand)
+        .map(r => s"CAST(sig_${RowsPerBand * b + r} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, ${hash60Sql(s"($cat)")} AS bh FROM sigs"
+    }.mkString("\n    UNION ALL ")
+    s"""WITH $shinglesSql,
+       |h AS (SELECT doc_id, ${hash60Sql("g")} % $P AS h FROM sh),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    $sigSelect
+       |  FROM h GROUP BY doc_id),
+       |bands AS (
+       |    $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |inter AS (
+       |  SELECT c.d1, c.d2, count(*) AS inter
+       |  FROM cand c
+       |    JOIN sh s1 ON s1.doc_id = c.d1
+       |    JOIN sh s2 ON s2.doc_id = c.d2 AND s2.g = s1.g
+       |  GROUP BY 1, 2),
+       |counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+       |SELECT d1, d2,
+       |  round(CAST(inter AS DOUBLE) / (c1.n + c2.n - inter), 4) AS jaccard
+       |FROM inter
+       |  JOIN counts c1 ON c1.doc_id = d1
+       |  JOIN counts c2 ON c2.doc_id = d2
+       |WHERE round(CAST(inter AS DOUBLE) / (c1.n + c2.n - inter), 4) >= 0.8
+       |ORDER BY d1, d2""".stripMargin
+  }
+
+  /** Per-document 32-bit SimHash over whitespace tokens (with repetition —
+    * frequency-weighted, the standard formulation).
+    */
+  private def simhashSigs(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val h = toks.select(col("doc_id"), hash60(col("tok")).as("h"))
+    val bitAggs = (0 until 32).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+        .as(s"bs_$j")
+    }
+    val bs = h.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+    val sim = (0 until 32)
+      .map(j => when(col(s"bs_$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    bs.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  private val simhashSigsSql: String = {
+    val bitSelect = (0 until 32)
+      .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS bs_$j")
+      .mkString(",\n    ")
+    val simExpr = (0 until 32)
+      .map(j => s"(CASE WHEN bs_$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+    s"""toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |h AS (SELECT doc_id, ${hash60Sql("tok")} AS h FROM toks),
+       |bs AS (
+       |  SELECT doc_id,
+       |    $bitSelect
+       |  FROM h GROUP BY doc_id),
+       |sims AS (SELECT doc_id, $simExpr AS simhash FROM bs)""".stripMargin
+  }
+
+  /** SimHash signatures per document. */
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashSigs(Tables(spark, dir).documents).orderBy("doc_id")
+
+  val simhashSql: String =
+    s"""WITH $simhashSigsSql
+       |SELECT doc_id, simhash FROM sims ORDER BY doc_id""".stripMargin
+
+  /** SimHash near-dup pairs: hamming distance ≤ 3 between signatures. The
+    * pairing is a nested-loop over 1-long-per-doc signatures — the whole
+    * point of SimHash is that the quadratic step touches 4 bytes/doc, not
+    * documents.
+    */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sims = simhashSigs(Tables(spark, dir).documents)
+    val a = sims.select(col("doc_id").as("d1"), col("simhash").as("s1"))
+    val b = sims.select(col("doc_id").as("d2"), col("simhash").as("s2"))
+    a.join(b, col("d1") < col("d2"))
+      .withColumn("hamming", expr("bit_count(s1 ^ s2)"))
+      .filter(col("hamming") <= 3)
+      .select("d1", "d2", "hamming")
+      .orderBy("d1", "d2")
+  }
+
+  val simhashPairsSql: String =
+    s"""WITH $simhashSigsSql
+       |SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY d1, d2""".stripMargin
+
+  /** Word-3-gram Jaccard near-dup pairs ≥ 0.5, candidates = any shared gram.
+    * No LSH — this is the exact (more expensive) variant; the join on gram
+    * values bounds work by actual overlap.
+    */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    val sh = toks
+      .select(col("doc_id"), explode(TextHash.wordNgrams("t", 3)).as("g"))
+      .distinct()
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(counts).as("c1"), col("d1") === col("c1.doc_id"))
+      .join(broadcast(counts).as("c2"), col("d2") === col("c2.doc_id"))
+      .select(col("d1"), col("d2"),
+        round(col("inter").cast("double") /
+          (col("c1.n") + col("c2.n") - col("inter")), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("d1", "d2")
+  }
+
+  val ngramJaccardSql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, g FROM (
+       |    SELECT doc_id, unnest(${TextHash.wordNgramsSql("t", 3)}) AS g FROM toks)),
+       |counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT d1, d2,
+       |  round(CAST(inter AS DOUBLE) / (c1.n + c2.n - inter), 4) AS jaccard
+       |FROM inter
+       |  JOIN counts c1 ON c1.doc_id = d1
+       |  JOIN counts c2 ON c2.doc_id = d2
+       |WHERE round(CAST(inter AS DOUBLE) / (c1.n + c2.n - inter), 4) >= 0.5
+       |ORDER BY d1, d2""".stripMargin
+
+  /** Embedding near-dup: top-20 most-similar vector pairs by cosine.
+    * Norms are precomputed per vector (one pass), the dot product is a
+    * sequential fold over zip_with so both engines sum in the same order.
+    */
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings.select(
+      col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val withNorm = e.withColumn("norm",
+      sqrt(expr("aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)")))
+    val a = withNorm.select(col("vec_id").as("id1"), col("v").as("v1"), col("norm").as("n1"))
+    val b = withNorm.select(col("vec_id").as("id2"), col("v").as("v2"), col("norm").as("n2"))
+    a.join(b, col("id1") < col("id2"))
+      .withColumn("cos", round(
+        expr("aggregate(zip_with(v1, v2, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+          / (col("n1") * col("n2")), 4))
+      .select(col("id1"), col("id2"), col("cos"))
+      .orderBy(desc("cos"), asc("id1"), asc("id2"))
+      .limit(20)
+  }
+
+  val embeddingNearDupSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, v,
+      |    sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e)
+      |SELECT a.vec_id AS id1, b.vec_id AS id2,
+      |  round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) AS cos
+      |FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |ORDER BY cos DESC, id1, id2 LIMIT 20""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_exact_dedup" -> (exactDedup _),
+    "d2_minhash_lsh" -> (minhashLsh _),
+    "d3_simhash" -> (simhash _),
+    "d4_simhash_pairs" -> (simhashPairs _),
+    "d5_ngram_jaccard" -> (ngramJaccard _),
+    "d6_embedding_near_dup" -> (embeddingNearDup _))
+
+  val oracles: Map[String, String] = Map(
+    "d1_exact_dedup" -> exactDedupSql,
+    "d2_minhash_lsh" -> minhashLshSql,
+    "d3_simhash" -> simhashSql,
+    "d4_simhash_pairs" -> simhashPairsSql,
+    "d5_ngram_jaccard" -> ngramJaccardSql,
+    "d6_embedding_near_dup" -> embeddingNearDupSql)
+}

@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextHash.hash60Sql
+
+/** Approximate-nearest-neighbor search over the embedding column
+  * (training-data-pipeline extension; `Array[Float]` embeddings as a
+  * first-class column type).
+  *
+  * Two paths:
+  *  - brute-force cosine top-k (the exactness baseline): queries are
+  *    broadcast against the corpus, cost O(|Q| * n) — right answer, and at
+  *    100 TB still viable for small |Q| because the corpus never shuffles;
+  *  - random-hyperplane LSH buckets (the scale path): each vector is reduced
+  *    to a small bucket id by sign-of-dot-product against fixed pseudo-random
+  *    hyperplanes, search touches only the query's bucket. The hyperplanes
+  *    are derived from md5 (graft.functions.TextHash) so the DuckDB oracle
+  *    reproduces them exactly.
+  *
+  * Dot products are sequential folds (zip_with + aggregate) over doubles so
+  * both engines sum in identical order.
+  */
+object Similarity {
+
+  private val NumPlanes = 4  // 16 buckets — sized for the synthetic corpus
+  private val Dim = 64
+  private val NumQueries = 20 // vec_id < 20 are the query set
+  private val TopK = 5
+
+  private def asDouble(c: String): Column =
+    expr(s"transform($c, x -> CAST(x AS DOUBLE))")
+
+  private val dotExpr =
+    "aggregate(zip_with(v1, v2, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+
+  /** Exact cosine top-k for each query vector (vec_id < 20), excluding self.
+    * The query side is tiny and broadcast; ranking uses row_number with an
+    * id tie-break so results are deterministic.
+    */
+  def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+      .select(col("vec_id"), asDouble("embedding").as("v"))
+      .withColumn("norm",
+        sqrt(expr("aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)")))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("v1"), col("norm").as("n1"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("v2"), col("norm").as("n2"))
+    val scored = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(expr(dotExpr) / (col("n1") * col("n2")), 4))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "rank", "neighbor_id", "cos")
+      .orderBy("query_id", "rank")
+  }
+
+  val bruteForceTopKSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    round(list_dot_product(q.v, c.v) / (q.norm * c.norm), 4) AS cos
+       |  FROM n q JOIN n c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < $NumQueries)
+       |SELECT query_id, rank, neighbor_id, cos
+       |FROM (SELECT *, CAST(row_number() OVER (
+       |        PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+       |      FROM scored)
+       |WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** Deterministic pseudo-random hyperplane coefficient array for plane p:
+    * coef[d] = (hash60("p_d") mod 2001 - 1000) / 1000 ∈ [-1, 1].
+    */
+  private def planeCoefs(p: Int): String =
+    s"transform(sequence(0, ${Dim - 1}), d -> " +
+      s"(CAST(conv(substring(md5(concat('${p}_', d)), 1, 15), 16, 10) AS BIGINT) % 2001 - 1000) / CAST(1000 AS DOUBLE))"
+
+  private def planeCoefsSql(p: Int): String =
+    s"list_transform(generate_series(0, ${Dim - 1}), d -> " +
+      s"(${hash60Sql(s"'${p}_' || CAST(d AS VARCHAR)")} % 2001 - 1000) / CAST(1000 AS DOUBLE))"
+
+  /** Bucket id = sign bits of the dot products against the fixed planes. */
+  private def bucketCol: Column =
+    (0 until NumPlanes).map { p =>
+      val dot = expr(
+        s"aggregate(zip_with(v, ${planeCoefs(p)}, (x, c) -> x * c), " +
+          "CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private def bucketSql: String =
+    (0 until NumPlanes).map { p =>
+      s"(CASE WHEN list_sum(list_transform(generate_series(1, $Dim), " +
+        s"i -> v[i] * (${planeCoefsSql(p)})[i])) >= 0 " +
+        s"THEN CAST(${1L << p} AS BIGINT) ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** LSH-bucketed ANN: candidates are restricted to the query's hyperplane
+    * bucket, then ranked by exact cosine — the plan that survives scale-up
+    * (bucket join instead of cross product).
+    */
+  def lshBucketTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+      .select(col("vec_id"), asDouble("embedding").as("v"))
+      .withColumn("norm",
+        sqrt(expr("aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)")))
+      .withColumn("bucket", bucketCol)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("v1"),
+        col("norm").as("n1"), col("bucket"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("v2"),
+      col("norm").as("n2"), col("bucket"))
+    val scored = broadcast(q).join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(expr(dotExpr) / (col("n1") * col("n2")), 4))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "bucket", "rank", "neighbor_id", "cos")
+      .orderBy("query_id", "rank")
+  }
+
+  val lshBucketTopKSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS norm,
+       |    $bucketSql AS bucket
+       |  FROM e),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, q.bucket AS bucket, c.vec_id AS neighbor_id,
+       |    round(list_dot_product(q.v, c.v) / (q.norm * c.norm), 4) AS cos
+       |  FROM n q JOIN n c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < $NumQueries)
+       |SELECT query_id, bucket, rank, neighbor_id, cos
+       |FROM (SELECT *, CAST(row_number() OVER (
+       |        PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+       |      FROM scored)
+       |WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** Per-label centroid similarity: mean vector per label, then cosine
+    * between label centroids — the "cluster summary" shape (grouped vector
+    * aggregation via element-wise avg over posexploded dims).
+    */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+      .select(col("label"), posexplode(asDouble("embedding")).as(Seq("d", "x")))
+    val cent = e.groupBy("label", "d").agg(avg("x").as("m"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("s"))
+      .select(col("label"), expr("transform(s, e -> e.m)").as("v"))
+      .withColumn("norm",
+        sqrt(expr("aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)")))
+    val a = cent.select(col("label").as("l1"), col("v").as("v1"), col("norm").as("n1"))
+    val b = cent.select(col("label").as("l2"), col("v").as("v2"), col("norm").as("n2"))
+    a.join(b, col("l1") < col("l2"))
+      .withColumn("cos", round(expr(dotExpr) / (col("n1") * col("n2")), 4))
+      .select("l1", "l2", "cos")
+      .orderBy("l1", "l2")
+  }
+
+  val labelCentroidsSql: String =
+    s"""WITH ex AS (
+       |  SELECT label, d, CAST(embedding[d] AS DOUBLE) AS x
+       |  FROM embeddings, generate_series(1, $Dim) t(d)),
+       |cent AS (
+       |  SELECT label, array_agg(m ORDER BY d) AS v
+       |  FROM (SELECT label, d, avg(x) AS m FROM ex GROUP BY 1, 2)
+       |  GROUP BY label),
+       |n AS (
+       |  SELECT label, v,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM cent)
+       |SELECT a.label AS l1, b.label AS l2,
+       |  round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) AS cos
+       |FROM n a JOIN n b ON a.label < b.label
+       |ORDER BY l1, l2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "n1_brute_force_topk" -> (bruteForceTopK _),
+    "n2_lsh_bucket_topk" -> (lshBucketTopK _),
+    "n3_label_centroids" -> (labelCentroids _))
+
+  val oracles: Map[String, String] = Map(
+    "n1_brute_force_topk" -> bruteForceTopKSql,
+    "n2_lsh_bucket_topk" -> lshBucketTopKSql,
+    "n3_label_centroids" -> labelCentroidsSql)
+}

@@ -1,0 +1,222 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextHash
+import graft.functions.TextHash.{hash60, hash60Sql}
+
+/** Text-analysis surface for training-data pipelines: language ID, quality
+  * scoring, token counting, document fingerprinting (extension tier,
+  * SURVEY §7.1 step 8). All pure column expressions over the documents
+  * table — single scan, no UDFs, shuffle only where an aggregate needs one.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language marker-word sets for the n-gram/stopword heuristic.
+    * Deliberately small — the POINT is the argmax-of-ratios mechanism; a
+    * production list is a config swap.
+    */
+  private val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "fr" -> Seq("le", "la", "et", "de", "un"),
+    "es" -> Seq("el", "los", "y", "de", "un"),
+    "de" -> Seq("der", "die", "und", "das", "ein"),
+    "zh" -> Seq("de", "le", "he", "shi", "zai"))
+
+  /** Language ID: ratio of marker words per language, argmax with a fixed
+    * preference order on ties (seq order above). Scores are exact rationals
+    * (int count / int total) so Spark and DuckDB tie-break identically.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir).documents
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
+      .withColumn("n_tok", size(col("t")).cast("long"))
+    val scored = Markers.foldLeft(toks) { case (df, (l, ws)) =>
+      val inList = ws.map(w => s"'$w'").mkString(", ")
+      df.withColumn(s"c_$l", expr(s"size(filter(t, x -> x IN ($inList)))").cast("long"))
+    }
+    // argmax by marker count, ties resolved by Markers order
+    val pred = Markers.map(_._1).reverse
+      .foldLeft(lit("und")) { case (acc, l) =>
+        when(col(s"c_$l") > 0 &&
+          col(s"c_$l") >= greatest(Markers.map(m => col(s"c_${m._1}")): _*), lit(l))
+          .otherwise(acc)
+      }
+    val outCols = Seq(col("doc_id"), col("lang"), pred.as("pred_lang"), col("n_tok")) ++
+      Markers.map(m => col(s"c_${m._1}"))
+    scored.select(outCols: _*).orderBy("doc_id")
+  }
+
+  val langIdSql: String = {
+    val counts = Markers.map { case (l, ws) =>
+      val inList = ws.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(t, x -> x IN ($inList))) AS BIGINT) AS c_$l"
+    }.mkString(",\n    ")
+    // CASE evaluated in Markers order = first maximal wins, matching Spark's
+    // reverse fold (later whens overwrite earlier accumulator values).
+    val pred = Markers.map { case (l, _) =>
+      val geAll = Markers.map(m => s"c_$l >= c_${m._1}").mkString(" AND ")
+      s"WHEN c_$l > 0 AND $geAll THEN '$l'"
+    }.mkString("\n      ")
+    val cCols = Markers.map(m => s"c_${m._1}").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+       |scored AS (
+       |  SELECT doc_id, lang, CAST(len(t) AS BIGINT) AS n_tok,
+       |    $counts
+       |  FROM toks)
+       |SELECT doc_id, lang,
+       |  CASE $pred ELSE 'und' END AS pred_lang,
+       |  n_tok, $cCols
+       |FROM scored
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Quality scoring: length / punctuation / stopword-ratio / mean-word-len
+    * features + a composite keep/drop signal, the standard pre-training
+    * filter shape.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "is", "to", "in")
+      .map(w => s"'$w'").mkString(", ")
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("n_tok", size(col("t")).cast("long"))
+      .withColumn("stop_ratio",
+        round(expr(s"size(filter(t, x -> x IN ($stop)))").cast("double") / col("n_tok"), 4))
+      .withColumn("punct_ratio",
+        round((length(col("text")) -
+          length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))).cast("double") /
+          col("n_chars"), 4))
+      .withColumn("mean_word_len",
+        round((col("n_chars") - (col("n_tok") - 1)).cast("double") / col("n_tok"), 4))
+      .withColumn("keep",
+        (col("n_tok") >= 10) && (col("stop_ratio") <= 0.5) && (col("mean_word_len") <= 12.0))
+      .select("doc_id", "n_chars", "n_tok", "stop_ratio", "punct_ratio",
+        "mean_word_len", "keep")
+      .orderBy("doc_id")
+  }
+
+  val qualityScoreSql: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    CAST(length(text) AS BIGINT) AS n_chars,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |      x -> x IN ('the', 'a', 'of', 'and', 'is', 'to', 'in'))) AS DOUBLE) AS n_stop,
+      |    CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) AS n_punct
+      |  FROM documents)
+      |SELECT doc_id, n_chars, n_tok,
+      |  round(n_stop / n_tok, 4) AS stop_ratio,
+      |  round(n_punct / n_chars, 4) AS punct_ratio,
+      |  round(CAST(n_chars - (n_tok - 1) AS DOUBLE) / n_tok, 4) AS mean_word_len,
+      |  (n_tok >= 10 AND round(n_stop / n_tok, 4) <= 0.5
+      |    AND round(CAST(n_chars - (n_tok - 1) AS DOUBLE) / n_tok, 4) <= 12.0) AS keep
+      |FROM f
+      |ORDER BY doc_id""".stripMargin
+
+  /** Token counting: whitespace tokens, BPE-ish regex tokens (letter runs /
+    * digit runs / single other chars), distinct tokens.
+    */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), split(col("text"), " ").as("t"),
+        expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0)").as("bpe"))
+      .select(
+        col("doc_id"),
+        size(col("t")).cast("long").as("ws_tokens"),
+        size(col("bpe")).cast("long").as("bpe_tokens"),
+        size(array_distinct(col("t"))).cast("long").as("distinct_tokens"))
+      .orderBy("doc_id")
+
+  val tokenCountsSql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS bpe_tokens,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS distinct_tokens
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Document fingerprint: min-hash over char-8-gram hashes (winnowing-lite).
+    * Near-identical docs collide on the fingerprint, so grouping by it gives
+    * cheap first-pass dup clusters — one BIGINT per document at scale.
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), explode(TextHash.charShingles("text", 8)).as("g"))
+      .groupBy("doc_id")
+      .agg(min(hash60(col("g"))).as("fp"))
+      .orderBy("doc_id")
+
+  val fingerprintSql: String =
+    s"""SELECT doc_id, min(${hash60Sql("g")}) AS fp
+       |FROM (
+       |  SELECT doc_id, unnest(${TextHash.charShinglesSql("text", 8)}) AS g
+       |  FROM documents)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  /** Fingerprint dup clusters: fingerprints shared by >1 document. */
+  def fingerprintClusters(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), explode(TextHash.charShingles("text", 8)).as("g"))
+      .groupBy("doc_id")
+      .agg(min(hash60(col("g"))).as("fp"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy("fp")
+
+  val fingerprintClustersSql: String =
+    s"""WITH fp AS (
+       |  SELECT doc_id, min(${hash60Sql("g")}) AS fp
+       |  FROM (
+       |    SELECT doc_id, unnest(${TextHash.charShinglesSql("text", 8)}) AS g
+       |    FROM documents)
+       |  GROUP BY doc_id)
+       |SELECT fp, count(*) AS n_docs, min(doc_id) AS first_doc
+       |FROM fp
+       |GROUP BY fp
+       |HAVING count(*) > 1
+       |ORDER BY fp""".stripMargin
+
+  /** Corpus stats by source — the monitoring rollup every pipeline needs. */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .groupBy("source", "lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("total_chars"),
+        round(avg(length(col("text"))), 4).as("avg_chars"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"))
+      .orderBy("source", "lang")
+
+  val corpusStatsSql: String =
+    """SELECT source, lang, count(*) AS n_docs,
+      |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+      |  round(avg(length(text)), 4) AS avg_chars,
+      |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      |FROM documents
+      |GROUP BY source, lang
+      |ORDER BY source, lang""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_lang_id" -> (langId _),
+    "t2_quality_score" -> (qualityScore _),
+    "t3_token_counts" -> (tokenCounts _),
+    "t4_fingerprint" -> (fingerprint _),
+    "t5_fingerprint_clusters" -> (fingerprintClusters _),
+    "t6_corpus_stats" -> (corpusStats _))
+
+  val oracles: Map[String, String] = Map(
+    "t1_lang_id" -> langIdSql,
+    "t2_quality_score" -> qualityScoreSql,
+    "t3_token_counts" -> tokenCountsSql,
+    "t4_fingerprint" -> fingerprintSql,
+    "t5_fingerprint_clusters" -> fingerprintClustersSql,
+    "t6_corpus_stats" -> corpusStatsSql)
+}
