@@ -12,6 +12,11 @@ import org.apache.spark.sql.types.LongType
   * identical either way.
   */
 final case class Tables(spark: SparkSession, dir: String) {
+  // Set once at construction (not inside an accessor) so query plans never
+  // depend on accessor call order: the events parquet carries
+  // TIMESTAMP(NANOS), readable in Spark 4 only via this legacy conf.
+  spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
   def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
 
   def region: DataFrame = table("region")
@@ -21,12 +26,11 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame = table("part")
   def orders: DataFrame = table("orders")
   def lineitem: DataFrame = table("lineitem")
-  /** The events table carries TIMESTAMP(NANOS) parquet, which Spark 4 only
-    * reads via the nanosAsLong legacy path; normalize back to TimestampType
+  /** The events table carries TIMESTAMP(NANOS) parquet (read as Long via the
+    * constructor-set legacy conf); normalize back to TimestampType
     * (microsecond precision) so downstream time logic is uniform.
     */
   def events: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table("events")
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))

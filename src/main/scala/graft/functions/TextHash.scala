@@ -46,6 +46,12 @@ object TextHash {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** [[hash60]] as a SQL-expression string (for use inside higher-order
+    * function lambdas, where only expression text composes).
+    */
+  def hash60Expr(x: String): String =
+    s"CAST(conv(substring(md5($x), 1, 15), 16, 10) AS BIGINT)"
+
   /** DuckDB twin of [[hash60]]; `x` is a SQL expression string. */
   def hash60Sql(x: String): String =
     s"CAST('0x' || substring(md5($x), 1, 15) AS BIGINT)"
@@ -56,21 +62,27 @@ object TextHash {
     * (Spark's sequence(1,0) would count DOWN, DuckDB's returns empty).
     */
   def charShingles(textCol: String, k: Int): Column =
-    expr(
-      s"transform(sequence(1, greatest(length($textCol) - ${k - 1}, 1)), " +
-        s"i -> substring($textCol, i, $k))")
+    expr(charShinglesExpr(textCol, k))
+
+  /** [[charShingles]] as a SQL-expression string (composable inside other
+    * higher-order expressions, e.g. a per-row min-hash without an explode).
+    */
+  def charShinglesExpr(textCol: String, k: Int): String =
+    s"transform(sequence(1, greatest(length($textCol) - ${k - 1}, 1)), " +
+      s"i -> substring($textCol, i, $k))"
 
   /** DuckDB twin of [[charShingles]] (an unnest-ready list expression). */
   def charShinglesSql(textCol: String, k: Int): String =
     s"list_transform(generate_series(1, greatest(length($textCol) - ${k - 1}, 1)), " +
       s"i -> substring($textCol, i, $k))"
 
-  /** All word n-grams of a string-array column, space-joined. element_at
-    * past the end is null and concat_ws skips nulls, so texts shorter than n
-    * words yield one partial gram — mirrored by DuckDB's clamped list slice.
+  /** All word n-grams of a string-array column, space-joined. try_element_at
+    * past the end is null (plain element_at throws under Spark 4's default
+    * ANSI mode) and concat_ws skips nulls, so texts shorter than n words
+    * yield one partial gram — mirrored by DuckDB's clamped list slice.
     */
   def wordNgrams(tokensCol: String, n: Int): Column = {
-    val parts = (0 until n).map(j => s"element_at($tokensCol, i + $j)").mkString(", ")
+    val parts = (0 until n).map(j => s"try_element_at($tokensCol, i + $j)").mkString(", ")
     expr(
       s"transform(sequence(1, greatest(size($tokensCol) - ${n - 1}, 1)), " +
         s"i -> concat_ws(' ', $parts))")

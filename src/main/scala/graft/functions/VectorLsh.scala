@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextHash.hash60Sql
+
+/** Random-hyperplane LSH bucketing shared by the similarity (n2) and
+  * embedding-dedup (d6) operators — the scale path for vector pairing:
+  * instead of an all-pairs theta join, vectors meet only inside their
+  * bucket, an equi-join that shuffles O(n) rows on a small integer key.
+  *
+  * Hyperplane coefficients are derived from md5 so the DuckDB oracle
+  * reproduces the buckets exactly (same constants, same arithmetic).
+  */
+object VectorLsh {
+
+  val Dim = 64       // embedding dimensionality (TESTDATA embeddings table)
+  val NumPlanes = 4  // 16 buckets — sized for the synthetic corpus
+
+  /** Deterministic pseudo-random hyperplane coefficient array for plane p:
+    * coef[d] = (hash60("p_d") mod 2001 - 1000) / 1000 ∈ [-1, 1].
+    */
+  def planeCoefs(p: Int): String =
+    s"transform(sequence(0, ${Dim - 1}), d -> " +
+      s"(CAST(conv(substring(md5(concat('${p}_', d)), 1, 15), 16, 10) AS BIGINT) % 2001 - 1000) / CAST(1000 AS DOUBLE))"
+
+  private def planeCoefsSql(p: Int): String =
+    s"list_transform(generate_series(0, ${Dim - 1}), d -> " +
+      s"(${hash60Sql(s"'${p}_' || CAST(d AS VARCHAR)")} % 2001 - 1000) / CAST(1000 AS DOUBLE))"
+
+  /** Bucket id = sign bits of the dot products against the fixed planes,
+    * over a double-array column named `v`.
+    */
+  def bucketCol: Column =
+    (0 until NumPlanes).map { p =>
+      val dot = expr(
+        s"aggregate(zip_with(v, ${planeCoefs(p)}, (x, c) -> x * c), " +
+          "CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** DuckDB twin of [[bucketCol]] (expects a list column named `v`). */
+  def bucketSql: String =
+    (0 until NumPlanes).map { p =>
+      s"(CASE WHEN list_sum(list_transform(generate_series(1, $Dim), " +
+        s"i -> v[i] * (${planeCoefsSql(p)})[i])) >= 0 " +
+        s"THEN CAST(${1L << p} AS BIGINT) ELSE 0 END)"
+    }.mkString(" + ")
+}

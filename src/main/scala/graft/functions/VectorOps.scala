@@ -77,13 +77,14 @@ case class DotProduct(left: Expression, right: Expression)
 
 /** Registration for the graft vector expressions: `graft_dot(a, b)` becomes
   * callable from any Column/SQL expression after [[VectorOps.register]].
-  * Idempotent; query modules call it defensively before use.
+  * Idempotent; the similarity/dedup query modules (d6, n1–n3) call it before
+  * building their plans.
   */
 object VectorOps {
   def register(spark: SparkSession): Unit = spark match {
     case s: org.apache.spark.sql.classic.SparkSession =>
       s.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "builtin")
+        "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     case _ => () // non-classic session: callers fall back to built-ins
   }
 }

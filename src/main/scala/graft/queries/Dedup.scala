@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.functions.TextHash
+import graft.functions.{TextHash, VectorLsh, VectorOps}
 import graft.functions.TextHash.{hash60, hash60Sql, P}
 
 /** Document deduplication — the training-data-pipeline operator family
@@ -97,8 +97,10 @@ object Dedup {
       .join(sh.as("s2"), col("d2") === col("s2.doc_id") && col("s1.g") === col("s2.g"))
       .groupBy("d1", "d2")
       .agg(count(lit(1)).as("inter"))
-      .join(broadcast(counts).as("c1"), col("d1") === col("c1.doc_id"))
-      .join(broadcast(counts).as("c2"), col("d2") === col("c2.doc_id"))
+      // counts is O(corpus) rows — no broadcast hint; AQE picks the join
+      // side at runtime, so the plan survives a 100x corpus scale-up.
+      .join(counts.as("c1"), col("d1") === col("c1.doc_id"))
+      .join(counts.as("c2"), col("d2") === col("c2.doc_id"))
       .select(col("d1"), col("d2"),
         round(col("inter").cast("double") /
           (col("c1.n") + col("c2.n") - col("inter")), 4).as("jaccard"))
@@ -186,16 +188,30 @@ object Dedup {
     s"""WITH $simhashSigsSql
        |SELECT doc_id, simhash FROM sims ORDER BY doc_id""".stripMargin
 
-  /** SimHash near-dup pairs: hamming distance ≤ 3 between signatures. The
-    * pairing is a nested-loop over 1-long-per-doc signatures — the whole
-    * point of SimHash is that the quadratic step touches 4 bytes/doc, not
-    * documents.
+  /** SimHash near-dup pairs: hamming distance ≤ 3 between signatures,
+    * found WITHOUT an all-pairs join via pigeonhole banding: split the
+    * 32-bit signature into 4 8-bit chunks — any pair within hamming 3 has
+    * ≥1 identical chunk (3 differing bits touch at most 3 chunks) — and
+    * equi-join on (chunk_idx, chunk_val). Candidates are then verified
+    * exactly. Same output as the quadratic formulation, but the join
+    * shuffles on a small integer key, so it survives a 100x corpus.
     */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val sims = simhashSigs(Tables(spark, dir).documents)
-    val a = sims.select(col("doc_id").as("d1"), col("simhash").as("s1"))
-    val b = sims.select(col("doc_id").as("d2"), col("simhash").as("s2"))
-    a.join(b, col("d1") < col("d2"))
+    val chunkStructs = (0 until 4).map { c =>
+      struct(lit(c).as("ci"),
+        shiftright(col("simhash"), 8 * c).bitwiseAND(lit(255L)).as("cv"))
+    }
+    val chunks = sims
+      .select(col("doc_id"), col("simhash"), explode(array(chunkStructs: _*)).as("x"))
+      .select(col("doc_id"), col("simhash"), col("x.ci").as("ci"), col("x.cv").as("cv"))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.simhash").as("s1"), col("b.simhash").as("s2"))
+      .distinct()
       .withColumn("hamming", expr("bit_count(s1 ^ s2)"))
       .filter(col("hamming") <= 3)
       .select("d1", "d2", "hamming")
@@ -226,8 +242,9 @@ object Dedup {
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("inter"))
     inter
-      .join(broadcast(counts).as("c1"), col("d1") === col("c1.doc_id"))
-      .join(broadcast(counts).as("c2"), col("d2") === col("c2.doc_id"))
+      // per-doc counts scale with the corpus: leave broadcast choice to AQE
+      .join(counts.as("c1"), col("d1") === col("c1.doc_id"))
+      .join(counts.as("c2"), col("d2") === col("c2.doc_id"))
       .select(col("d1"), col("d2"),
         round(col("inter").cast("double") /
           (col("c1.n") + col("c2.n") - col("inter")), 4).as("jaccard"))
@@ -253,38 +270,47 @@ object Dedup {
        |WHERE round(CAST(inter AS DOUBLE) / (c1.n + c2.n - inter), 4) >= 0.5
        |ORDER BY d1, d2""".stripMargin
 
-  /** Embedding near-dup: top-20 most-similar vector pairs by cosine.
-    * Norms are precomputed per vector (one pass), the dot product is a
-    * sequential fold over zip_with so both engines sum in the same order.
+  /** Embedding near-dup: top-20 most-similar SAME-BUCKET vector pairs by
+    * cosine, where buckets come from the shared random-hyperplane LSH
+    * (graft.functions.VectorLsh, also the n2 ANN path). The bucket equi-join
+    * replaces the all-pairs theta join — the quadratic step only happens
+    * within buckets, so the plan survives a 100x corpus. Dot products run
+    * through the native `graft_dot` codegen expression; it sums
+    * left-to-right exactly like a sequential fold, so the DuckDB oracle
+    * (list_dot_product) agrees after 4-decimal rounding.
     */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables(spark, dir).embeddings.select(
-      col("vec_id"),
-      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-    val withNorm = e.withColumn("norm",
-      sqrt(expr("aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)")))
-    val a = withNorm.select(col("vec_id").as("id1"), col("v").as("v1"), col("norm").as("n1"))
-    val b = withNorm.select(col("vec_id").as("id2"), col("v").as("v2"), col("norm").as("n2"))
-    a.join(b, col("id1") < col("id2"))
-      .withColumn("cos", round(
-        expr("aggregate(zip_with(v1, v2, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
-          / (col("n1") * col("n2")), 4))
+    VectorOps.register(spark)
+    val e = Tables(spark, dir).embeddings
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
+      .withColumn("bucket", VectorLsh.bucketCol)
+    val a = e.select(col("vec_id").as("id1"), col("v").as("v1"),
+      col("norm").as("n1"), col("bucket"))
+    val b = e.select(col("vec_id").as("id2"), col("v").as("v2"),
+      col("norm").as("n2"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cos",
+        round(expr("graft_dot(v1, v2)") / (col("n1") * col("n2")), 4))
       .select(col("id1"), col("id2"), col("cos"))
       .orderBy(desc("cos"), asc("id1"), asc("id2"))
       .limit(20)
   }
 
   val embeddingNearDupSql: String =
-    """WITH e AS (
-      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      |  FROM embeddings),
-      |n AS (
-      |  SELECT vec_id, v,
-      |    sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e)
-      |SELECT a.vec_id AS id1, b.vec_id AS id2,
-      |  round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) AS cos
-      |FROM n a JOIN n b ON a.vec_id < b.vec_id
-      |ORDER BY cos DESC, id1, id2 LIMIT 20""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS norm,
+       |    ${VectorLsh.bucketSql} AS bucket
+       |  FROM e)
+       |SELECT a.vec_id AS id1, b.vec_id AS id2,
+       |  round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) AS cos
+       |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |ORDER BY cos DESC, id1, id2 LIMIT 20""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (exactDedup _),

@@ -7,8 +7,8 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 
 /** Event-stream analytics in batch form (the reference is a file-granularity
-  * stream, SURVEY §1.1/§2.10; the streaming variants live in
-  * graft.streaming with identical logic so batch oracles validate them).
+  * stream, SURVEY §1.1/§2.10; the streaming pipeline itself lives in
+  * graft.streaming.PipelineStreams).
   *
   * Time bucketing uses date_trunc — a pure projection, so the aggregation
   * shuffles on (bucket, type), which stays balanced as data scales; user

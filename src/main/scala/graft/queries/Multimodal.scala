@@ -10,9 +10,10 @@ import graft.core.Tables
   * early zones use for PDFs/JPEGs (SURVEY §1.2: binary is a first-class
   * payload, `gen_pdf_imgLambda.py:51-63`, `pnp-cropperLambda.py:50-52`).
   *
-  * The real decode path (javax.imageio etc.) lives in
-  * graft.multimodal.MediaOps with a deterministic stub decoder (spec-tested);
-  * HERE we exercise the Spark-side plumbing that must be exact at scale —
+  * The real binary ingestion/decode path (binaryFile sources, the
+  * javax.imageio crop UDF, the stubbed PDF rasterizer) lives in
+  * graft.pipeline.{ConvertJob, CropJob}; HERE we exercise the Spark-side
+  * plumbing that must be exact at scale —
   * binary encode, byte-length/digest metadata extraction, header slicing and
   * fixed-stride frame sampling — as oracle-checked column expressions. The
   * synthetic payload is the document text encoded as UTF-8, so DuckDB

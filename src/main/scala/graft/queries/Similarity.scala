@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.functions.TextHash.hash60Sql
+import graft.functions.{VectorLsh, VectorOps}
 
 /** Approximate-nearest-neighbor search over the embedding column
   * (training-data-pipeline extension; `Array[Float]` embeddings as a
@@ -21,31 +21,31 @@ import graft.functions.TextHash.hash60Sql
   *    are derived from md5 (graft.functions.TextHash) so the DuckDB oracle
   *    reproduces them exactly.
   *
-  * Dot products are sequential folds (zip_with + aggregate) over doubles so
-  * both engines sum in identical order.
+  * Dot products run through the native `graft_dot` Catalyst expression
+  * (graft.functions.DotProduct) — a primitive codegen loop with the same
+  * left-to-right summation order as a sequential fold, so DuckDB oracles
+  * built on sequential sums agree bit-for-bit.
   */
 object Similarity {
 
-  private val NumPlanes = 4  // 16 buckets — sized for the synthetic corpus
-  private val Dim = 64
+  private val Dim = VectorLsh.Dim
   private val NumQueries = 20 // vec_id < 20 are the query set
   private val TopK = 5
 
   private def asDouble(c: String): Column =
     expr(s"transform($c, x -> CAST(x AS DOUBLE))")
 
-  private val dotExpr =
-    "aggregate(zip_with(v1, v2, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+  private val dotExpr = "graft_dot(v1, v2)"
 
   /** Exact cosine top-k for each query vector (vec_id < 20), excluding self.
     * The query side is tiny and broadcast; ranking uses row_number with an
     * id tie-break so results are deterministic.
     */
   def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
+    VectorOps.register(spark)
     val e = Tables(spark, dir).embeddings
       .select(col("vec_id"), asDouble("embedding").as("v"))
-      .withColumn("norm",
-        sqrt(expr("aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)")))
+      .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("v1"), col("norm").as("n1"))
     val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("v2"), col("norm").as("n2"))
@@ -78,43 +78,17 @@ object Similarity {
        |WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
 
-  /** Deterministic pseudo-random hyperplane coefficient array for plane p:
-    * coef[d] = (hash60("p_d") mod 2001 - 1000) / 1000 ∈ [-1, 1].
-    */
-  private def planeCoefs(p: Int): String =
-    s"transform(sequence(0, ${Dim - 1}), d -> " +
-      s"(CAST(conv(substring(md5(concat('${p}_', d)), 1, 15), 16, 10) AS BIGINT) % 2001 - 1000) / CAST(1000 AS DOUBLE))"
-
-  private def planeCoefsSql(p: Int): String =
-    s"list_transform(generate_series(0, ${Dim - 1}), d -> " +
-      s"(${hash60Sql(s"'${p}_' || CAST(d AS VARCHAR)")} % 2001 - 1000) / CAST(1000 AS DOUBLE))"
-
-  /** Bucket id = sign bits of the dot products against the fixed planes. */
-  private def bucketCol: Column =
-    (0 until NumPlanes).map { p =>
-      val dot = expr(
-        s"aggregate(zip_with(v, ${planeCoefs(p)}, (x, c) -> x * c), " +
-          "CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
-      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
-
-  private def bucketSql: String =
-    (0 until NumPlanes).map { p =>
-      s"(CASE WHEN list_sum(list_transform(generate_series(1, $Dim), " +
-        s"i -> v[i] * (${planeCoefsSql(p)})[i])) >= 0 " +
-        s"THEN CAST(${1L << p} AS BIGINT) ELSE 0 END)"
-    }.mkString(" + ")
-
   /** LSH-bucketed ANN: candidates are restricted to the query's hyperplane
     * bucket, then ranked by exact cosine — the plan that survives scale-up
-    * (bucket join instead of cross product).
+    * (bucket join instead of cross product). Bucketing lives in
+    * graft.functions.VectorLsh, shared with the d6 embedding dedup.
     */
   def lshBucketTopK(spark: SparkSession, dir: String): DataFrame = {
+    VectorOps.register(spark)
     val e = Tables(spark, dir).embeddings
       .select(col("vec_id"), asDouble("embedding").as("v"))
-      .withColumn("norm",
-        sqrt(expr("aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)")))
-      .withColumn("bucket", bucketCol)
+      .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
+      .withColumn("bucket", VectorLsh.bucketCol)
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("v1"),
         col("norm").as("n1"), col("bucket"))
@@ -138,7 +112,7 @@ object Similarity {
        |n AS (
        |  SELECT vec_id, v,
        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS norm,
-       |    $bucketSql AS bucket
+       |    ${VectorLsh.bucketSql} AS bucket
        |  FROM e),
        |scored AS (
        |  SELECT q.vec_id AS query_id, q.bucket AS bucket, c.vec_id AS neighbor_id,
@@ -157,14 +131,14 @@ object Similarity {
     * aggregation via element-wise avg over posexploded dims).
     */
   def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    VectorOps.register(spark)
     val e = Tables(spark, dir).embeddings
       .select(col("label"), posexplode(asDouble("embedding")).as(Seq("d", "x")))
     val cent = e.groupBy("label", "d").agg(avg("x").as("m"))
       .groupBy("label")
       .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("s"))
       .select(col("label"), expr("transform(s, e -> e.m)").as("v"))
-      .withColumn("norm",
-        sqrt(expr("aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)")))
+      .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
     val a = cent.select(col("label").as("l1"), col("v").as("v1"), col("norm").as("n1"))
     val b = cent.select(col("label").as("l2"), col("v").as("v2"), col("norm").as("n2"))
     a.join(b, col("l1") < col("l2"))

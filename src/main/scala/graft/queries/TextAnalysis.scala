@@ -143,42 +143,42 @@ object TextAnalysis {
   /** Document fingerprint: min-hash over char-8-gram hashes (winnowing-lite).
     * Near-identical docs collide on the fingerprint, so grouping by it gives
     * cheap first-pass dup clusters — one BIGINT per document at scale.
+    *
+    * Computed as a pure per-row projection (array_min over a transform) —
+    * no explode, no shuffle: the old explode→groupBy formulation shuffled
+    * one row PER SHINGLE (~|text| rows/doc), this one moves nothing.
+    * Shared by t4 (the projection itself) and t5 (a tiny group-by over it).
     */
+  private def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents.select(
+      col("doc_id"),
+      expr(s"array_min(transform(${TextHash.charShinglesExpr("text", 8)}, " +
+        s"g -> ${TextHash.hash60Expr("g")}))").as("fp"))
+
+  private val fingerprintsSql: String =
+    s"""SELECT doc_id,
+       |  list_min(list_transform(${TextHash.charShinglesSql("text", 8)},
+       |    g -> ${hash60Sql("g")})) AS fp
+       |FROM documents""".stripMargin
+
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).documents
-      .select(col("doc_id"), explode(TextHash.charShingles("text", 8)).as("g"))
-      .groupBy("doc_id")
-      .agg(min(hash60(col("g"))).as("fp"))
-      .orderBy("doc_id")
+    fingerprints(spark, dir).orderBy("doc_id")
 
   val fingerprintSql: String =
-    s"""SELECT doc_id, min(${hash60Sql("g")}) AS fp
-       |FROM (
-       |  SELECT doc_id, unnest(${TextHash.charShinglesSql("text", 8)}) AS g
-       |  FROM documents)
-       |GROUP BY doc_id
+    s"""SELECT doc_id, fp FROM ($fingerprintsSql)
        |ORDER BY doc_id""".stripMargin
 
   /** Fingerprint dup clusters: fingerprints shared by >1 document. */
   def fingerprintClusters(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).documents
-      .select(col("doc_id"), explode(TextHash.charShingles("text", 8)).as("g"))
-      .groupBy("doc_id")
-      .agg(min(hash60(col("g"))).as("fp"))
+    fingerprints(spark, dir)
       .groupBy("fp")
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
       .filter(col("n_docs") > 1)
       .orderBy("fp")
 
   val fingerprintClustersSql: String =
-    s"""WITH fp AS (
-       |  SELECT doc_id, min(${hash60Sql("g")}) AS fp
-       |  FROM (
-       |    SELECT doc_id, unnest(${TextHash.charShinglesSql("text", 8)}) AS g
-       |    FROM documents)
-       |  GROUP BY doc_id)
-       |SELECT fp, count(*) AS n_docs, min(doc_id) AS first_doc
-       |FROM fp
+    s"""SELECT fp, count(*) AS n_docs, min(doc_id) AS first_doc
+       |FROM ($fingerprintsSql)
        |GROUP BY fp
        |HAVING count(*) > 1
        |ORDER BY fp""".stripMargin

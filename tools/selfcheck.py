@@ -49,6 +49,11 @@ def main(sf_dir, out_dir):
         d for d in os.listdir(out_dir)
         if os.path.isdir(os.path.join(out_dir, d)))
     n_pass = n_fail = n_noora = 0
+    # A query that crashed inside graft.Verify produces no output dir; count
+    # every oracle key with no dir as a failure so crashes can't read as green.
+    for missing in sorted(set(oracles) - set(names)):
+        print(f"  [FAIL-MISSING] {missing}: no verify output written")
+        n_fail += 1
     for name in names:
         got = con.sql(
             f"SELECT * FROM '{os.path.join(out_dir, name)}/*.parquet'")
