@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.GraftSession
-import graft.queries.{Dedup, Events, Multimodal, Relational, SetOps, Similarity, Strings, TextAnalysis, Windows}
+import graft.queries.{Dedup, Events, Multimodal, ProductPipeline, Relational, SetOps, Similarity, Strings, TextAnalysis, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -17,12 +17,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Windows.queries ++ SetOps.queries ++
       Events.queries ++ Strings.queries ++ Dedup.queries ++
-      Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries
+      Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
+      ProductPipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Windows.oracles ++ SetOps.oracles ++
       Events.oracles ++ Strings.oracles ++ Dedup.oracles ++
-      Similarity.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles
+      Similarity.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++
+      ProductPipeline.oracles
 }

@@ -1,0 +1,95 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.ProductNormalize
+
+/** The reference's relational core, Spark-first: silver-zone product JSON →
+  * schema conformance → normalization → lineage → Hive-partitioned parquet
+  * with dynamic partition overwrite (reference
+  * `data_cleaner/pnp-cleanerLambda.py:50-121`; SURVEY §7.1 step 3, §7.2).
+  *
+  * Differences from the reference, by design (all Spark-native):
+  *  - conformance is the schema on the scan, not a column loop: a permissive
+  *    read against ProductSchema.silver nulls missing fields for free;
+  *  - partition/lineage columns derive from input_file_name(), not an event
+  *    payload — the multi-file scan IS the "for each S3 event" loop;
+  *  - idempotent per-partition replace is one conf
+  *    (partitionOverwriteMode=dynamic) + partitionBy, replacing
+  *    `mode="overwrite_partitions"`.
+  *
+  * At scale: the whole job is scan → narrow projections → write. Zero
+  * shuffles; parallelism = input file splits; each task writes only the
+  * partitions it holds rows for.
+  */
+object CleanJob {
+
+  /** Read silver product JSON (array-rooted files) with the conforming
+    * schema. One row per product; `_src_path` carries lineage (G4 + S6 + P4).
+    */
+  def readSilver(spark: SparkSession, silverGlob: String): DataFrame =
+    spark.read
+      .schema(ProductSchema.silver)
+      .option("multiLine", "true") // array-rooted documents, one array per file
+      .option("mode", "PERMISSIVE")
+      .json(silverGlob)
+      .withColumn("_src_path", input_file_name())
+
+  /** Path→column extraction (P3/F6): .../{province}/{date_range}/{file}.json,
+    * indexed from the end so any root prefix works. Malformed paths yield
+    * nulls (try_element_at), the quarantine-not-crash route.
+    */
+  private def pathPart(idxFromEnd: Int): Column =
+    try_element_at(split(col("_src_path"), "/"), lit(-idxFromEnd))
+
+  /** The cleaner transform (P4–P10): normalize brand/unit, force
+    * weight_volume to string, fill group_id, attach partition + lineage
+    * columns, project to the fixed 13-column order.
+    */
+  def clean(silver: DataFrame): DataFrame =
+    silver
+      .withColumn("brand", ProductNormalize.normalizeBrand(col("brand")))
+      .withColumn("unit", ProductNormalize.normalizeUnit(col("unit")))
+      .withColumn("weight_volume", col("weight_volume").cast("string"))
+      .withColumn("group_id", coalesce(col("group_id"), lit("UNKNOWN")))
+      .withColumn("province", pathPart(3))
+      .withColumn("date_range", pathPart(2))
+      .withColumn("source_file", pathPart(1))
+      .select(ProductSchema.cleanColumns.map(col): _*)
+
+  /** Clean-zone sink (K4): Hive-partitioned parquet, dynamic partition
+    * overwrite — re-running over one input file rewrites ONLY that file's
+    * (province, date_range) partition, the reference's
+    * `overwrite_partitions` semantics.
+    */
+  def writeClean(df: DataFrame, cleanRoot: String): Unit = {
+    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.write
+      .mode("overwrite")
+      .partitionBy(ProductSchema.partitionColumns: _*)
+      .parquet(cleanRoot)
+  }
+
+  /** Catalog sink (K6): same write, registered as a queryable table —
+    * the Glue-crawler-equivalent (reference `infrastructure/main.tf:288-352`)
+    * without a crawler: the write IS the catalog update.
+    */
+  def writeCleanAsTable(df: DataFrame, tableName: String): Unit = {
+    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.write
+      .mode("overwrite")
+      .partitionBy(ProductSchema.partitionColumns: _*)
+      .format("parquet")
+      .saveAsTable(tableName)
+  }
+
+  /** Full batch run (the `bulk_clean.sh` equivalent, E3): read every silver
+    * file, clean, write the partitioned clean zone, return the re-read
+    * result — one job replaces the reference's O(files) Lambda round-trips.
+    */
+  def run(spark: SparkSession, silverGlob: String, cleanRoot: String): DataFrame = {
+    writeClean(clean(readSilver(spark, silverGlob)), cleanRoot)
+    spark.read.parquet(cleanRoot)
+  }
+}
