@@ -1,0 +1,124 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.ArrayType
+
+import graft.functions.{BboxOps, ProductNormalize}
+
+/** Product thumbnail cropping (reference
+  * `cropper/pnp-cropperLambda.py:24-101`): page images ⋈ extracted products
+  * on the derived page key (J1), bbox validity filter (F5), pad/clamp/scale
+  * geometry (P11), javax.imageio crop (P13), sanitized crop filenames
+  * (P12), crop-image sink (K5).
+  *
+  * Scale design: the JOIN BROADCASTS THE PRODUCT METADATA SIDE so the
+  * multi-MB image payloads never shuffle (SURVEY §7.4 item 5 — join on
+  * keys, not payloads); geometry is pure column math; only decode/crop is
+  * a UDF.
+  */
+object CropJob {
+
+  /** Interim-zone image source (S4): recursive binary glob, path-filtered
+    * at the file index (F2).
+    */
+  def readImages(spark: SparkSession, interimRoot: String): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.jpg")
+      .option("recursiveFileLookup", "true")
+      .load(interimRoot)
+
+  /** Pages with their derived join key {province}/{flyer}/{page_stem} —
+    * the cropper reconstructs the same key from the JSON side
+    * (`pnp-cropperLambda.py:26-34`).
+    */
+  def pagesWithKey(images: DataFrame): DataFrame = {
+    val dims = udf((b: Array[Byte]) => ImageOps.decodeDims(b))
+    val parts = split(col("path"), "/")
+    images
+      .select(col("content").as("image"),
+        concat_ws("/",
+          try_element_at(parts, lit(-3)),
+          try_element_at(parts, lit(-2)),
+          regexp_replace(try_element_at(parts, lit(-1)), "\\.(jpg|png)$", ""))
+          .as("page_key"))
+      .withColumn("_dims", dims(col("image")))
+      .select(col("page_key"), col("image"),
+        col("_dims._1").as("img_w"), col("_dims._2").as("img_h"))
+  }
+
+  /** Product rows with the same derived key and TRUE array indices
+    * (G4/G5 via whole-file from_json + posexplode).
+    */
+  def productsWithKey(spark: SparkSession, silverGlob: String): DataFrame = {
+    val parts = split(col("_src_path"), "/")
+    spark.read.option("wholetext", "true").text(silverGlob)
+      .select(
+        input_file_name().as("_src_path"),
+        from_json(col("value"), ArrayType(ProductSchema.silver)).as("arr"))
+      .select(col("_src_path"), posexplode(col("arr")).as(Seq("i", "p")))
+      .filter(BboxOps.isValid(col("p.bounding_box")))
+      .select(
+        concat_ws("/",
+          try_element_at(parts, lit(-3)),
+          try_element_at(parts, lit(-2)),
+          regexp_replace(try_element_at(parts, lit(-1)), "\\.json$", ""))
+          .as("page_key"),
+        col("i"),
+        col("p.product_name").as("product_name"),
+        col("p.bounding_box").as("bbox"))
+  }
+
+  /** The crop frame: one row per (page, product) with the cropped JPEG and
+    * its metadata. Geometry (P11) is column math; only the pixel work is a
+    * UDF. Product metadata is broadcast so image bytes stay put.
+    */
+  def crops(pages: DataFrame, products: DataFrame): DataFrame = {
+    val cropUdf = udf((img: Array[Byte], l: Double, t: Double, r: Double, b: Double) =>
+      ImageOps.cropJpeg(img, l, t, r, b))
+    val padded = BboxOps.padClamp(col("bbox"))
+    val px = BboxOps.toPixels(padded, col("img_w").cast("double"), col("img_h").cast("double"))
+    val name = coalesce(col("product_name"), concat(lit("product_"), col("i").cast("string")))
+    val dims = udf((b: Array[Byte]) => ImageOps.decodeDims(b))
+    pages.join(broadcast(products), Seq("page_key"))
+      .withColumn("_px", px)
+      .withColumn("crop",
+        cropUdf(col("image"), col("_px.left"), col("_px.top"),
+          col("_px.right"), col("_px.bottom")))
+      .filter(col("crop").isNotNull)
+      .withColumn("crop_file",
+        concat(col("i").cast("string"), lit("_"),
+          ProductNormalize.sanitizeFilename(name), lit(".jpg")))
+      .withColumn("_cdims", dims(col("crop")))
+      .select(col("page_key"), col("i").cast("long").as("i"),
+        col("product_name"), col("crop_file"), col("crop"),
+        col("_cdims._1").as("crop_w"), col("_cdims._2").as("crop_h"))
+  }
+
+  /** Crop sink (K5): {shrRoot}/PnP/{page_key}/{i}_{name}.jpg
+    * (`pnp-cropperLambda.py:92-94`), written from the executors.
+    */
+  def writeCrops(crops: DataFrame, shrRoot: String): Unit = {
+    import org.apache.spark.sql.Row
+    crops.select("page_key", "crop_file", "crop")
+      .foreachPartition { rows: Iterator[Row] =>
+        import java.nio.file.{Files, Paths}
+        rows.foreach { r =>
+          val p = Paths.get(s"$shrRoot/PnP/${r.getString(0)}/${r.getString(1)}")
+          Files.createDirectories(p.getParent)
+          Files.write(p, r.getAs[Array[Byte]](2))
+        }
+      }
+  }
+
+  /** Full batch run: interim images ⋈ silver products → crop files on disk,
+    * returning the crops frame for chaining.
+    */
+  def run(spark: SparkSession, interimRoot: String, silverGlob: String,
+          shrRoot: String): DataFrame = {
+    val c = crops(pagesWithKey(readImages(spark, interimRoot)),
+      productsWithKey(spark, silverGlob))
+    writeCrops(c, shrRoot)
+    c
+  }
+}

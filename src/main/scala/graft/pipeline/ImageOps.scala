@@ -1,0 +1,61 @@
+package graft.pipeline
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
+
+/** JVM-native image helpers for the crop path (P13; reference
+  * `cropper/pnp-cropperLambda.py:85-97` uses PIL). javax.imageio ships with
+  * the JDK, so — unlike the PDF renderer — this path is REAL, not stubbed.
+  * Used from plain Scala UDFs: pixel decoding is inherently opaque to
+  * Catalyst, so a UDF is the correct tool here (SURVEY §7.3).
+  */
+object ImageOps {
+
+  /** (width, height) of an encoded image, or None if undecodable. */
+  def decodeDims(bytes: Array[Byte]): Option[(Int, Int)] =
+    Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+      .map(i => (i.getWidth, i.getHeight))
+
+  /** Crop by float pixel coords (PIL-style truncation to int, clamped to
+    * the image), re-encoded JPEG quality 90 (`pnp-cropperLambda.py:97`).
+    * Returns None for undecodable input or an empty crop window.
+    */
+  def cropJpeg(bytes: Array[Byte], left: Double, top: Double,
+               right: Double, bottom: Double): Option[Array[Byte]] = {
+    Option(ImageIO.read(new ByteArrayInputStream(bytes))).flatMap { img =>
+      val (w, h) = (img.getWidth, img.getHeight)
+      val l = math.min(math.max(left.toInt, 0), w)
+      val t = math.min(math.max(top.toInt, 0), h)
+      val r = math.min(math.max(right.toInt, 0), w)
+      val b = math.min(math.max(bottom.toInt, 0), h)
+      if (r <= l || b <= t) None
+      else {
+        // copy out of the shared sub-raster: JPEG writers reject offset rasters
+        val copy = new BufferedImage(r - l, b - t, BufferedImage.TYPE_3BYTE_BGR)
+        val g = copy.createGraphics()
+        try g.drawImage(img.getSubimage(l, t, r - l, b - t), 0, 0, null)
+        finally g.dispose()
+        Some(encodeJpeg(copy, quality = 0.9f))
+      }
+    }
+  }
+
+  def encodeJpeg(img: BufferedImage, quality: Float): Array[Byte] = {
+    val writer = ImageIO.getImageWritersByFormatName("jpg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val out = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new IIOImage(img, null, null), params)
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    out.toByteArray
+  }
+}

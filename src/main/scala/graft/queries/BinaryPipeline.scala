@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{BboxOps, ProductNormalize}
+import graft.pipeline.{ConvertJob, CropJob, FixtureBinaries, ImageOps, StubRasterizer}
+
+/** The binary (multimodal) pipeline exercised as oracle-checked queries:
+  * raw PDFs → page images (ConvertJob, stub-rendered but really encoded
+  * JPEGs) → image⋈product crop join (CropJob, real javax.imageio crops).
+  *
+  * Fixture binaries are generated deterministically under target/ at query
+  * time; the DuckDB oracles verify everything EXCEPT raw pixels — page
+  * fan-out counts from the actual PDF object structure, and crop geometry /
+  * dimensions / filenames recomputed independently from the silver JSON.
+  * Pixel-level assertions (JPEG magic, decodability) live in the ScalaTest
+  * specs.
+  */
+object BinaryPipeline {
+
+  val RawRoot = "/root/repo/target/fixtures-bin/raw"
+  val InterimRoot = "/root/repo/target/fixtures-bin/interim/images"
+  val ShrRoot = "/root/repo/target/fixtures-bin/shr/products"
+
+  private val W = StubRasterizer.PageWidth
+  private val H = StubRasterizer.PageHeight
+
+  // ------------------------------------------------------------------ c1
+
+  /** PDF→pages fan-out (S3/G2/P14/K2): one row per rendered page with real
+    * decoded dimensions. The oracle counts /Type /Page objects in the same
+    * PDF bytes — the fan-out arity is verified against the file structure.
+    */
+  def pdfPages(spark: SparkSession, dir: String): DataFrame = {
+    FixtureBinaries.writeRawPdfs(RawRoot)
+    val dims = udf((b: Array[Byte]) => ImageOps.decodeDims(b))
+    ConvertJob.pages(ConvertJob.readPdfs(spark, RawRoot))
+      .withColumn("_d", dims(col("image")))
+      .select(col("province"), col("flyer"), col("page_number"),
+        col("_d._1").as("width"), col("_d._2").as("height"))
+      .orderBy("province", "flyer", "page_number")
+  }
+
+  val pdfPagesSql: String =
+    s"""WITH f AS (
+       |  SELECT content, string_split(filename, '/') AS _p
+       |  FROM read_text('$RawRoot/PnP/*/*.pdf')),
+       |c AS (
+       |  SELECT _p[-2] AS province,
+       |    regexp_replace(_p[-1], '\\.pdf$$', '') AS flyer,
+       |    len(regexp_extract_all(content, '/Type\\s*/Page[^s]')) AS n
+       |  FROM f),
+       |x AS (
+       |  SELECT province, flyer,
+       |    unnest(generate_series(1, n)) AS page_number
+       |  FROM c)
+       |SELECT province, flyer, CAST(page_number AS BIGINT) AS page_number,
+       |  CAST($W AS INTEGER) AS width, CAST($H AS INTEGER) AS height
+       |FROM x
+       |ORDER BY province, flyer, page_number""".stripMargin
+
+  // ------------------------------------------------------------------ c2
+
+  /** The full crop path (S4/J1/F5/P11/P12/P13/K5): convert fixture PDFs,
+    * write interim images, join against the checked-in silver JSON, crop.
+    * Output is crop METADATA; the oracle recomputes expected crop geometry
+    * (trunc+clamp ints, PIL-style) and filenames from the JSON alone.
+    */
+  def productCrops(spark: SparkSession, dir: String): DataFrame = {
+    FixtureBinaries.writeRawPdfs(RawRoot)
+    ConvertJob.run(spark, RawRoot, InterimRoot)
+    val crops = CropJob.run(spark, InterimRoot, ProductPipeline.SilverGlob, ShrRoot)
+    val k = split(col("page_key"), "/")
+    crops.select(
+      try_element_at(k, lit(1)).as("province"),
+      try_element_at(k, lit(2)).as("date_range"),
+      try_element_at(k, lit(3)).as("page"),
+      col("i"), col("product_name"), col("crop_file"),
+      col("crop_w"), col("crop_h"))
+      .orderBy("province", "date_range", "page", "i")
+  }
+
+  val productCropsSql: String = {
+    val pad = BboxOps.padClampSql("b")
+    def clampPx(c: String, size: Int): String =
+      s"least(greatest(trunc($c), 0), $size)"
+    s"""WITH files AS (
+       |  SELECT content::JSON AS j, string_split(filename, '/') AS _p
+       |  FROM read_text('${ProductPipeline.SilverGlob}')),
+       |idx AS (
+       |  SELECT _p, j,
+       |    unnest(generate_series(0, CAST(json_array_length(j) AS INTEGER) - 1)) AS i
+       |  FROM files),
+       |prod AS (
+       |  SELECT _p[-3] AS province, _p[-2] AS date_range,
+       |    regexp_replace(_p[-1], '\\.json$$', '') AS page,
+       |    CAST(i AS BIGINT) AS i,
+       |    json_extract_string(j, '$$[' || i || '].product_name') AS product_name,
+       |    CAST(json_extract(j, '$$[' || i || '].bounding_box') AS INTEGER[]) AS b
+       |  FROM idx),
+       |valid AS (SELECT * FROM prod WHERE ${BboxOps.isValidSql("b")}),
+       |geom AS (
+       |  SELECT province, date_range, page, i, product_name,
+       |    ${BboxOps.toPixelSql(pad("xmin_pad"), s"$W.0")} AS left_px,
+       |    ${BboxOps.toPixelSql(pad("ymin_pad"), s"$H.0")} AS top_px,
+       |    ${BboxOps.toPixelSql(pad("xmax_pad"), s"$W.0")} AS right_px,
+       |    ${BboxOps.toPixelSql(pad("ymax_pad"), s"$H.0")} AS bottom_px,
+       |    coalesce(product_name, 'product_' || i) AS _nm
+       |  FROM valid)
+       |SELECT province, date_range, page, i, product_name,
+       |  i || '_' || ${ProductNormalize.sanitizeFilenameSql("_nm")} || '.jpg' AS crop_file,
+       |  CAST(${clampPx("right_px", W)} - ${clampPx("left_px", W)} AS INTEGER) AS crop_w,
+       |  CAST(${clampPx("bottom_px", H)} - ${clampPx("top_px", H)} AS INTEGER) AS crop_h
+       |FROM geom
+       |ORDER BY province, date_range, page, i""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c1_pdf_pages" -> (pdfPages _),
+    "c2_product_crops" -> (productCrops _))
+
+  val oracles: Map[String, String] = Map(
+    "c1_pdf_pages" -> pdfPagesSql,
+    "c2_product_crops" -> productCropsSql)
+}

@@ -229,17 +229,38 @@ object ProductPipeline {
        |ORDER BY province, date_range, source_file, i""".stripMargin
   }
 
+  // ----------------------------------------------------------------- st1
+
+  /** The streaming pipeline (S7/§2.10), cold-started each run: AvailableNow
+    * backfill over the silver fixtures through the checkpointed clean
+    * stream, then read the streamed clean zone back. Must equal p1 — the
+    * batch and streaming paths share CleanJob, and the oracle is the same
+    * independent recomputation.
+    */
+  def streamClean(spark: SparkSession, dir: String): DataFrame = {
+    val cleanRoot = "/root/repo/target/pipeline/clean_stream"
+    val checkpoint = "/root/repo/target/pipeline/ckpt_stream"
+    graft.core.FsUtil.deleteRecursively(cleanRoot)
+    graft.core.FsUtil.deleteRecursively(checkpoint)
+    graft.streaming.PipelineStreams.backfill(spark, SilverGlob, cleanRoot, checkpoint)
+    spark.read.parquet(cleanRoot)
+      .select(ProductSchema.cleanColumns.map(col): _*)
+      .orderBy("province", "date_range", "source_file", "product_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_clean_products" -> (cleanProducts _),
     "p2_avg_discount" -> (avgDiscount _),
     "p3_deal_groups" -> (dealGroups _),
     "p4_latest_catalogue" -> (latestCatalogue _),
-    "p5_crop_spec" -> (cropSpec _))
+    "p5_crop_spec" -> (cropSpec _),
+    "st1_stream_clean" -> (streamClean _))
 
   val oracles: Map[String, String] = Map(
     "p1_clean_products" -> cleanProductsSql,
     "p2_avg_discount" -> avgDiscountSql,
     "p3_deal_groups" -> dealGroupsSql,
     "p4_latest_catalogue" -> latestCatalogueSql,
-    "p5_crop_spec" -> cropSpecSql)
+    "p5_crop_spec" -> cropSpecSql,
+    "st1_stream_clean" -> cleanProductsSql)
 }
