@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** One shared local session for the whole test run (SparkSession.builder is
+  * a process-wide singleton anyway); warehouse + temp dirs under target/.
+  */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      .config("spark.sql.warehouse.dir", "/root/repo/target/test-warehouse")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+abstract class SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = TestSpark.spark
+  /** Unique scratch dir per suite under target/. */
+  def scratch(name: String): String = {
+    val dir = s"/root/repo/target/test-scratch/$name"
+    graft.core.FsUtil.deleteRecursively(dir)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    dir
+  }
+}

@@ -1,0 +1,112 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Golden end-to-end tests of the clean job over the checked-in silver
+  * fixtures, plus the partitioned-sink semantics the reference relies on
+  * (`overwrite_partitions`, `pnp-cleanerLambda.py:116`).
+  */
+class CleanJobSpec extends SparkTestBase {
+
+  private val SilverGlob = "/root/repo/fixtures/silver/PnP/*/*/*.json"
+
+  private def cleanedFixtures =
+    CleanJob.clean(CleanJob.readSilver(spark, SilverGlob))
+
+  test("golden: fixture silver -> 13 conformed rows with reference semantics") {
+    val rows = cleanedFixtures.collect()
+    assert(rows.length === 13)
+    val byName = rows.map(r => r.getAs[String]("product_name") -> r).toMap
+
+    // brand normalization (P5)
+    assert(byName("PnP UHT Milk").getAs[String]("brand") === "PnP")
+    assert(byName("Koo Baked Beans").getAs[String]("brand") === "Koo")
+    assert(byName("Bulk Dog Food").getAs[String]("brand") === "no name")
+    assert(byName("Avo Single").getAs[String]("brand") === "Westfalia")
+    // unit normalization (P6): magnitude branch + synonym map
+    assert(byName("Bulk Dog Food").getAs[String]("unit") === "kg")
+    assert(byName("Sugar Beans").getAs[String]("unit") === "g")
+    assert(byName("PnP UHT Milk Strawberry").getAs[String]("unit") === "litre")
+    assert(byName("Fresh Coriander Bunch").getAs[String]("unit") === "bunch")
+    // weight_volume force-string (P7): int stays "550", float keeps ".0"
+    assert(byName("Clover Cheese Assorted").getAs[String]("weight_volume") === "550")
+    assert(byName("Koo Chakalaka Mild").getAs[String]("weight_volume") === "410.0")
+    // conformance (P4): absent keys -> nulls; group_id fill (P8)
+    val mystery = byName("Mystery Item")
+    assert(mystery.getAs[String]("brand") === null)
+    assert(mystery.getAs[String]("group_id") === "UNKNOWN")
+    // path-derived partition + lineage columns (P3/P9)
+    assert(mystery.getAs[String]("province") === "Gauteng")
+    assert(mystery.getAs[String]("date_range") === "13_February_-_15_February_2026")
+    assert(mystery.getAs[String]("source_file") === "page_2.json")
+    // fixed column order (P10)
+    assert(cleanedFixtures.columns.toSeq === ProductSchema.cleanColumns)
+  }
+
+  test("empty-array silver file contributes zero rows (F4)") {
+    val ec = cleanedFixtures.filter(col("province") === "Eastern_Cape")
+    assert(ec.filter(col("source_file") === "page_2.json").count() === 0)
+  }
+
+  test("partitioned sink lays out hive-style dirs (K4)") {
+    val root = scratch("clean-layout")
+    CleanJob.writeClean(cleanedFixtures, root)
+    assert(Files.exists(Paths.get(
+      s"$root/province=Gauteng/date_range=13_February_-_15_February_2026")))
+    assert(Files.exists(Paths.get(
+      s"$root/province=Eastern_Cape/date_range=20_February_-_22_February_2026")))
+    assert(spark.read.parquet(root).count() === 13)
+  }
+
+  test("dynamic partition overwrite rewrites ONLY the partitions present in the batch") {
+    val root = scratch("clean-overwrite")
+    CleanJob.writeClean(cleanedFixtures, root)
+    // re-clean ONE file (one partition) with one row dropped
+    val gauteng = CleanJob.clean(CleanJob.readSilver(
+      spark, "/root/repo/fixtures/silver/PnP/Gauteng/*/page_2.json"))
+      .filter(col("product_name") =!= "Mystery Item")
+    CleanJob.writeClean(gauteng, root)
+    val after = spark.read.parquet(root)
+    // untouched partition intact
+    assert(after.filter(col("province") === "Eastern_Cape").count() === 5)
+    // touched partition fully replaced: page_1 rows gone (not in the batch),
+    // page_2 re-delivered minus the dropped row
+    val gp = after.filter(col("province") === "Gauteng")
+    assert(gp.count() === 3)
+    assert(gp.filter(col("product_name") === "Mystery Item").count() === 0)
+  }
+
+  test("idempotent re-delivery: same batch twice -> same rows (streaming sink contract)") {
+    val root = scratch("clean-idem")
+    CleanJob.writeClean(cleanedFixtures, root)
+    CleanJob.writeClean(cleanedFixtures, root)
+    assert(spark.read.parquet(root).count() === 13)
+  }
+
+  test("catalog sink registers a queryable partitioned table (K6)") {
+    // the in-memory catalog forgets tables between JVMs but the warehouse
+    // dir persists — clear both for a deterministic re-run
+    spark.sql("DROP TABLE IF EXISTS products_clean_test")
+    graft.core.FsUtil.deleteRecursively("/root/repo/target/test-warehouse/products_clean_test")
+    CleanJob.writeCleanAsTable(cleanedFixtures, "products_clean_test")
+    val n = spark.sql(
+      "SELECT count(*) FROM products_clean_test WHERE province = 'Gauteng'")
+      .collect()(0).getLong(0)
+    assert(n === 8)
+    assert(spark.sql("SHOW PARTITIONS products_clean_test").count() === 2)
+  }
+
+  test("malformed paths quarantine as null partition columns, not errors (F6)") {
+    import spark.implicits._
+    val df = Seq("""{"product_name":"X","current_price":1.0}""").toDS()
+    val parsed = spark.read.schema(ProductSchema.silver).json(df)
+      .withColumn("_src_path", lit("shallow.json"))
+    val r = CleanJob.clean(parsed).collect()(0)
+    assert(r.getAs[String]("province") === null)
+    assert(r.getAs[String]("source_file") === "shallow.json")
+  }
+}

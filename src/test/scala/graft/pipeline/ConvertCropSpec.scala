@@ -1,0 +1,77 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class ConvertCropSpec extends SparkTestBase {
+
+  private val SilverGlob = "/root/repo/fixtures/silver/PnP/*/*/*.json"
+
+  test("stub rasterizer: page count parses real PDF object structure") {
+    assert(StubRasterizer.pageCount(FixtureBinaries.minimalPdf(1)) === 1)
+    assert(StubRasterizer.pageCount(FixtureBinaries.minimalPdf(7)) === 7)
+    val pages = StubRasterizer.rasterize(FixtureBinaries.minimalPdf(3))
+    assert(pages.length === 3)
+    pages.foreach { jpeg =>
+      // real JPEG bytes: SOI marker + decodable at stub dimensions
+      assert((jpeg(0) & 0xff) === 0xff && (jpeg(1) & 0xff) === 0xd8)
+      assert(ImageOps.decodeDims(jpeg) ===
+        Some((StubRasterizer.PageWidth, StubRasterizer.PageHeight)))
+    }
+  }
+
+  test("ConvertJob: binaryFile scan -> per-page rows -> image sink files (S3/G2/K2)") {
+    val raw = scratch("convert-raw")
+    val interim = scratch("convert-interim")
+    FixtureBinaries.writeRawPdfs(raw)
+    val pages = ConvertJob.run(spark, raw, interim)
+    assert(pages.count() === 4) // 2 fixture PDFs x 2 pages
+    assert(Files.exists(Paths.get(
+      s"$interim/PnP/Gauteng/13_February_-_15_February_2026/page_1.jpg")))
+    assert(Files.exists(Paths.get(
+      s"$interim/PnP/Eastern_Cape/20_February_-_22_February_2026/page_2.jpg")))
+  }
+
+  test("CropJob: J1 join + real javax.imageio crops with reference geometry (P11/P13/K5)") {
+    val raw = scratch("crop-raw")
+    val interim = scratch("crop-interim")
+    val shr = scratch("crop-shr")
+    FixtureBinaries.writeRawPdfs(raw)
+    ConvertJob.run(spark, raw, interim)
+    val crops = CropJob.run(spark, interim, SilverGlob, shr).cache()
+    try {
+      assert(crops.count() === 10) // valid-bbox products on existing pages
+      // full-page box [0,0,1000,1000] clamps -> whole stub page
+      val bulk = crops.filter(col("product_name") === "Bulk Dog Food").collect()(0)
+      assert(bulk.getAs[Int]("crop_w") === StubRasterizer.PageWidth)
+      assert(bulk.getAs[Int]("crop_h") === StubRasterizer.PageHeight)
+      // crop bytes are decodable JPEGs matching the reported dims
+      crops.collect().foreach { r =>
+        val bytes = r.getAs[Array[Byte]]("crop")
+        assert(ImageOps.decodeDims(bytes) ===
+          Some((r.getAs[Int]("crop_w"), r.getAs[Int]("crop_h"))))
+      }
+      // crop sink file naming: {i}_{sanitized}.jpg under the page key (P12/K5)
+      assert(Files.exists(Paths.get(
+        s"$shr/PnP/Gauteng/13_February_-_15_February_2026/page_1/0_Clover_Cheese_Assorted.jpg")))
+      // invalid bboxes (null / wrong arity) never produce crops (F5)
+      assert(crops.filter(col("product_name") === "Sugar Beans").count() === 0)
+    } finally crops.unpersist()
+  }
+
+  test("crop join broadcasts the metadata side so image bytes never shuffle") {
+    val raw = scratch("cropplan-raw")
+    val interim = scratch("cropplan-interim")
+    FixtureBinaries.writeRawPdfs(raw)
+    ConvertJob.run(spark, raw, interim)
+    val plan = CropJob.crops(
+      CropJob.pagesWithKey(CropJob.readImages(spark, interim)),
+      CropJob.productsWithKey(spark, SilverGlob))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+}
