@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{BboxOps, ProductNormalize}
-import graft.pipeline.{ConvertJob, CropJob, FixtureBinaries, ImageOps, StubRasterizer}
+import graft.pipeline.{ConvertJob, CropJob, ExtractJob, FixtureBinaries, FixtureExtractor, ImageOps, StubRasterizer}
 
 /** The binary (multimodal) pipeline exercised as oracle-checked queries:
   * raw PDFs → page images (ConvertJob, stub-rendered but really encoded
@@ -116,11 +116,84 @@ object BinaryPipeline {
        |ORDER BY province, date_range, page, i""".stripMargin
   }
 
+  // -------------------------------------------------------------- x1/x2
+
+  /** In-memory page frame with the {province}/{flyer}/page_N join key —
+    * extraction input straight off the PDF fan-out (the binaryFile image
+    * round-trip is already exercised by c2).
+    */
+  private def pagesWithKey(spark: SparkSession): DataFrame = {
+    FixtureBinaries.writeRawPdfs(RawRoot)
+    ConvertJob.pages(ConvertJob.readPdfs(spark, RawRoot))
+      .select(concat_ws("/", col("province"), col("flyer"),
+        concat(lit("page_"), col("page_number"))).as("page_key"),
+        col("image"))
+  }
+
+  /** G3 end-to-end: pages → deterministic fixture extractor → tolerant
+    * parse → product fan-out with true indices, plus the K3 JSON sink as a
+    * side effect. The oracle reads the fixture JSON the extractor replays —
+    * so the whole extract stage (keying, parse, explode) must round-trip
+    * exactly.
+    */
+  def extractProducts(spark: SparkSession, dir: String): DataFrame = {
+    val extracted = ExtractJob.extract(pagesWithKey(spark), new FixtureExtractor())
+    ExtractJob.writeSilver(extracted, s"$RawRoot/../pro/json")
+    val k = split(col("page_key"), "/")
+    ExtractJob.products(extracted).select(
+      try_element_at(k, lit(1)).as("province"),
+      try_element_at(k, lit(2)).as("date_range"),
+      try_element_at(k, lit(3)).as("page"),
+      col("i").cast("long").as("i"),
+      col("p.product_name").as("product_name"),
+      col("p.current_price").as("current_price"),
+      col("p.unit").as("unit_raw"),
+      col("p.group_id").as("group_id"))
+      .orderBy("province", "date_range", "page", "i")
+  }
+
+  val extractProductsSql: String =
+    s"""WITH files AS (
+       |  SELECT content::JSON AS j, string_split(filename, '/') AS _p
+       |  FROM read_text('${ProductPipeline.SilverGlob}')),
+       |nonempty AS (SELECT * FROM files WHERE json_array_length(j) > 0),
+       |idx AS (
+       |  SELECT _p, j,
+       |    unnest(generate_series(0, CAST(json_array_length(j) AS INTEGER) - 1)) AS i
+       |  FROM nonempty)
+       |SELECT _p[-3] AS province, _p[-2] AS date_range,
+       |  regexp_replace(_p[-1], '\\.json$$', '') AS page,
+       |  CAST(i AS BIGINT) AS i,
+       |  json_extract_string(j, '$$[' || i || '].product_name') AS product_name,
+       |  CAST(json_extract(j, '$$[' || i || '].current_price') AS DOUBLE) AS current_price,
+       |  json_extract_string(j, '$$[' || i || '].unit') AS unit_raw,
+       |  json_extract_string(j, '$$[' || i || '].group_id') AS group_id
+       |FROM idx
+       |ORDER BY province, date_range, page, i""".stripMargin
+
+  /** A1: the extractor run tally (ok / empty / parse_failed pages). */
+  def extractStatus(spark: SparkSession, dir: String): DataFrame =
+    ExtractJob.runCounters(
+      ExtractJob.extract(pagesWithKey(spark), new FixtureExtractor()))
+      .orderBy("status")
+
+  val extractStatusSql: String =
+    s"""SELECT CASE WHEN json_array_length(content::JSON) = 0 THEN 'empty'
+       |            ELSE 'ok' END AS status,
+       |  count(*) AS n_pages
+       |FROM read_text('${ProductPipeline.SilverGlob}')
+       |GROUP BY 1
+       |ORDER BY status""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_pdf_pages" -> (pdfPages _),
-    "c2_product_crops" -> (productCrops _))
+    "c2_product_crops" -> (productCrops _),
+    "x1_extract_products" -> (extractProducts _),
+    "x2_extract_status" -> (extractStatus _))
 
   val oracles: Map[String, String] = Map(
     "c1_pdf_pages" -> pdfPagesSql,
-    "c2_product_crops" -> productCropsSql)
+    "c2_product_crops" -> productCropsSql,
+    "x1_extract_products" -> extractProductsSql,
+    "x2_extract_status" -> extractStatusSql)
 }
