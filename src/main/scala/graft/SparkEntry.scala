@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.GraftSession
-import graft.queries.{BinaryPipeline, Dedup, Events, Multimodal, ProductPipeline, Relational, Scrape, SetOps, Similarity, Strings, TextAnalysis, Windows}
+import graft.queries.{BinaryPipeline, Dedup, Events, EventStreaming, Multimodal, ProductPipeline, Relational, Scrape, SetOps, Similarity, Strings, TextAnalysis, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -18,7 +18,8 @@ object SparkEntry {
     Relational.queries ++ Windows.queries ++ SetOps.queries ++
       Events.queries ++ Strings.queries ++ Dedup.queries ++
       Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
-      ProductPipeline.queries ++ BinaryPipeline.queries ++ Scrape.queries
+      ProductPipeline.queries ++ BinaryPipeline.queries ++ Scrape.queries ++
+      EventStreaming.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -26,5 +27,6 @@ object SparkEntry {
     Relational.oracles ++ Windows.oracles ++ SetOps.oracles ++
       Events.oracles ++ Strings.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++
-      ProductPipeline.oracles ++ BinaryPipeline.oracles ++ Scrape.oracles
+      ProductPipeline.oracles ++ BinaryPipeline.oracles ++ Scrape.oracles ++
+      EventStreaming.oracles
 }

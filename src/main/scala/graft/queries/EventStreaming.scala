@@ -1,0 +1,52 @@
+package graft.queries
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.EventStreams
+
+/** Streaming replay queries: the event-analytics streams must produce
+  * EXACTLY the batch results when the events zone is replayed through them
+  * (finite replay, AvailableNow) — so they share the e1/e2 oracles. This is
+  * the strongest available check of the streaming operators' semantics:
+  * window assignment, watermark bookkeeping, and sessionization state all
+  * have to agree with the declarative batch twins row-for-row.
+  */
+object EventStreaming {
+
+  private val runSeq = new AtomicInteger(0)
+
+  /** st2: watermarked tumbling-hour rollup (streaming e1). Complete output
+    * mode — on finite replay the final in-memory table is the full result
+    * (append mode would hold back windows past the final watermark).
+    */
+  def streamHourly(spark: SparkSession, dir: String): DataFrame =
+    EventStreams.replayToTable(
+      EventStreams.hourlyRollup(EventStreams.readEvents(spark, dir)),
+      s"st2_mem_${runSeq.incrementAndGet()}", OutputMode.Complete())
+      .orderBy("hour_ts", "event_type")
+
+  /** st3: mapGroupsWithState sessionization (streaming e2). Update mode;
+    * the replay drains in one batch (single parquet file), so the memory
+    * table holds exactly the final per-user counters.
+    */
+  def streamSessions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val evs = EventStreams.readEvents(spark, dir)
+      .select("event_id", "user_id", "ts").as[EventStreams.Ev]
+    EventStreams.replayToTable(
+      EventStreams.userSessions(evs).toDF(),
+      s"st3_mem_${runSeq.incrementAndGet()}", OutputMode.Update())
+      .orderBy("user_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st2_stream_hourly" -> (streamHourly _),
+    "st3_stream_sessions" -> (streamSessions _))
+
+  val oracles: Map[String, String] = Map(
+    "st2_stream_hourly" -> Events.hourlyRollupSql,
+    "st3_stream_sessions" -> Events.userSessionsSql)
+}
