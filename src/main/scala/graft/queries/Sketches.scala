@@ -1,0 +1,59 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Sketch-based aggregation surface (SURVEY §7.1 step 8's
+  * `approx_count_distinct`-class): HLL cardinalities next to their exact
+  * counts. The two engines run DIFFERENT sketch implementations, so the
+  * oracle-comparable output is the exact count plus a within-tolerance
+  * boolean — each engine's estimate must land within 10% of truth (HLL at
+  * these cardinalities is well inside that; the check is deterministic for
+  * a fixed dataset, not flaky).
+  */
+object Sketches {
+
+  private val Tolerance = 0.10
+
+  def sketchDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    def one(name: String, df: DataFrame, c: String): DataFrame =
+      df.agg(
+        countDistinct(col(c)).as("exact_n"),
+        approx_count_distinct(col(c)).as("approx_n"))
+        .select(
+          lit(name).as("key"),
+          col("exact_n"),
+          (abs(col("approx_n") - col("exact_n")).cast("double") / col("exact_n")
+            <= Tolerance).as("approx_ok"))
+    one("l_partkey", t.lineitem, "l_partkey")
+      .unionAll(one("o_custkey", t.orders, "o_custkey"))
+      .unionAll(one("user_id", t.events, "user_id"))
+      .orderBy("key")
+  }
+
+  val sketchDistinctSql: String =
+    s"""SELECT 'l_partkey' AS key, count(DISTINCT l_partkey) AS exact_n,
+       |  abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey)) * 1.0
+       |    / count(DISTINCT l_partkey) <= $Tolerance AS approx_ok
+       |FROM lineitem
+       |UNION ALL
+       |SELECT 'o_custkey', count(DISTINCT o_custkey),
+       |  abs(approx_count_distinct(o_custkey) - count(DISTINCT o_custkey)) * 1.0
+       |    / count(DISTINCT o_custkey) <= $Tolerance
+       |FROM orders
+       |UNION ALL
+       |SELECT 'user_id', count(DISTINCT user_id),
+       |  abs(approx_count_distinct(user_id) - count(DISTINCT user_id)) * 1.0
+       |    / count(DISTINCT user_id) <= $Tolerance
+       |FROM events
+       |ORDER BY key""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "z1_sketch_distinct" -> (sketchDistinct _))
+
+  val oracles: Map[String, String] = Map(
+    "z1_sketch_distinct" -> sketchDistinctSql)
+}
