@@ -32,6 +32,10 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
+      // clean slate between queries: prior queries' garbage (shuffle
+      // buffers, codegen classes) otherwise bills GC pauses to whoever
+      // runs next — measured up to 8x inflation on trivial projections
+      System.gc()
       val t0 = System.nanoTime()
       try materialize(fn(spark, sfDir)) catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
