@@ -61,9 +61,14 @@ object Dedup {
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
+    // shingles via explode(sequence) + substring: identical values to
+    // charShingles but fully codegen'd — no interpreted transform building
+    // a ~|text|-element string array per row before the explode
     val h = docs
-      .select(col("doc_id"), explode(TextHash.charShingles("text", ShingleK)).as("g"))
-      .select(col("doc_id"), (hash60(col("g")) % P).as("h"))
+      .select(col("doc_id"), col("text"),
+        explode(expr(s"sequence(1, greatest(length(text) - ${ShingleK - 1}, 1))")).as("i"))
+      .select(col("doc_id"),
+        (hash60(expr(s"substring(text, i, $ShingleK)")) % P).as("h"))
     val sigAggs = (0 until NumPerms).map { i =>
       min((lit(TextHash.MinhashA(i)) * col("h") + lit(TextHash.MinhashB(i))) % P)
         .as(s"sig_$i")
