@@ -26,15 +26,35 @@ import graft.functions.ProductNormalize
 object CleanJob {
 
   /** Read silver product JSON (array-rooted files) with the conforming
-    * schema. One row per product; `_src_path` carries lineage (G4 + S6 + P4).
+    * schema. One row per product; `_src_path` carries lineage (G4 + S6 +
+    * P4). Unparseable files land as quarantine rows with the raw text in
+    * `_corrupt_record` (the reference logs-and-skips; capturing is strictly
+    * better — nothing silently disappears).
     */
   def readSilver(spark: SparkSession, silverGlob: String): DataFrame =
     spark.read
-      .schema(ProductSchema.silver)
+      .schema(ProductSchema.silverWithCorrupt)
       .option("multiLine", "true") // array-rooted documents, one array per file
       .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", ProductSchema.CorruptColumn)
       .json(silverGlob)
       .withColumn("_src_path", input_file_name())
+
+  /** True when no expected column parsed — a corrupt file's capture row or
+    * an empty object. Referencing the data columns (not just the corrupt
+    * column) keeps the predicate legal on a raw JSON scan (Spark forbids
+    * corrupt-column-only queries) and prune-proof under count()-style plans.
+    */
+  private def nothingParsed: org.apache.spark.sql.Column =
+    ProductSchema.expectedColumns.map(col(_).isNull).reduce(_ && _)
+
+  /** The quarantine view: raw text + source path of every silver input the
+    * parser could not conform (F6's sibling for content rather than paths).
+    */
+  def quarantined(silver: DataFrame): DataFrame =
+    silver.filter(nothingParsed && col(ProductSchema.CorruptColumn).isNotNull)
+      .select(col("_src_path").as("src_path"),
+        col(ProductSchema.CorruptColumn).as("raw"))
 
   /** Path→column extraction (P3/F6): .../{province}/{date_range}/{file}.json,
     * indexed from the end so any root prefix works. Malformed paths yield
@@ -49,6 +69,9 @@ object CleanJob {
     */
   def clean(silver: DataFrame): DataFrame =
     silver
+      // rows where nothing parsed (corrupt-file capture rows, empty
+      // objects) go to quarantined(), never into the clean zone
+      .filter(!nothingParsed)
       .withColumn("brand", ProductNormalize.normalizeBrand(col("brand")))
       .withColumn("unit", ProductNormalize.normalizeUnit(col("unit")))
       .withColumn("weight_volume", col("weight_volume").cast("string"))

@@ -39,6 +39,18 @@ object ProductSchema {
     StructField("bounding_box", ArrayType(IntegerType)),
     StructField("group_id", StringType)))
 
+  /** Name of the quarantine column capturing unparseable silver input
+    * (SURVEY §7.4 item 6: conformance must be total — LLM garbage becomes
+    * an inspectable row, never an error).
+    */
+  val CorruptColumn = "_corrupt_record"
+
+  /** [[silver]] plus the corrupt-record capture column, the actual scan
+    * schema of the silver zone.
+    */
+  val silverWithCorrupt: StructType =
+    StructType(silver.fields :+ StructField(CorruptColumn, StringType))
+
   /** Clean-zone (gold) column order: the 10 conformed columns + partition
     * and lineage columns, fixed order (`pnp-cleanerLambda.py:103`).
     */

@@ -100,6 +100,23 @@ class CleanJobSpec extends SparkTestBase {
     assert(spark.sql("SHOW PARTITIONS products_clean_test").count() === 2)
   }
 
+  test("corrupt silver input quarantines with raw text; clean zone excludes it (§7.4 item 6)") {
+    val silver = scratch("clean-corrupt")
+    val dir = Paths.get(s"$silver/Gauteng/13_February_-_15_February_2026")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("page_1.json"),
+      """[{"product_name":"Good","current_price":1.0}]""")
+    Files.writeString(dir.resolve("page_2.json"), "llm said: oops {{{")
+    val read = CleanJob.readSilver(spark, s"$silver/*/*/*.json")
+    val q = CleanJob.quarantined(read).collect()
+    assert(q.length === 1)
+    assert(q(0).getAs[String]("raw").contains("oops"))
+    assert(q(0).getAs[String]("src_path").endsWith("page_2.json"))
+    val cleanRows = CleanJob.clean(read).collect()
+    assert(cleanRows.length === 1)
+    assert(cleanRows(0).getAs[String]("product_name") === "Good")
+  }
+
   test("malformed paths quarantine as null partition columns, not errors (F6)") {
     import spark.implicits._
     val df = Seq("""{"product_name":"X","current_price":1.0}""").toDS()
