@@ -2,16 +2,14 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 object Bench {
-  /** Force execution of EVERY output column: hash all columns per row and
-    * aggregate the hashes. A bare count() lets Catalyst prune away
-    * projection-only work (the scan short-circuits to row counting), so
-    * expression-heavy queries would report near-zero time.
-    * max/min (not sum) so ANSI-mode overflow can never abort the run.
+  /** Force execution of EVERY output column. A bare count() lets Catalyst
+    * prune away projection-only work (the scan short-circuits to row
+    * counting), so expression-heavy queries would report near-zero time;
+    * consuming the plan's own UnsafeRows instead materializes all columns
+    * without bolting an extra aggregation exchange onto every query.
     */
-  private def materialize(df: DataFrame): Long = {
-    val h = xxhash64(struct(df.columns.map(col): _*))
-    df.agg(max(h), min(h), count(lit(1))).collect()(0).getLong(2)
-  }
+  private def materialize(df: DataFrame): Long =
+    df.queryExecution.toRdd.count()
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

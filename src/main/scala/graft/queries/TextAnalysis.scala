@@ -154,6 +154,11 @@ object TextAnalysis {
       col("doc_id"),
       expr(s"array_min(transform(${TextHash.charShinglesExpr("text", 8)}, " +
         s"g -> ${TextHash.hash60Expr("g")}))").as("fp"))
+      // cache the narrow (doc_id, fp) frame: the downstream ORDER BY's
+      // range-partitioner sampling job otherwise re-executes the md5-heavy
+      // projection a second time (measured 2x). Two longs per document —
+      // negligible storage at any scale.
+      .cache()
 
   private val fingerprintsSql: String =
     s"""SELECT doc_id,
