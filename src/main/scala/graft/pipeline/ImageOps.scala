@@ -42,6 +42,43 @@ object ImageOps {
     }
   }
 
+  /** Resize to exact target dims (bilinear), re-encoded JPEG — the
+    * thumbnail/normalize step of a training-data image pipeline. Real
+    * decode+render (JDK), not stubbed.
+    */
+  def resizeJpeg(bytes: Array[Byte], width: Int, height: Int): Option[Array[Byte]] =
+    Option(ImageIO.read(new ByteArrayInputStream(bytes))).map { img =>
+      val out = new BufferedImage(width, height, BufferedImage.TYPE_3BYTE_BGR)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, width, height, null)
+      } finally g.dispose()
+      encodeJpeg(out, quality = 0.9f)
+    }
+
+  /** Mean (r, g, b) over all pixels — the simplest real feature extraction
+    * (per-channel statistics), the shape a model-input featurizer takes.
+    */
+  def meanRgb(bytes: Array[Byte]): Option[(Double, Double, Double)] =
+    Option(ImageIO.read(new ByteArrayInputStream(bytes))).map { img =>
+      val (w, h) = (img.getWidth, img.getHeight)
+      var (r, g, b) = (0L, 0L, 0L)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      (r.toDouble / n, g.toDouble / n, b.toDouble / n)
+    }
+
   def encodeJpeg(img: BufferedImage, quality: Float): Array[Byte] = {
     val writer = ImageIO.getImageWritersByFormatName("jpg").next()
     val params = writer.getDefaultWriteParam
