@@ -50,11 +50,18 @@ object CropJob {
   /** Product rows with the same derived key and TRUE array indices
     * (G4/G5 via whole-file from_json + posexplode).
     */
-  def productsWithKey(spark: SparkSession, silverGlob: String): DataFrame = {
+  def productsWithKey(spark: SparkSession, silverGlob: String): DataFrame =
+    productsFromRaw(
+      spark.read.option("wholetext", "true").text(silverGlob)
+        .withColumn("_src_path", input_file_name()))
+
+  /** Same, over an already-read frame of (value: whole-file JSON text,
+    * _src_path) rows — the shape a streaming micro-batch delivers.
+    */
+  def productsFromRaw(rawJson: DataFrame): DataFrame = {
     val parts = split(col("_src_path"), "/")
-    spark.read.option("wholetext", "true").text(silverGlob)
-      .select(
-        input_file_name().as("_src_path"),
+    rawJson
+      .select(col("_src_path"),
         from_json(col("value"), ArrayType(ProductSchema.silver)).as("arr"))
       .select(col("_src_path"), posexplode(col("arr")).as(Seq("i", "p")))
       .filter(BboxOps.isValid(col("p.bounding_box")))
