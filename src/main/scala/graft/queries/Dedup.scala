@@ -234,8 +234,15 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
     val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    // gram generation stays inside codegen: explode the position sequence
+    // and concat the window directly (same values as wordNgrams, minus the
+    // interpreted per-row array build)
+    val gram = expr(
+      "concat_ws(' ', try_element_at(t, i), try_element_at(t, i + 1), try_element_at(t, i + 2))")
     val sh = toks
-      .select(col("doc_id"), explode(TextHash.wordNgrams("t", 3)).as("g"))
+      .select(col("doc_id"), col("t"),
+        explode(expr("sequence(1, greatest(size(t) - 2, 1))")).as("i"))
+      .select(col("doc_id"), gram.as("g"))
       .distinct()
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
