@@ -248,13 +248,34 @@ object ProductPipeline {
       .orderBy("province", "date_range", "source_file", "product_name")
   }
 
+  // ----------------------------------------------------------------- st4
+
+  /** The ENTIRE streaming DAG, cold-started: fixture PDFs drain through
+    * convert → extract → clean → crop as four checkpointed AvailableNow
+    * queries (graft.streaming.PipelineStreams.runDag); the resulting clean
+    * zone must match the independent oracle recomputation — i.e. equal what
+    * the batch pipeline produces from the same bytes.
+    */
+  def streamDag(spark: SparkSession, dir: String): DataFrame = {
+    val root = "/root/repo/target/pipeline/dag"
+    graft.core.FsUtil.deleteRecursively(root)
+    val zones = graft.pipeline.Pipeline.Zones(root)
+    graft.pipeline.FixtureBinaries.writeRawPdfs(zones.raw)
+    graft.streaming.PipelineStreams.runDag(spark, zones,
+      new graft.pipeline.FixtureExtractor())
+    spark.read.parquet(zones.clean)
+      .select(ProductSchema.cleanColumns.map(col): _*)
+      .orderBy("province", "date_range", "source_file", "product_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_clean_products" -> (cleanProducts _),
     "p2_avg_discount" -> (avgDiscount _),
     "p3_deal_groups" -> (dealGroups _),
     "p4_latest_catalogue" -> (latestCatalogue _),
     "p5_crop_spec" -> (cropSpec _),
-    "st1_stream_clean" -> (streamClean _))
+    "st1_stream_clean" -> (streamClean _),
+    "st4_stream_dag" -> (streamDag _))
 
   val oracles: Map[String, String] = Map(
     "p1_clean_products" -> cleanProductsSql,
@@ -262,5 +283,6 @@ object ProductPipeline {
     "p3_deal_groups" -> dealGroupsSql,
     "p4_latest_catalogue" -> latestCatalogueSql,
     "p5_crop_spec" -> cropSpecSql,
-    "st1_stream_clean" -> cleanProductsSql)
+    "st1_stream_clean" -> cleanProductsSql,
+    "st4_stream_dag" -> cleanProductsSql)
 }

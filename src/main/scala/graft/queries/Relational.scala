@@ -204,12 +204,134 @@ object Relational {
       |GROUP BY c_custkey, c_name, c_acctbal, n_name
       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
 
+  /** TPC-H Q7 shape: bilateral trade flows — two broadcast nation dims
+    * aliased independently, facts shuffle once on their join keys, then a
+    * tiny (nation, nation, year) aggregate.
+    */
+  def nationTrade(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val pair = Seq("NATION_1", "NATION_2")
+    val n1 = t.nation.filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+    val n2 = t.nation.filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+    t.lineitem
+      .join(t.supplier.select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(t.orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer.select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("sk"))
+      .join(broadcast(n2), col("c_nationkey") === col("ck"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val nationTradeSql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      | CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+      |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+      |  AND n1.n_name <> n2.n_name
+      |GROUP BY 1, 2, 3
+      |ORDER BY 1, 2, 3""".stripMargin
+
+  /** TPC-H Q8 shape: a brand's share of regional revenue per year —
+    * conditional aggregation over a five-way join, every dimension
+    * broadcast.
+    */
+  def brandMarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val regionNations = t.nation
+      .join(broadcast(t.region.filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey")
+    val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    t.lineitem
+      .join(t.orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer.select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(regionNations), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables(spark, dir).part.select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(round(
+        sum(when(col("p_brand") === "Brand#1", vol).otherwise(lit(0.0))) / sum(vol),
+        4).as("brand1_share"))
+      .orderBy("o_year")
+  }
+
+  val brandMarketShareSql: String =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      | round(sum(CASE WHEN p_brand = 'Brand#1'
+      |              THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+      |   / sum(l_extendedprice * (1 - l_discount)), 4) AS brand1_share
+      |FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  JOIN part ON l_partkey = p_partkey
+      |WHERE r_name = 'EUROPE'
+      |GROUP BY 1
+      |ORDER BY o_year""".stripMargin
+
+  /** TPC-H Q9 shape: pseudo-profit by supplier nation and year for a
+    * name-filtered part subset (no partsupp table in the synthetic schema,
+    * so cost = half retail price x quantity).
+    */
+  def productProfit(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val p = t.part.filter(col("p_name").contains("a"))
+      .select("p_partkey", "p_retailprice")
+    val profit = col("l_extendedprice") * (lit(1) - col("l_discount")) -
+      col("p_retailprice") * lit(0.5) * col("l_quantity")
+    t.lineitem
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(t.supplier.select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.nation.select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(round(sum(profit), 2).as("profit"))
+      .orderBy("nation", "l_year")
+  }
+
+  val productProfitSql: String =
+    """SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      | round(sum(l_extendedprice * (1 - l_discount)
+      |   - p_retailprice * 0.5 * l_quantity), 2) AS profit
+      |FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |WHERE contains(p_name, 'a')
+      |GROUP BY 1, 2
+      |ORDER BY nation, l_year""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q1_pricing_summary" -> (pricingSummary _),
     "q3_shipping_priority" -> (shippingPriority _),
     "q4_order_priority_check" -> (orderPriorityCheck _),
     "q5_local_supplier_volume" -> (localSupplierVolume _),
     "q6_revenue_forecast" -> (revenueForecast _),
+    "q7_nation_trade" -> (nationTrade _),
+    "q8_brand_market_share" -> (brandMarketShare _),
+    "q9_product_profit" -> (productProfit _),
     "q10_returned_item_revenue" -> (returnedItemRevenue _))
 
   val oracles: Map[String, String] = Map(
@@ -218,5 +340,8 @@ object Relational {
     "q4_order_priority_check" -> orderPriorityCheckSql,
     "q5_local_supplier_volume" -> localSupplierVolumeSql,
     "q6_revenue_forecast" -> revenueForecastSql,
+    "q7_nation_trade" -> nationTradeSql,
+    "q8_brand_market_share" -> brandMarketShareSql,
+    "q9_product_profit" -> productProfitSql,
     "q10_returned_item_revenue" -> returnedItemRevenueSql)
 }
