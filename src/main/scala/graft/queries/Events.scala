@@ -88,13 +88,17 @@ object Events {
       |ORDER BY user_id""".stripMargin
 
   /** JSON prop extraction (the reference's tolerant JSON parse, SURVEY P15):
-    * props is a JSON string column; pull k out with get_json_object.
+    * props is a JSON string column, parsed ONCE per row with from_json
+    * (get_json_object would re-parse per extraction site after predicate
+    * pushdown duplicates the expression into the filter).
     */
   def propsExtract(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).events
       .select(
         col("event_id"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
+          .getField("k").as("k"))
       .filter(col("k") >= 90)
       .orderBy("event_id")
 

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.functions.Skew
 
 /** Sketch-based aggregation surface (SURVEY §7.1 step 8's
   * `approx_count_distinct`-class): HLL cardinalities next to their exact
@@ -51,9 +52,30 @@ object Sketches {
        |FROM events
        |ORDER BY key""".stripMargin
 
+  /** Two-phase salted aggregation over the MOST skewed grouping in the
+    * schema (3 return flags across the whole lineitem table): must equal
+    * the plain GROUP BY — the oracle is the unsalted formulation, so the
+    * salting is proven result-invariant, not just plausible.
+    */
+  def saltedRollup(spark: SparkSession, dir: String): DataFrame =
+    Skew.saltedSum(
+      Tables(spark, dir).lineitem.select("l_returnflag", "l_quantity"),
+      keys = Seq("l_returnflag"), value = "l_quantity",
+      saltBuckets = 32, resultName = "sum_qty")
+      .select(col("l_returnflag"), round(col("sum_qty"), 2).as("sum_qty"))
+      .orderBy("l_returnflag")
+
+  val saltedRollupSql: String =
+    """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "z1_sketch_distinct" -> (sketchDistinct _))
+    "z1_sketch_distinct" -> (sketchDistinct _),
+    "z2_salted_rollup" -> (saltedRollup _))
 
   val oracles: Map[String, String] = Map(
-    "z1_sketch_distinct" -> sketchDistinctSql)
+    "z1_sketch_distinct" -> sketchDistinctSql,
+    "z2_salted_rollup" -> saltedRollupSql)
 }

@@ -60,6 +60,13 @@ class CleanJobSpec extends SparkTestBase {
     assert(Files.exists(Paths.get(
       s"$root/province=Eastern_Cape/date_range=20_February_-_22_February_2026")))
     assert(spark.read.parquet(root).count() === 13)
+    // partition filters prune at the file index, not per-row (the layout's
+    // entire reason to exist: "for Athena performance" in the reference)
+    val plan = spark.read.parquet(root)
+      .filter(col("province") === "Gauteng")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(province"),
+      "province filter did not reach the partition index")
   }
 
   test("dynamic partition overwrite rewrites ONLY the partitions present in the batch") {
