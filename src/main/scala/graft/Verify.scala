@@ -16,12 +16,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     // Start from an empty out dir: a stale per-query dir from a previous run
     // would otherwise mask a now-crashing query as a pass.
-    val root = Paths.get(outDir)
-    if (Files.exists(root)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(root).iterator().asScala.toSeq.reverse
-        .foreach(p => Files.deleteIfExists(p))
-    }
+    graft.core.FsUtil.deleteRecursively(outDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -17,11 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Deterministic salt from the full row content (no rand(): results and
-    * plans stay reproducible run-to-run).
+  /** Salt from the row's position, not its content: identical rows (the
+    * canonical hot-key-with-constant-payload case) must still spread across
+    * buckets, which a content hash cannot do. monotonically_increasing_id
+    * is partition-position derived — no rand(), and the aggregate result is
+    * salt-invariant regardless.
     */
-  private def saltCol(df: DataFrame, buckets: Int): Column =
-    pmod(xxhash64(df.columns.map(col): _*), lit(buckets.toLong))
+  private def saltCol(buckets: Int): Column =
+    pmod(monotonically_increasing_id(), lit(buckets.toLong))
 
   /** Two-phase salted sum: exactly `df.groupBy(keys).agg(sum(value))` but
     * with the per-key work spread across `saltBuckets` partial groups.
@@ -29,7 +32,7 @@ object Skew {
   def saltedSum(df: DataFrame, keys: Seq[String], value: String,
                 saltBuckets: Int, resultName: String): DataFrame = {
     val partial = df
-      .withColumn("_salt", saltCol(df, saltBuckets))
+      .withColumn("_salt", saltCol(saltBuckets))
       .groupBy((keys :+ "_salt").map(col): _*)
       .agg(sum(col(value)).as("_partial"))
     partial

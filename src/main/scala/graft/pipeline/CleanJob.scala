@@ -94,6 +94,48 @@ object CleanJob {
       .parquet(cleanRoot)
   }
 
+  /** Per-SOURCE-FILE idempotent replace into the partitioned clean zone,
+    * for file-granular streaming arrivals: rows of the touched partitions
+    * that came from OTHER source files are retained; rows from the batch's
+    * own source files are replaced. The reference's cleaner lacks this — a
+    * single page event rewrites the whole (province, date_range) partition
+    * and clobbers sibling pages (`pnp-cleanerLambda.py:111-119` with a
+    * one-file frame); partition-granular replace is only safe when a batch
+    * carries a partition's complete contents, which streaming batches
+    * don't. Merge keeps re-delivery idempotent WITHOUT the data loss.
+    */
+  def mergeWriteClean(cleanedBatch: DataFrame, cleanRoot: String): Unit = {
+    val spark = cleanedBatch.sparkSession
+    val keys = cleanedBatch
+      .select("province", "date_range", "source_file").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    if (keys.isEmpty) return
+    val partitions = keys.map(k => (k._1, k._2)).distinct
+    val existing =
+      try {
+        val sep = "\u0001" // never appears in path-derived values
+        val fileKey = concat_ws(sep,
+          col("province"), col("date_range"), col("source_file"))
+        spark.read.parquet(cleanRoot)
+          .filter(partitions.map { case (p, d) =>
+            col("province") === p && col("date_range") === d
+          }.reduce(_ || _))
+          .filter(!fileKey.isin(keys.map(k => s"${k._1}$sep${k._2}$sep${k._3}"): _*))
+          .select(ProductSchema.cleanColumns.map(col): _*)
+      } catch {
+        case _: org.apache.spark.sql.AnalysisException => // first batch: no zone yet
+          spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](),
+            cleanedBatch.schema)
+      }
+    // materialize the merge BEFORE overwriting: the plan reads the very
+    // parquet files the write replaces
+    val merged = existing
+      .union(cleanedBatch.select(ProductSchema.cleanColumns.map(col): _*))
+      .localCheckpoint(true)
+    writeClean(merged, cleanRoot)
+  }
+
   /** Catalog sink (K6): same write, registered as a queryable table —
     * the Glue-crawler-equivalent (reference `infrastructure/main.tf:288-352`)
     * without a crawler: the write IS the catalog update.

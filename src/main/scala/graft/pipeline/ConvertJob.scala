@@ -37,7 +37,10 @@ object ConvertJob {
     val parts = split(col("path"), "/")
     pdfs
       .select(
-        try_element_at(parts, lit(-2)).as("province"),
+        // "unknown" fallback for too-shallow paths, exactly the reference's
+        // province fallback (`gen_pdf_imgLambda.py:32-35`) — a malformed
+        // key must not become a literal "null" sink directory
+        coalesce(try_element_at(parts, lit(-2)), lit("unknown")).as("province"),
         regexp_replace(try_element_at(parts, lit(-1)), "\\.pdf$", "").as("flyer"),
         posexplode(rasterize(col("content"))).as(Seq("page_idx", "image")))
       .select(

@@ -119,12 +119,15 @@ object CropJob {
   }
 
   /** Full batch run: interim images ⋈ silver products → crop files on disk,
-    * returning the crops frame for chaining.
+    * returning the crops frame for chaining. The frame is cached before the
+    * sink so a caller consuming it doesn't re-decode and re-crop every
+    * image a second time (at larger scale, chain from the written files
+    * instead and skip the returned frame).
     */
   def run(spark: SparkSession, interimRoot: String, silverGlob: String,
           shrRoot: String): DataFrame = {
     val c = crops(pagesWithKey(readImages(spark, interimRoot)),
-      productsWithKey(spark, silverGlob))
+      productsWithKey(spark, silverGlob)).cache()
     writeCrops(c, shrRoot)
     c
   }

@@ -31,7 +31,10 @@ object StubRasterizer extends PageRasterizer {
   val PageWidth = 248
   val PageHeight = 350
 
-  private val PageMarker = "/Type\\s*/Page(?!s)".r
+  // [^s] (not a lookahead) so the DuckDB oracle — RE2, no lookahead — can
+  // use the EXACT same pattern: both engines miscount the same inputs the
+  // same way, which is the parity that matters
+  private val PageMarker = "/Type\\s*/Page[^s]".r
 
   /** Page count from the PDF object structure — real parsing, works on any
     * uncompressed-object PDF (incl. the checked-in fixtures).

@@ -26,6 +26,15 @@ object BinaryPipeline {
   private val W = StubRasterizer.PageWidth
   private val H = StubRasterizer.PageHeight
 
+  /** Cold-start the binary zones: stale binaries from a previous run with
+    * different fixtures would otherwise feed rows the oracle (which reads
+    * only the CURRENT fixtures) knows nothing about — the same
+    * stale-state-masks-truth failure mode Verify's out-dir clearing fixes.
+    */
+  private def resetZones(): Unit =
+    Seq(RawRoot, InterimRoot, ShrRoot, s"$RawRoot/../pro/json")
+      .foreach(graft.core.FsUtil.deleteRecursively)
+
   // ------------------------------------------------------------------ c1
 
   /** PDF→pages fan-out (S3/G2/P14/K2): one row per rendered page with real
@@ -33,6 +42,7 @@ object BinaryPipeline {
     * PDF bytes — the fan-out arity is verified against the file structure.
     */
   def pdfPages(spark: SparkSession, dir: String): DataFrame = {
+    resetZones()
     FixtureBinaries.writeRawPdfs(RawRoot)
     val dims = udf((b: Array[Byte]) => ImageOps.decodeDims(b))
     ConvertJob.pages(ConvertJob.readPdfs(spark, RawRoot))
@@ -68,6 +78,7 @@ object BinaryPipeline {
     * (trunc+clamp ints, PIL-style) and filenames from the JSON alone.
     */
   def productCrops(spark: SparkSession, dir: String): DataFrame = {
+    resetZones()
     FixtureBinaries.writeRawPdfs(RawRoot)
     ConvertJob.run(spark, RawRoot, InterimRoot)
     val crops = CropJob.run(spark, InterimRoot, ProductPipeline.SilverGlob, ShrRoot)
@@ -113,6 +124,8 @@ object BinaryPipeline {
        |  CAST(${clampPx("right_px", W)} - ${clampPx("left_px", W)} AS INTEGER) AS crop_w,
        |  CAST(${clampPx("bottom_px", H)} - ${clampPx("top_px", H)} AS INTEGER) AS crop_h
        |FROM geom
+       |WHERE ${clampPx("right_px", W)} - ${clampPx("left_px", W)} > 0
+       |  AND ${clampPx("bottom_px", H)} - ${clampPx("top_px", H)} > 0
        |ORDER BY province, date_range, page, i""".stripMargin
   }
 
@@ -123,6 +136,7 @@ object BinaryPipeline {
     * round-trip is already exercised by c2).
     */
   private def pagesWithKey(spark: SparkSession): DataFrame = {
+    resetZones()
     FixtureBinaries.writeRawPdfs(RawRoot)
     ConvertJob.pages(ConvertJob.readPdfs(spark, RawRoot))
       .select(concat_ws("/", col("province"), col("flyer"),

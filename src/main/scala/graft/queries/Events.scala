@@ -88,17 +88,16 @@ object Events {
       |ORDER BY user_id""".stripMargin
 
   /** JSON prop extraction (the reference's tolerant JSON parse, SURVEY P15):
-    * props is a JSON string column, parsed ONCE per row with from_json
-    * (get_json_object would re-parse per extraction site after predicate
-    * pushdown duplicates the expression into the filter).
+    * props is a JSON string column. get_json_object + cast matches the
+    * DuckDB oracle's json_extract_string + CAST exactly, INCLUDING
+    * string-encoded numbers ({"k": "95"}) — from_json with a LONG field
+    * would reject those rows and silently diverge.
     */
   def propsExtract(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).events
       .select(
         col("event_id"),
-        from_json(col("props"),
-          org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
-          .getField("k").as("k"))
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
       .filter(col("k") >= 90)
       .orderBy("event_id")
 

@@ -24,13 +24,21 @@ object PipelineStreams {
     * partitioned clean zone. `maxFilesPerTrigger` bounds batch size — the
     * engine-native replacement for the reference's Lambda time-budget
     * chunking (`vision_parserLambda.py:183-191`).
+    *
+    * The sink is the per-source-file MERGE (not a bare partition
+    * overwrite): a partition whose files span multiple trigger batches
+    * must not lose the earlier batches' rows. Unparseable files append to
+    * a quarantine zone beside the clean root — the batch path's
+    * nothing-silently-disappears guarantee holds on the stream too.
     */
   def cleanStream(spark: SparkSession, silverGlob: String, cleanRoot: String,
                   checkpoint: String, trigger: Trigger = Trigger.AvailableNow(),
                   maxFilesPerTrigger: Int = 256): StreamingQuery = {
     val silver = spark.readStream
-      .schema(ProductSchema.silver)
+      .schema(ProductSchema.silverWithCorrupt)
       .option("multiLine", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", ProductSchema.CorruptColumn)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .json(silverGlob)
       .withColumn("_src_path", input_file_name())
@@ -39,7 +47,12 @@ object PipelineStreams {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        CleanJob.writeClean(CleanJob.clean(batch), cleanRoot)
+        CleanJob.mergeWriteClean(CleanJob.clean(batch), cleanRoot)
+        val q = CleanJob.quarantined(batch)
+        if (!q.isEmpty)
+          // append-only diagnostics; a retried batch may append twice,
+          // which is acceptable for a quarantine log
+          q.write.mode("append").parquet(s"${cleanRoot}_quarantine")
       }
       .start()
   }
@@ -49,9 +62,9 @@ object PipelineStreams {
     * re-delivery idempotent.
     */
   def backfill(spark: SparkSession, silverGlob: String, cleanRoot: String,
-               checkpoint: String): Unit =
+               checkpoint: String, maxFilesPerTrigger: Int = 256): Unit =
     cleanStream(spark, silverGlob, cleanRoot, checkpoint,
-      Trigger.AvailableNow()).awaitTermination()
+      Trigger.AvailableNow(), maxFilesPerTrigger).awaitTermination()
 
   /** The binaryFile source's fixed schema (streaming file sources require
     * one explicitly).
