@@ -41,16 +41,19 @@ object TextHash {
     524309L, 262147L, 131101L, 65537L)
 
   /** Non-negative 60-bit hash of a column's UTF-8 bytes (first 15 hex chars
-    * of md5). Codegen'd built-ins only — stays inside whole-stage codegen.
+    * of md5), via the native codegen expression graft.functions.Hash60 —
+    * same value as `conv(substring(md5(c),1,15),16,10)` without the per-call
+    * hex-string/parse allocations. Callers must have run
+    * VectorOps.register(spark) (all query modules do).
     */
   def hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    call_function("graft_hash60", c)
 
   /** [[hash60]] as a SQL-expression string (for use inside higher-order
     * function lambdas, where only expression text composes).
     */
   def hash60Expr(x: String): String =
-    s"CAST(conv(substring(md5($x), 1, 15), 16, 10) AS BIGINT)"
+    s"graft_hash60($x)"
 
   /** DuckDB twin of [[hash60]]; `x` is a SQL expression string. */
   def hash60Sql(x: String): String =

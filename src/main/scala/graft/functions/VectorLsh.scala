@@ -20,23 +20,27 @@ object VectorLsh {
 
   /** Deterministic pseudo-random hyperplane coefficient array for plane p:
     * coef[d] = (hash60("p_d") mod 2001 - 1000) / 1000 ∈ [-1, 1].
+    * Computed ON THE DRIVER at plan-build time — the values are constants,
+    * and the previous in-plan md5 formulation was NOT constant-folded by
+    * Catalyst, silently re-hashing Dim x NumPlanes strings per ROW.
     */
-  def planeCoefs(p: Int): String =
-    s"transform(sequence(0, ${Dim - 1}), d -> " +
-      s"(CAST(conv(substring(md5(concat('${p}_', d)), 1, 15), 16, 10) AS BIGINT) % 2001 - 1000) / CAST(1000 AS DOUBLE))"
+  def planeCoefs(p: Int): Array[Double] =
+    Array.tabulate(Dim) { d =>
+      (Hash60Util.hash(s"${p}_$d") % 2001 - 1000) / 1000.0
+    }
 
   private def planeCoefsSql(p: Int): String =
     s"list_transform(generate_series(0, ${Dim - 1}), d -> " +
       s"(${hash60Sql(s"'${p}_' || CAST(d AS VARCHAR)")} % 2001 - 1000) / CAST(1000 AS DOUBLE))"
 
   /** Bucket id = sign bits of the dot products against the fixed planes,
-    * over a double-array column named `v`.
+    * over a double-array column named `v`. Uses the native graft_dot against
+    * literal coefficient arrays (callers register VectorOps first).
     */
   def bucketCol: Column =
     (0 until NumPlanes).map { p =>
-      val dot = expr(
-        s"aggregate(zip_with(v, ${planeCoefs(p)}, (x, c) -> x * c), " +
-          "CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+      val coefs = array(planeCoefs(p).map(lit(_)): _*)
+      val dot = call_function("graft_dot", col("v"), coefs)
       when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 

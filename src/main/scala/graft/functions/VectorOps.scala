@@ -75,16 +75,18 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Registration for the graft vector expressions: `graft_dot(a, b)` becomes
-  * callable from any Column/SQL expression after [[VectorOps.register]].
-  * Idempotent; the similarity/dedup query modules (d6, n1–n3) call it before
-  * building their plans.
+/** Registration for the graft native expressions: `graft_dot(a, b)` and
+  * `graft_hash60(s)` become callable from any Column/SQL expression after
+  * [[VectorOps.register]]. Idempotent; the dedup/similarity/text query
+  * modules call it before building their plans.
   */
 object VectorOps {
   def register(spark: SparkSession): Unit = spark match {
     case s: org.apache.spark.sql.classic.SparkSession =>
       s.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+      s.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_hash60", exprs => Hash60(exprs(0)), "built-in")
     case _ => () // non-classic session: callers fall back to built-ins
   }
 }

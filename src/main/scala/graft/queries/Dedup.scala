@@ -60,6 +60,7 @@ object Dedup {
     * count-table joins.
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    VectorOps.register(spark) // graft_hash60
     val docs = Tables(spark, dir).documents
     // shingles via explode(sequence) + substring: identical values to
     // charShingles but fully codegen'd — no interpreted transform building
@@ -182,8 +183,10 @@ object Dedup {
   }
 
   /** SimHash signatures per document. */
-  def simhash(spark: SparkSession, dir: String): DataFrame =
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    VectorOps.register(spark) // graft_hash60
     simhashSigs(Tables(spark, dir).documents).orderBy("doc_id")
+  }
 
   val simhashSql: String =
     s"""WITH $simhashSigsSql
@@ -198,6 +201,7 @@ object Dedup {
     * shuffles on a small integer key, so it survives a 100x corpus.
     */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    VectorOps.register(spark) // graft_hash60
     val sims = simhashSigs(Tables(spark, dir).documents)
     val chunkStructs = (0 until 4).map { c =>
       struct(lit(c).as("ci"),

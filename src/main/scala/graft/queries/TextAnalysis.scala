@@ -149,7 +149,8 @@ object TextAnalysis {
     * one row PER SHINGLE (~|text| rows/doc), this one moves nothing.
     * Shared by t4 (the projection itself) and t5 (a tiny group-by over it).
     */
-  private def fingerprints(spark: SparkSession, dir: String): DataFrame =
+  private def fingerprints(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorOps.register(spark) // graft_hash60
     Tables(spark, dir).documents.select(
       col("doc_id"),
       expr(s"array_min(transform(${TextHash.charShinglesExpr("text", 8)}, " +
@@ -159,6 +160,7 @@ object TextAnalysis {
       // projection a second time (measured 2x). Two longs per document —
       // negligible storage at any scale.
       .cache()
+  }
 
   private val fingerprintsSql: String =
     s"""SELECT doc_id,

@@ -7,6 +7,7 @@ import graft.SparkTestBase
 class TextHashSpec extends SparkTestBase {
 
   test("hash60 is non-negative and stable") {
+    VectorOps.register(spark) // hash60 resolves via graft_hash60
     import spark.implicits._
     val rows = Seq("", "a", "hello world").toDF("x")
       .select(TextHash.hash60(col("x")).as("h")).collect()
