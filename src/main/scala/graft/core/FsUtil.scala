@@ -10,8 +10,11 @@ object FsUtil {
     val root: Path = Paths.get(dir)
     if (Files.exists(root)) {
       import scala.jdk.CollectionConverters._
-      Files.walk(root).iterator().asScala.toSeq.reverse
-        .foreach(p => Files.deleteIfExists(p))
+      import scala.util.Using
+      // Files.walk holds directory handles until closed — Using guarantees
+      // release even when a delete throws (this runs per-query in Verify).
+      val paths = Using.resource(Files.walk(root))(_.iterator().asScala.toSeq)
+      paths.reverse.foreach(p => Files.deleteIfExists(p))
     }
   }
 }

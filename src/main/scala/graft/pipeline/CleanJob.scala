@@ -48,13 +48,20 @@ object CleanJob {
   private def nothingParsed: org.apache.spark.sql.Column =
     ProductSchema.expectedColumns.map(col(_).isNull).reduce(_ && _)
 
-  /** The quarantine view: raw text + source path of every silver input the
-    * parser could not conform (F6's sibling for content rather than paths).
+  /** The quarantine view: every silver row excluded from the clean zone,
+    * with why (F6's sibling for content rather than paths). Two routes:
+    * `unparseable` = the file failed to parse (raw text captured in
+    * `_corrupt_record`); `empty_object` = a syntactically-valid object with
+    * none of the expected keys (e.g. `{}` inside a valid array — parses
+    * clean, carries nothing). Together with clean() this partitions the
+    * input: nothing silently disappears.
     */
   def quarantined(silver: DataFrame): DataFrame =
-    silver.filter(nothingParsed && col(ProductSchema.CorruptColumn).isNotNull)
+    silver.filter(nothingParsed)
       .select(col("_src_path").as("src_path"),
-        col(ProductSchema.CorruptColumn).as("raw"))
+        col(ProductSchema.CorruptColumn).as("raw"),
+        when(col(ProductSchema.CorruptColumn).isNotNull, "unparseable")
+          .otherwise("empty_object").as("reason"))
 
   /** Path→column extraction (P3/F6): .../{province}/{date_range}/{file}.json,
     * indexed from the end so any root prefix works. Malformed paths yield
@@ -103,6 +110,17 @@ object CleanJob {
     * one-file frame); partition-granular replace is only safe when a batch
     * carries a partition's complete contents, which streaming batches
     * don't. Merge keeps re-delivery idempotent WITHOUT the data loss.
+    *
+    * Crash safety: the merged result is written to a TEMP root first (so the
+    * plan never overwrites the files it reads — no checkpoint needed), then
+    * each touched partition directory is swapped into the live zone via
+    * rename. A crash mid-swap leaves at most one partition absent from the
+    * live zone, with its old and new contents both intact under the temp
+    * root for recovery — nothing is destroyed until its replacement is in
+    * place, unlike an in-place dynamic partition overwrite, which deletes
+    * live data before the rewrite completes. The streaming retry then
+    * re-merges idempotently (already-applied batch rows are keyed out by
+    * source_file before the union).
     */
   def mergeWriteClean(cleanedBatch: DataFrame, cleanRoot: String): Unit = {
     val spark = cleanedBatch.sparkSession
@@ -128,12 +146,34 @@ object CleanJob {
             new java.util.ArrayList[org.apache.spark.sql.Row](),
             cleanedBatch.schema)
       }
-    // materialize the merge BEFORE overwriting: the plan reads the very
-    // parquet files the write replaces
     val merged = existing
       .union(cleanedBatch.select(ProductSchema.cleanColumns.map(col): _*))
-      .localCheckpoint(true)
-    writeClean(merged, cleanRoot)
+
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val tmpRoot = new HPath(s"$cleanRoot.__merge_tmp")
+    val livePath = new HPath(cleanRoot)
+    val fs = FileSystem.get(livePath.toUri, spark.sparkContext.hadoopConfiguration)
+    fs.delete(tmpRoot, true)
+    merged.write
+      .mode("overwrite")
+      .partitionBy(ProductSchema.partitionColumns: _*)
+      .parquet(tmpRoot.toString)
+    fs.mkdirs(livePath)
+    // swap each written partition dir into the live zone; the displaced old
+    // dir parks under the temp root (never inside the live zone, where a
+    // crash would leave it readable as a bogus partition value)
+    for {
+      prov <- fs.listStatus(tmpRoot) if prov.isDirectory
+      dr <- fs.listStatus(prov.getPath) if dr.isDirectory
+    } {
+      val rel = s"${prov.getPath.getName}/${dr.getPath.getName}"
+      val dst = new HPath(livePath, rel)
+      val parked = new HPath(tmpRoot, s"$rel.__old")
+      fs.mkdirs(dst.getParent)
+      if (fs.exists(dst)) fs.rename(dst, parked)
+      fs.rename(dr.getPath, dst)
+    }
+    fs.delete(tmpRoot, true)
   }
 
   /** Catalog sink (K6): same write, registered as a queryable table —

@@ -36,8 +36,11 @@ object FetchJob {
 
   /** Download each primary URL once (S2), rejoin bytes to all copy targets
     * (J2): one row per (province, date_slug) with the fetched PDF. The
-    * fetched-bytes side is the small side (distinct URLs) and broadcasts;
-    * failures drop out like the reference's try/except-continue.
+    * BROADCAST side is the plan metadata (href/province/date_slug/target_key
+    * strings — tiny), never the fetched bytes: payloads stay in the fetching
+    * task's partition, honoring the repo-wide rule that binary content is
+    * never shuffled or broadcast. Failures drop out like the reference's
+    * try/except-continue.
     */
   def fetchAll(plan: DataFrame, fetcher: UrlFetcher): DataFrame = {
     import plan.sparkSession.implicits._
@@ -49,7 +52,9 @@ object FetchJob {
         urls.flatMap(u => client.fetch(u).map(b => (u, b)))
       }
       .toDF("href", "content")
-    plan.join(broadcast(fetched), Seq("href"))
+    fetched.join(
+      broadcast(plan.select("province", "date_slug", "href", "target_key")),
+      Seq("href"))
       .select("province", "date_slug", "href", "target_key", "content")
   }
 

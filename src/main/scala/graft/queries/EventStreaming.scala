@@ -3,6 +3,7 @@ package graft.queries
 import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.max
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.EventStreams
@@ -28,9 +29,11 @@ object EventStreaming {
       s"st2_mem_${runSeq.incrementAndGet()}", OutputMode.Complete())
       .orderBy("hour_ts", "event_type")
 
-  /** st3: mapGroupsWithState sessionization (streaming e2). Update mode;
-    * the replay drains in one batch (single parquet file), so the memory
-    * table holds exactly the final per-user counters.
+  /** st3: mapGroupsWithState sessionization (streaming e2). Update mode
+    * emits one row per user per batch that touched it; the per-user counters
+    * are monotone running totals, so the FINAL state row is the per-user max
+    * — collapse on that so the result is replay-robust even if the source
+    * ever drains in more than one micro-batch.
     */
   def streamSessions(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -39,6 +42,8 @@ object EventStreaming {
     EventStreams.replayToTable(
       EventStreams.userSessions(evs).toDF(),
       s"st3_mem_${runSeq.incrementAndGet()}", OutputMode.Update())
+      .groupBy("user_id")
+      .agg(max("n_sessions").as("n_sessions"), max("n_events").as("n_events"))
       .orderBy("user_id")
   }
 

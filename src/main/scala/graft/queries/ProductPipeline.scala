@@ -45,13 +45,30 @@ object ProductPipeline {
        |    ${ProductNormalize.normalizeBrandSql("brand")} AS brand,
        |    current_price, was_price, weight_volume,
        |    ${ProductNormalize.normalizeUnitSql("unit")} AS unit,
-       |    deal_type, multi_buy_quantity, bounding_box,
+       |    deal_type, multi_buy_quantity,
+       |    array_to_string(bounding_box, ',') AS bounding_box,
        |    coalesce(group_id, 'UNKNOWN') AS group_id,
        |    _p[-3] AS province, _p[-2] AS date_range, _p[-1] AS source_file
        |  FROM raw)""".stripMargin
 
   private def cleaned(spark: SparkSession): DataFrame =
     CleanJob.clean(CleanJob.readSilver(spark, SilverGlob))
+
+  /** Clean-zone projection for oracle-compared output: the on-disk
+    * `bounding_box` stays `array<int>`, but the comparison gate hashes rows
+    * through pandas, which cannot hash array cells — serialize it to a
+    * null-preserving "x1,y1,x2,y2" string on BOTH sides of the compare.
+    */
+  private def cleanOutput(df: DataFrame): DataFrame = {
+    val bbox = col("bounding_box")
+    val cols = ProductSchema.cleanColumns.map {
+      case "bounding_box" =>
+        when(bbox.isNotNull, concat_ws(",", bbox.cast("array<string>")))
+          .as("bounding_box")
+      case c => col(c)
+    }
+    df.select(cols: _*)
+  }
 
   // ------------------------------------------------------------------ p1
 
@@ -61,8 +78,7 @@ object ProductPipeline {
     * also proves the partition round-trip loses nothing.
     */
   def cleanProducts(spark: SparkSession, dir: String): DataFrame =
-    CleanJob.run(spark, SilverGlob, CleanRoot)
-      .select(ProductSchema.cleanColumns.map(col): _*)
+    cleanOutput(CleanJob.run(spark, SilverGlob, CleanRoot))
       .orderBy("province", "date_range", "source_file", "product_name")
 
   val cleanProductsSql: String =
@@ -243,8 +259,7 @@ object ProductPipeline {
     graft.core.FsUtil.deleteRecursively(cleanRoot)
     graft.core.FsUtil.deleteRecursively(checkpoint)
     graft.streaming.PipelineStreams.backfill(spark, SilverGlob, cleanRoot, checkpoint)
-    spark.read.parquet(cleanRoot)
-      .select(ProductSchema.cleanColumns.map(col): _*)
+    cleanOutput(spark.read.parquet(cleanRoot))
       .orderBy("province", "date_range", "source_file", "product_name")
   }
 
@@ -263,8 +278,7 @@ object ProductPipeline {
     graft.pipeline.FixtureBinaries.writeRawPdfs(zones.raw)
     graft.streaming.PipelineStreams.runDag(spark, zones,
       new graft.pipeline.FixtureExtractor())
-    spark.read.parquet(zones.clean)
-      .select(ProductSchema.cleanColumns.map(col): _*)
+    cleanOutput(spark.read.parquet(zones.clean))
       .orderBy("province", "date_range", "source_file", "product_name")
   }
 

@@ -124,6 +124,40 @@ class CleanJobSpec extends SparkTestBase {
     assert(cleanRows(0).getAs[String]("product_name") === "Good")
   }
 
+  test("empty objects inside valid arrays quarantine with reason, never vanish") {
+    val silver = scratch("clean-emptyobj")
+    val dir = Paths.get(s"$silver/Gauteng/13_February_-_15_February_2026")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("page_1.json"),
+      """[{"product_name":"Good","current_price":1.0}, {}]""")
+    val read = CleanJob.readSilver(spark, s"$silver/*/*/*.json")
+    // clean + quarantined partition the input: 1 clean row, 1 quarantined
+    assert(CleanJob.clean(read).count() === 1)
+    val q = CleanJob.quarantined(read).collect()
+    assert(q.length === 1)
+    assert(q(0).getAs[String]("reason") === "empty_object")
+    assert(q(0).getAs[String]("raw") === null)
+  }
+
+  test("mergeWriteClean swaps via temp root and leaves no residue") {
+    val root = scratch("clean-merge-atomic")
+    val gauteng = CleanJob.clean(CleanJob.readSilver(
+      spark, "/root/repo/fixtures/silver/PnP/Gauteng/*/page_1.json"))
+    CleanJob.mergeWriteClean(gauteng, root)
+    assert(spark.read.parquet(root).count() === 4)
+    // second file, same partition: merge keeps the sibling's rows
+    val page2 = CleanJob.clean(CleanJob.readSilver(
+      spark, "/root/repo/fixtures/silver/PnP/Gauteng/*/page_2.json"))
+    CleanJob.mergeWriteClean(page2, root)
+    assert(spark.read.parquet(root).count() === 8)
+    // the temp merge root is gone and nothing parked inside the live zone
+    assert(!Files.exists(Paths.get(s"$root.__merge_tmp")))
+    import scala.jdk.CollectionConverters._
+    val stray = Files.walk(Paths.get(root)).iterator().asScala
+      .filter(_.getFileName.toString.contains("__old")).toSeq
+    assert(stray.isEmpty)
+  }
+
   test("malformed paths quarantine as null partition columns, not errors (F6)") {
     import spark.implicits._
     val df = Seq("""{"product_name":"X","current_price":1.0}""").toDS()

@@ -57,6 +57,15 @@ def main(sf_dir, out_dir):
     for name in names:
         got = con.sql(
             f"SELECT * FROM '{os.path.join(out_dir, name)}/*.parquet'")
+        # The driver's compare sorts rows via pandas, which cannot hash
+        # array cells — an array-typed output column WILL crash it even
+        # though this script could stringify it. Mirror the restriction.
+        arrayish = [c for c, t in zip(got.columns, got.types)
+                    if "[]" in str(t) or "STRUCT" in str(t) or "MAP" in str(t)]
+        if arrayish:
+            print(f"  [FAIL-ARRAYCOL] {name}: driver-unhashable columns {arrayish}")
+            n_fail += 1
+            continue
         grows, gcols = got.fetchall(), [c for c in got.columns]
         if name not in oracles:
             print(f"  [rows-only] {name}: {len(grows)} rows")
