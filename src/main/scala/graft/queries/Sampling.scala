@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextHash.{hash60, hash60Sql}
+import graft.functions.VectorOps
+
+/** Corpus sampling and sharding — the two selection operators every
+  * large-scale training-data pipeline runs between "cleaned" and "trained"
+  * (extension tier alongside dedup/similarity/text-analysis).
+  *
+  * Both are deterministic by construction: re-running over the same corpus
+  * (or any superset restricted to the same docs) reproduces the exact same
+  * sample/shards — the property that makes experiments comparable, which
+  * `rand()`-based sampling cannot give across retries or cluster sizes.
+  */
+object Sampling {
+
+  // ------------------------------------------------------------------ t7
+
+  /** Deterministic hash sample: keep a doc iff a salted 60-bit content-key
+    * hash lands in the bucket. A pure per-row filter — no shuffle, pushes
+    * nothing to the driver, identical result at any parallelism. Changing
+    * the salt draws an independent sample; the same predicate inside any
+    * groupBy gives a stratified variant for free.
+    */
+  def hashSample(spark: SparkSession, dir: String): DataFrame = {
+    VectorOps.register(spark) // graft_hash60
+    Tables(spark, dir).documents
+      .filter(
+        hash60(concat(lit("graft-sample|"), col("doc_id").cast("string"))) % 20 === 0)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  val hashSampleSql: String = {
+    val h = hash60Sql("'graft-sample|' || CAST(doc_id AS VARCHAR)")
+    s"""SELECT doc_id, lang, source FROM documents
+       |WHERE $h % 20 = 0
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------ t8
+
+  /** Token-budget sharding: assign docs (in doc_id order) to consecutive
+    * shards of ~`Budget` whitespace tokens — the greedy packing step that
+    * turns a corpus into bounded training shards.
+    *
+    * A global running sum is inherently sequential, so it is computed as a
+    * two-level prefix sum instead of one giant single-partition window:
+    * per-BLOCK token totals (a small aggregate) get a running offset, and
+    * each doc adds its within-block prefix (windows partitioned by block).
+    * Only the block-level window is unpartitioned, over corpus/BLOCK rows —
+    * 256× reduction per level; at extreme scale the same construction
+    * recurses. The per-doc window shuffles once on the block id.
+    */
+  def tokenShards(spark: SparkSession, dir: String): DataFrame = {
+    val Budget = 5000L
+    val Block = 256L
+    val t = Tables(spark, dir).documents
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        expr(s"doc_id DIV $Block").as("blk"))
+    val blkOff = t.groupBy("blk").agg(sum("n_tokens").as("blk_tokens"))
+      .withColumn("off", coalesce(
+        sum("blk_tokens").over(
+          Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("blk", "off")
+    val within = Window.partitionBy("blk").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.join(blkOff, "blk")
+      .withColumn("cum_before",
+        col("off") + coalesce(sum("n_tokens").over(within), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"cum_before DIV $Budget").as("shard_id"))
+      .orderBy("doc_id")
+  }
+
+  /** The oracle states the SAME result as one flat running sum — proving the
+    * two-level decomposition exact, not approximate.
+    */
+  val tokenShardsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tokens,
+      |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      |  FROM t)
+      |SELECT doc_id, n_tokens, cum_before // 5000 AS shard_id
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t7_hash_sample" -> (hashSample _),
+    "t8_token_shards" -> (tokenShards _))
+
+  val oracles: Map[String, String] = Map(
+    "t7_hash_sample" -> hashSampleSql,
+    "t8_token_shards" -> tokenShardsSql)
+}

@@ -71,11 +71,37 @@ object Sketches {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Exact interpolated percentiles per group (the distribution-shape
+    * counterpart of z1's cardinalities). Exact `percentile` sorts each
+    * group's values — right for the oracle-checked small-group case here;
+    * at 100 TB swap in `approx_percentile(c, p, accuracy)` per column, the
+    * mergeable KLL-style sketch (same query shape, bounded memory).
+    */
+  def priceQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+      .orderBy("l_returnflag")
+
+  val priceQuantilesSql: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+      |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "z1_sketch_distinct" -> (sketchDistinct _),
-    "z2_salted_rollup" -> (saltedRollup _))
+    "z2_salted_rollup" -> (saltedRollup _),
+    "z3_price_quantiles" -> (priceQuantiles _))
 
   val oracles: Map[String, String] = Map(
     "z1_sketch_distinct" -> sketchDistinctSql,
-    "z2_salted_rollup" -> saltedRollupSql)
+    "z2_salted_rollup" -> saltedRollupSql,
+    "z3_price_quantiles" -> priceQuantilesSql)
 }

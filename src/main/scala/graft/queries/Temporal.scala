@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Temporal join operators (extension tier, SURVEY §2.6 notes the reference
+  * has "no theta/range/as-of joins" — these are the two shapes a
+  * training-data/event pipeline actually needs, built scale-first).
+  *
+  * Neither is expressed as an inequality join: a naive `a.ts < b.ts` theta
+  * join is a BroadcastNestedLoopJoin — O(n·m) and dead at scale. Instead:
+  *  - the AS-OF join is the union-then-window formulation: one shuffle on
+  *    the join key, one per-key sort, linear scan — the same plan a
+  *    dedicated as-of operator would produce;
+  *  - the bounded RANGE join buckets time into window-width buckets and
+  *    equi-joins on the bucket id (each probe row expands to its 3 covering
+  *    buckets) — the shuffle key is a small integer and the quadratic work
+  *    collapses to genuinely-close pairs.
+  */
+object Temporal {
+
+  // ------------------------------------------------------------------ j1
+
+  /** AS-OF join (attribution): for each `purchase` event, the latest
+    * strictly-earlier `view`/`click` by the same user. Implemented by
+    * interleaving both sides into one (user_id, ts)-sorted stream and
+    * carrying the last-seen trigger forward with a running window —
+    * exactly one shuffle (on user_id), no inequality join anywhere.
+    * Parallelism scales with the user population, and the per-user state
+    * is one row. (user_id, ts) is unique in the events table, so the
+    * order — and therefore the result — is deterministic.
+    */
+  def asofAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val triggers = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("trig_id"), col("event_type").as("trig_type"))
+      .withColumn("purchase_id", lit(null).cast("long"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+      .withColumn("trig_id", lit(null).cast("long"))
+      .withColumn("trig_type", lit(null).cast("string"))
+    // running frame ends at the PREVIOUS row: "strictly earlier" by
+    // construction, and a purchase row (all-null trigger cols) never
+    // attributes to itself or another purchase
+    val w = Window.partitionBy("user_id").orderBy("ts")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    triggers.unionByName(purchases)
+      .withColumn("attributed_id", last(col("trig_id"), ignoreNulls = true).over(w))
+      .withColumn("attributed_type", last(col("trig_type"), ignoreNulls = true).over(w))
+      .withColumn("attr_ts",
+        last(when(col("trig_id").isNotNull, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("purchase_id").isNotNull && col("attributed_id").isNotNull)
+      .select(col("purchase_id"), col("user_id"),
+        col("attributed_id"), col("attributed_type"),
+        expr("(unix_micros(ts) - unix_micros(attr_ts)) DIV 1000000")
+          .as("lag_seconds"))
+      .orderBy("purchase_id")
+  }
+
+  /** DuckDB states the same semantics with its native ASOF JOIN; the
+    * floor-division lag matches Spark's `DIV` on the non-negative diff.
+    */
+  val asofAttributionSql: String =
+    """SELECT p.event_id AS purchase_id, p.user_id,
+      |  e.event_id AS attributed_id, e.event_type AS attributed_type,
+      |  (epoch_us(p.ts) - epoch_us(e.ts)) // 1000000 AS lag_seconds
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF JOIN (SELECT * FROM events WHERE event_type IN ('view', 'click')) e
+      |  ON e.user_id = p.user_id AND e.ts < p.ts
+      |ORDER BY purchase_id""".stripMargin
+
+  // ------------------------------------------------------------------ j2
+
+  /** Bounded RANGE join (incident correlation): all (purchase, error) pairs
+    * — across ALL users — within 60 s of each other. Bucketing argument:
+    * with bucket width = the window width W, |a−b| ≤ W implies the bucket
+    * ids differ by at most 1, so probing buckets {b−1, b, b+1} finds every
+    * qualifying pair exactly once (each error holds ONE bucket; each
+    * purchase row expands to 3). The join is a plain equi-join on a long —
+    * shuffle-friendly, AQE-skew-splittable — with the exact |Δts| ≤ W
+    * predicate applied after.
+    */
+  def rangeCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val WindowUs = 60000000L // 60 s in microseconds
+    val ev = Tables(spark, dir).events
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), unix_micros(col("ts")).as("e_us"))
+      .withColumn("bucket", expr(s"e_us DIV $WindowUs"))
+    val pb = expr(s"p_us DIV $WindowUs")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), unix_micros(col("ts")).as("p_us"))
+      .withColumn("bucket", explode(array(pb - 1, pb, pb + 1)))
+    purchases.join(errors, "bucket")
+      .filter(abs(col("p_us") - col("e_us")) <= WindowUs)
+      .select(col("purchase_id"), col("error_id"),
+        abs(col("p_us") - col("e_us")).as("lag_us"))
+      .orderBy("purchase_id", "error_id")
+  }
+
+  /** DuckDB's IEJoin handles the inequality directly at oracle scale. */
+  val rangeCorrelationSql: String =
+    """SELECT p.event_id AS purchase_id, e.event_id AS error_id,
+      |  abs(epoch_us(p.ts) - epoch_us(e.ts)) AS lag_us
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      |  ON abs(epoch_us(p.ts) - epoch_us(e.ts)) <= 60000000
+      |ORDER BY purchase_id, error_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j1_asof_attribution" -> (asofAttribution _),
+    "j2_range_correlation" -> (rangeCorrelation _))
+
+  val oracles: Map[String, String] = Map(
+    "j1_asof_attribution" -> asofAttributionSql,
+    "j2_range_correlation" -> rangeCorrelationSql)
+}

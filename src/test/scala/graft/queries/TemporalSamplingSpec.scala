@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Plan-shape and semantics tests for the temporal joins and the
+  * sampling/sharding operators: the whole point of these formulations is
+  * WHICH physical plan they produce — a result-correct nested-loop variant
+  * would fail at scale, so the shape is asserted, not assumed.
+  */
+class TemporalSamplingSpec extends SparkTestBase {
+
+  private val Sf = "/root/testdata/sf0.001"
+
+  test("as-of join compiles to shuffle+window, never a nested-loop join (j1)") {
+    val df = Temporal.asofAttribution(spark, Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"as-of join must not plan a quadratic join:\n$plan")
+    assert(plan.contains("Window"), "expected the running-window formulation")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // every attribution is a strictly-earlier trigger event of the right type
+    assert(rows.forall(_.getAs[Long]("lag_seconds") >= 0))
+    assert(rows.forall(r => Set("view", "click")(r.getAs[String]("attributed_type"))))
+    // one row per purchase at most (as-of joins never fan out)
+    val ids = rows.map(_.getAs[Long]("purchase_id"))
+    assert(ids.distinct.length === ids.length)
+  }
+
+  test("as-of join matches the per-purchase argmax definition (j1)") {
+    val ev = graft.core.Tables(spark, Sf).events
+      .select("event_id", "user_id", "ts", "event_type").collect()
+    val triggers = ev.filter(r => Set("view", "click")(r.getAs[String]("event_type")))
+    val expected = ev.filter(_.getAs[String]("event_type") == "purchase").flatMap { p =>
+      val before = triggers.filter(t =>
+        t.getAs[Long]("user_id") == p.getAs[Long]("user_id") &&
+          t.getAs[java.sql.Timestamp]("ts").getTime < p.getAs[java.sql.Timestamp]("ts").getTime)
+      if (before.isEmpty) None
+      else {
+        val best = before.maxBy(_.getAs[java.sql.Timestamp]("ts").getTime)
+        Some(p.getAs[Long]("event_id") -> best.getAs[Long]("event_id"))
+      }
+    }.toMap
+    val got = Temporal.asofAttribution(spark, Sf).collect()
+      .map(r => r.getAs[Long]("purchase_id") -> r.getAs[Long]("attributed_id")).toMap
+    assert(got === expected)
+  }
+
+  test("bounded range join is a bucket equi-join and finds exactly the close pairs (j2)") {
+    val df = Temporal.rangeCorrelation(spark, Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join must bucket, not nest:\n$plan")
+    // brute-force reference on the tiny sf
+    val ev = graft.core.Tables(spark, Sf).events
+      .select("event_id", "ts", "event_type").collect()
+    def us(r: org.apache.spark.sql.Row) =
+      r.getAs[java.sql.Timestamp]("ts").getTime * 1000L +
+        (r.getAs[java.sql.Timestamp]("ts").getNanos / 1000L) % 1000L
+    val p = ev.filter(_.getAs[String]("event_type") == "purchase")
+    val e = ev.filter(_.getAs[String]("event_type") == "error")
+    val expected = (for {
+      a <- p; b <- e if math.abs(us(a) - us(b)) <= 60000000L
+    } yield (a.getAs[Long]("event_id"), b.getAs[Long]("event_id"))).toSet
+    val got = df.collect()
+      .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("error_id"))).toSet
+    assert(got === expected)
+  }
+
+  test("hash sample is deterministic and a pure pushed-down filter (t7)") {
+    val a = Sampling.hashSample(spark, Sf).collect().map(_.getAs[Long]("doc_id"))
+    val b = Sampling.hashSample(spark, Sf).collect().map(_.getAs[Long]("doc_id"))
+    assert(a.sameElements(b), "re-running the sample must reproduce it exactly")
+    val plan = Sampling.hashSample(spark, Sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") || plan.contains("rangepartitioning"),
+      s"sampling must not shuffle (only the final sort may):\n$plan")
+  }
+
+  test("two-level token sharding equals the flat running sum (t8)") {
+    val docs = graft.core.Tables(spark, Sf).documents
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").split(" ", -1).length.toLong)
+      .sortBy(_._1)
+    var cum = 0L
+    val expected = docs.map { case (id, n) =>
+      val shard = cum / 5000L; cum += n; (id, n, shard)
+    }
+    val got = Sampling.tokenShards(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("shard_id")))
+    assert(got.toSeq === expected.toSeq)
+    // shards are contiguous in doc_id order and monotone
+    assert(got.map(_._3).toSeq === got.map(_._3).sorted.toSeq)
+  }
+}
