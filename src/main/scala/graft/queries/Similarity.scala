@@ -163,13 +163,123 @@ object Similarity {
        |FROM n a JOIN n b ON a.label < b.label
        |ORDER BY l1, l2""".stripMargin
 
+  // ------------------------------------------------------------------ n4
+
+  private val NumCells = 8 // IVF coarse-quantizer size
+  private val NumProbe = 2 // cells searched per query
+
+  /** IVF-bucketed ANN — the second scale path next to n2's LSH: an inverted
+    * file over a coarse quantizer. Centroids are SEED VECTORS (vec_id <
+    * NumCells), the standard sample-based IVF initialization — chosen over
+    * k-means/mean centroids deliberately: no floating-point aggregation
+    * anywhere, so the assignment cosines are plain dot products both
+    * engines compute identically and the oracle stays exact. Every vector
+    * joins only the tiny broadcast centroid table (8 rows) to find its
+    * Voronoi cell (the inverted lists); a query then searches just its
+    * NumProbe nearest cells. The corpus is scanned once for assignment and
+    * once per probe — never self-joined; candidate sets shrink by ~n/K per
+    * cell, and at scale K grows with sqrt(n) while the probe-side joins
+    * stay broadcast.
+    *
+    * Assignment/probe ranking uses ROUNDED cosines (4 dp) with a cell-id
+    * tie-break, the same cross-engine determinism contract as n1/n2/d6.
+    */
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    VectorOps.register(spark)
+    val e = Tables(spark, dir).embeddings
+      .select(col("vec_id"), asDouble("embedding").as("v"))
+      .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
+    val cent = e.filter(col("vec_id") < NumCells)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cnorm"))
+
+    // inverted lists: each vector's nearest seed centroid
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cid"))
+    val assign = e.crossJoin(broadcast(cent))
+      .withColumn("ccos",
+        round(expr("graft_dot(v, cv)") / (col("norm") * col("cnorm")), 4))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+
+    // probe plan: each query's NumProbe nearest cells
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("v1"), col("norm").as("n1"))
+    val wProbe = Window.partitionBy("query_id").orderBy(desc("pcos"), asc("cid"))
+    val probe = q.crossJoin(broadcast(cent))
+      .withColumn("pcos",
+        round(expr("graft_dot(v1, cv)") / (col("n1") * col("cnorm")), 4))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= NumProbe)
+      .select(col("query_id"), col("cid").as("cell"))
+
+    val scored = assign.join(broadcast(probe), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(e.select(col("vec_id"), col("v").as("v2"), col("norm").as("n2")),
+        Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cos", round(expr(dotExpr) / (col("n1") * col("n2")), 4))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cell"), col("cos"))
+      .orderBy("query_id", "rank")
+  }
+
+  val ivfTopKSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e),
+       |cent AS (
+       |  SELECT vec_id AS cid, v AS cv, norm AS cnorm FROM n
+       |  WHERE vec_id < $NumCells),
+       |assign AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT n.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |        round(list_dot_product(n.v, c.cv) / (n.norm * c.cnorm), 4) DESC,
+       |        c.cid) AS arn
+       |    FROM n CROSS JOIN cent c)
+       |  WHERE arn = 1),
+       |q AS (
+       |  SELECT vec_id AS query_id, v AS v1, norm AS n1 FROM n
+       |  WHERE vec_id < $NumQueries),
+       |probe AS (
+       |  SELECT query_id, cid AS cell FROM (
+       |    SELECT q.query_id, c.cid,
+       |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |        round(list_dot_product(q.v1, c.cv) / (q.n1 * c.cnorm), 4) DESC,
+       |        c.cid) AS prn
+       |    FROM q CROSS JOIN cent c)
+       |  WHERE prn <= $NumProbe),
+       |scored AS (
+       |  SELECT q.query_id, a.vec_id AS neighbor_id, a.cell,
+       |    round(list_dot_product(q.v1, n.v) / (q.n1 * n.norm), 4) AS cos
+       |  FROM probe p
+       |    JOIN q ON q.query_id = p.query_id
+       |    JOIN assign a ON a.cell = p.cell
+       |    JOIN n ON n.vec_id = a.vec_id
+       |  WHERE a.vec_id <> q.query_id)
+       |SELECT query_id, rank, neighbor_id, cell, cos
+       |FROM (SELECT *, CAST(row_number() OVER (
+       |        PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+       |      FROM scored)
+       |WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n1_brute_force_topk" -> (bruteForceTopK _),
     "n2_lsh_bucket_topk" -> (lshBucketTopK _),
-    "n3_label_centroids" -> (labelCentroids _))
+    "n3_label_centroids" -> (labelCentroids _),
+    "n4_ivf_topk" -> (ivfTopK _))
 
   val oracles: Map[String, String] = Map(
     "n1_brute_force_topk" -> bruteForceTopKSql,
     "n2_lsh_bucket_topk" -> lshBucketTopKSql,
-    "n3_label_centroids" -> labelCentroidsSql)
+    "n3_label_centroids" -> labelCentroidsSql,
+    "n4_ivf_topk" -> ivfTopKSql)
 }

@@ -72,19 +72,41 @@ object Sketches {
       |ORDER BY l_returnflag""".stripMargin
 
   /** Exact interpolated percentiles per group (the distribution-shape
-    * counterpart of z1's cardinalities). Exact `percentile` sorts each
-    * group's values — right for the oracle-checked small-group case here;
-    * at 100 TB swap in `approx_percentile(c, p, accuracy)` per column, the
-    * mergeable KLL-style sketch (same query shape, bounded memory).
+    * counterpart of z1's cardinalities), computed rank-based: row_number +
+    * count over a per-group sort, keep ONLY the two order statistics each
+    * percentile interpolates between, interpolate in a tiny final select.
+    * This beats the builtin `percentile` aggregate (a TypedImperativeAgg
+    * merging a per-partition value→count map — measured 4.5 s vs 1.x s at
+    * sf0.1) because the heavy path stays in Tungsten sort + codegen and the
+    * collected state is 6 rows per group, not every distinct value.
+    * At 100 TB swap in `approx_percentile` (mergeable sketch, bounded
+    * memory, no global per-group sort) — same query shape.
     */
-  def priceQuantiles(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).lineitem
-      .groupBy("l_returnflag")
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+  def priceQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ps = Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
+    val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    val ranked = Tables(spark, dir).lineitem
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .withColumn("rn", row_number().over(w) - 1)
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("l_returnflag")))
+    // a row survives iff it is the floor- or ceil-rank of SOME percentile
+    val needed = ps.map { case (_, p) =>
+      val pos = (col("n") - 1) * p
+      (col("rn") === floor(pos)) || (col("rn") === ceil(pos))
+    }.reduce(_ || _)
+    val picked = ranked.filter(needed)
+    val aggs = ps.map { case (name, p) =>
+      val rowPos = (col("n") - 1) * p // row-level, inside aggregate args
+      val pos = (max(col("n")) - 1) * p // aggregate-level, for the fraction
+      val lo = max(when(col("rn") === floor(rowPos), col("l_extendedprice")))
+      val hi = max(when(col("rn") === ceil(rowPos), col("l_extendedprice")))
+      round(lo + (pos - floor(pos)) * (hi - lo), 4).as(name)
+    }
+    picked.groupBy("l_returnflag")
+      .agg(aggs.head, aggs.tail: _*)
       .orderBy("l_returnflag")
+  }
 
   val priceQuantilesSql: String =
     """SELECT l_returnflag,

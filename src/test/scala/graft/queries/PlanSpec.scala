@@ -34,6 +34,28 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin")) // tiny query side broadcast on bucket
   }
 
+  test("IVF ANN (n4): candidate joins are hash joins; nested-loop only against the 8-row centroid table") {
+    val p = plan("n4_ivf_topk")
+    assert(!p.contains("CartesianProduct"))
+    // the assignment/probe cross joins hit the constant-size broadcast
+    // centroid table — legal at any corpus size; the corpus-side candidate
+    // join must be a hash join on (cell)/(vec_id)/(query_id)
+    assert(p.contains("BroadcastHashJoin"), "candidate join lost its equi-join shape")
+    val e = Similarity.ivfTopK(spark, sf).collect()
+    // IVF output agrees with the brute-force baseline where cells allow:
+    // every reported neighbor must appear with the SAME cosine in n1's full
+    // ranking universe (consistency, not recall — recall is tunable via K/nprobe)
+    val brute = Similarity.bruteForceTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cos"))
+      .toMap
+    e.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      brute.get(key).foreach(c => assert(c === r.getAs[Double]("cos"),
+        s"cosine mismatch vs brute force for $key"))
+    }
+    assert(e.nonEmpty)
+  }
+
   test("relational joins broadcast the dimension side") {
     // q5: region/nation/supplier dims against orders/lineitem facts
     assert(plan("q5_local_supplier_volume").contains("BroadcastHashJoin"))
