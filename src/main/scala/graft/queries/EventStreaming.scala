@@ -3,7 +3,7 @@ package graft.queries
 import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.max
+import org.apache.spark.sql.functions.{col, max}
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.EventStreams
@@ -47,11 +47,30 @@ object EventStreaming {
       .orderBy("user_id")
   }
 
+  /** st5: streaming as-of join (attribution) via flatMapGroupsWithState.
+    * Each purchase is emitted exactly once, in the batch that delivers it,
+    * so the update-mode memory table accumulates the complete result with
+    * no per-batch duplication; the oracle is batch j1's ASOF JOIN.
+    */
+  def streamAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val evs = EventStreams.readEvents(spark, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select("event_id", "user_id", "ts", "event_type")
+      .as[EventStreams.AttrEv]
+    EventStreams.replayToTable(
+      EventStreams.attribution(evs).toDF(),
+      s"st5_mem_${runSeq.incrementAndGet()}", OutputMode.Update())
+      .orderBy("purchase_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st2_stream_hourly" -> (streamHourly _),
-    "st3_stream_sessions" -> (streamSessions _))
+    "st3_stream_sessions" -> (streamSessions _),
+    "st5_stream_attribution" -> (streamAttribution _))
 
   val oracles: Map[String, String] = Map(
     "st2_stream_hourly" -> Events.hourlyRollupSql,
-    "st3_stream_sessions" -> Events.userSessionsSql)
+    "st3_stream_sessions" -> Events.userSessionsSql,
+    "st5_stream_attribution" -> Temporal.asofAttributionSql)
 }

@@ -83,6 +83,47 @@ object EventStreams {
       }
   }
 
+  final case class AttrEv(event_id: Long, user_id: Long, ts: Timestamp, event_type: String)
+  final case class AttrState(trigId: Long, trigType: String, trigTsUs: Long)
+  final case class Attribution(purchase_id: Long, user_id: Long,
+    attributed_id: Long, attributed_type: String, lag_seconds: Long)
+
+  /** STREAMING AS-OF JOIN (the stateful twin of graft.queries.Temporal
+    * j1): per-user state is the last-seen view/click; each purchase emits
+    * one attribution row against it, immediately — no buffering of the
+    * probe side, state is ONE row per user. This is the shape batch as-of
+    * cannot give you: attributions stream out with arrival latency instead
+    * of waiting for a corpus-wide sort. Within a batch the group iterator
+    * is sorted by (ts, event_id); across batches the file-replay order
+    * carries state forward (the same in-order contract as
+    * [[userSessions]]).
+    */
+  def attribution(events: Dataset[AttrEv]): Dataset[Attribution] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttrState, Attribution](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user, evs, state: GroupState[AttrState]) =>
+          def us(t: Timestamp): Long =
+            t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+          var st = state.getOption.getOrElse(AttrState(-1L, null, Long.MinValue))
+          val out = Seq.newBuilder[Attribution]
+          evs.toSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+            e.event_type match {
+              case "purchase" =>
+                if (st.trigId >= 0)
+                  out += Attribution(e.event_id, user, st.trigId, st.trigType,
+                    (us(e.ts) - st.trigTsUs) / 1000000L)
+              case _ => // view / click (callers pre-filter the rest)
+                st = AttrState(e.event_id, e.event_type, us(e.ts))
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Drain an events zone through a streaming query into an in-memory table
     * (complete/update modes — the finite-replay harness used by the st*
     * oracle queries and tests), returning the result frame.

@@ -69,6 +69,16 @@ class TemporalSamplingSpec extends SparkTestBase {
     assert(got === expected)
   }
 
+  test("streaming as-of join equals the batch as-of join on replay (st5 == j1)") {
+    val batch = Temporal.asofAttribution(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("attributed_id"),
+        r.getAs[Long]("lag_seconds"))).sorted
+    val streamed = EventStreaming.streamAttribution(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("attributed_id"),
+        r.getAs[Long]("lag_seconds"))).sorted
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("hash sample is deterministic and a pure pushed-down filter (t7)") {
     val a = Sampling.hashSample(spark, Sf).collect().map(_.getAs[Long]("doc_id"))
     val b = Sampling.hashSample(spark, Sf).collect().map(_.getAs[Long]("doc_id"))
