@@ -11,6 +11,22 @@ import org.apache.spark.sql.types.LongType
   * actually reads. At 100 TB these would be catalog tables; the query code is
   * identical either way.
   */
+object Tables {
+  /** Round-robin spread of a NARROW projection across every core, for use
+    * directly before CPU-heavy per-row work (per-shingle hashing, token
+    * explodes). A small parquet file scans as ONE input split, so without
+    * this the expensive projection runs single-threaded until the first
+    * shuffle — measured 30x under-parallelization on the dedup family.
+    * Scale note: this is the splits < cores remedy (small files, or heavy
+    * pushdown filters collapsing the scan); the shuffled payload is only
+    * the columns the stage consumes, and when the input already arrives in
+    * thousands of splits the exchange is a cheap no-op rebalance — or can
+    * be dropped entirely.
+    */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+}
+
 final case class Tables(spark: SparkSession, dir: String) {
   // Set once at construction (not inside an accessor) so query plans never
   // depend on accessor call order: the events parquet carries

@@ -65,7 +65,7 @@ object Dedup {
     // shingles via explode(sequence) + substring: identical values to
     // charShingles but fully codegen'd — no interpreted transform building
     // a ~|text|-element string array per row before the explode
-    val h = docs
+    val h = Tables.spread(docs.select("doc_id", "text"))
       .select(col("doc_id"), col("text"),
         explode(expr(s"sequence(1, greatest(length(text) - ${ShingleK - 1}, 1))")).as("i"))
       .select(col("doc_id"),
@@ -95,7 +95,8 @@ object Dedup {
     // shuffled and never re-shingled
     val candDocs = cand.select(col("d1").as("doc_id"))
       .union(cand.select(col("d2").as("doc_id"))).distinct()
-    val sets = docs.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    val sets = Tables.spread(
+      docs.join(broadcast(candDocs), Seq("doc_id"), "left_semi"))
       .select(col("doc_id"),
         expr(s"array_distinct(${TextHash.charShinglesExpr("text", ShingleK)})").as("gs"))
     val withG1 = sets.join(broadcast(cand), col("doc_id") === col("d1"))
@@ -152,7 +153,8 @@ object Dedup {
     * frequency-weighted, the standard formulation).
     */
   private def simhashSigs(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val toks = Tables.spread(docs.select("doc_id", "text"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val h = toks.select(col("doc_id"), hash60(col("tok")).as("h"))
     val bitAggs = (0 until 32).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
@@ -237,7 +239,8 @@ object Dedup {
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
-    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    val toks = Tables.spread(docs.select("doc_id", "text"))
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
     // gram generation stays inside codegen: explode the position sequence
     // and concat the window directly (same values as wordNgrams, minus the
     // interpreted per-row array build)

@@ -145,13 +145,16 @@ object TextAnalysis {
     * cheap first-pass dup clusters — one BIGINT per document at scale.
     *
     * Computed as a pure per-row projection (array_min over a transform) —
-    * no explode, no shuffle: the old explode→groupBy formulation shuffled
-    * one row PER SHINGLE (~|text| rows/doc), this one moves nothing.
+    * no explode: the old explode→groupBy formulation shuffled one row PER
+    * SHINGLE (~|text| rows/doc); the only movement here is one narrow
+    * per-DOC spread for core parallelism (Tables.spread).
     * Shared by t4 (the projection itself) and t5 (a tiny group-by over it).
     */
   private def fingerprints(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorOps.register(spark) // graft_hash60
-    Tables(spark, dir).documents.select(
+    // spread the narrow (doc_id, text) projection first: the md5-per-shingle
+    // work is the cost, and a single-split scan would run it on one core
+    Tables.spread(Tables(spark, dir).documents.select("doc_id", "text")).select(
       col("doc_id"),
       expr(s"array_min(transform(${TextHash.charShinglesExpr("text", 8)}, " +
         s"g -> ${TextHash.hash60Expr("g")}))").as("fp"))
