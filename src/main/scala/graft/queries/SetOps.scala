@@ -162,7 +162,33 @@ object SetOps {
       |   / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
       |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin
 
+  /** CUBE with grouping indicators (completing the grouping-sets surface
+    * next to s4's ROLLUP): all four aggregation levels in one pass, with
+    * grouping_id disambiguating genuine values from rolled-up totals —
+    * Spark expands the cube map-side, so it still costs one shuffle.
+    */
+  def statusPriorityCube(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("revenue"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("gid"), col("n_orders"), col("revenue"))
+      .orderBy("gid", "status", "priority")
+
+  val statusPriorityCubeSql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      | coalesce(o_orderpriority, 'ALL') AS priority,
+      | CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+      | count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY gid, status, priority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s9_status_priority_cube" -> (statusPriorityCube _),
     "s1_repeat_customers_intersect" -> (repeatCustomers _),
     "s2_lapsed_customers_except" -> (lapsedCustomers _),
     "s3_priority_segments_union" -> (prioritySegments _),
@@ -173,6 +199,7 @@ object SetOps {
     "s8_promo_revenue_pct" -> (promoRevenuePct _))
 
   val oracles: Map[String, String] = Map(
+    "s9_status_priority_cube" -> statusPriorityCubeSql,
     "s1_repeat_customers_intersect" -> repeatCustomersSql,
     "s2_lapsed_customers_except" -> lapsedCustomersSql,
     "s3_priority_segments_union" -> prioritySegmentsSql,
