@@ -115,15 +115,29 @@ object CleanJob {
     * plan never overwrites the files it reads — no checkpoint needed), then
     * each touched partition directory is swapped into the live zone via
     * rename. A crash mid-swap leaves at most one partition absent from the
-    * live zone, with its old and new contents both intact under the temp
-    * root for recovery — nothing is destroyed until its replacement is in
-    * place, unlike an in-place dynamic partition overwrite, which deletes
-    * live data before the rewrite completes. The streaming retry then
-    * re-merges idempotently (already-applied batch rows are keyed out by
-    * source_file before the union).
+    * live zone, with its old contents parked intact under the temp root —
+    * nothing is destroyed until its replacement is in place, unlike an
+    * in-place dynamic partition overwrite, which deletes live data before
+    * the rewrite completes. On the next invocation (the streaming retry),
+    * [[recoverParked]] runs FIRST: any parked partition whose live
+    * directory is missing is renamed back before the temp root is cleared,
+    * restoring the pre-batch state; the retry then re-merges idempotently
+    * (already-applied batch rows are keyed out by source_file before the
+    * union). Every rename/mkdirs is checked — Hadoop FileSystem signals
+    * failure by returning false, and an unchecked false here would corrupt
+    * the zone silently.
     */
   def mergeWriteClean(cleanedBatch: DataFrame, cleanRoot: String): Unit = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
     val spark = cleanedBatch.sparkSession
+    val tmpRoot = new HPath(s"$cleanRoot.__merge_tmp")
+    val livePath = new HPath(cleanRoot)
+    val fs = FileSystem.get(livePath.toUri, spark.sparkContext.hadoopConfiguration)
+    // restore any partition a previous crash left parked BEFORE reading the
+    // zone or clearing the temp root — the parked copy may be the only one
+    recoverParked(fs, tmpRoot, livePath)
+    fs.delete(tmpRoot, true)
+
     val keys = cleanedBatch
       .select("province", "date_range", "source_file").distinct().collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2)))
@@ -149,16 +163,11 @@ object CleanJob {
     val merged = existing
       .union(cleanedBatch.select(ProductSchema.cleanColumns.map(col): _*))
 
-    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
-    val tmpRoot = new HPath(s"$cleanRoot.__merge_tmp")
-    val livePath = new HPath(cleanRoot)
-    val fs = FileSystem.get(livePath.toUri, spark.sparkContext.hadoopConfiguration)
-    fs.delete(tmpRoot, true)
     merged.write
       .mode("overwrite")
       .partitionBy(ProductSchema.partitionColumns: _*)
       .parquet(tmpRoot.toString)
-    fs.mkdirs(livePath)
+    check(fs.mkdirs(livePath), s"mkdirs $livePath")
     // swap each written partition dir into the live zone; the displaced old
     // dir parks under the temp root (never inside the live zone, where a
     // crash would leave it readable as a bogus partition value)
@@ -167,13 +176,41 @@ object CleanJob {
       dr <- fs.listStatus(prov.getPath) if dr.isDirectory
     } {
       val rel = s"${prov.getPath.getName}/${dr.getPath.getName}"
-      val dst = new HPath(livePath, rel)
-      val parked = new HPath(tmpRoot, s"$rel.__old")
-      fs.mkdirs(dst.getParent)
-      if (fs.exists(dst)) fs.rename(dst, parked)
-      fs.rename(dr.getPath, dst)
+      val dst = new org.apache.hadoop.fs.Path(livePath, rel)
+      val parked = new org.apache.hadoop.fs.Path(tmpRoot, s"$rel.__old")
+      check(fs.mkdirs(dst.getParent), s"mkdirs ${dst.getParent}")
+      if (fs.exists(dst)) check(fs.rename(dst, parked), s"park $dst")
+      check(fs.rename(dr.getPath, dst), s"install ${dr.getPath} -> $dst")
     }
     fs.delete(tmpRoot, true)
+  }
+
+  private def check(ok: Boolean, what: String): Unit =
+    if (!ok) throw new java.io.IOException(s"filesystem operation failed: $what")
+
+  /** Crash recovery for [[mergeWriteClean]]: a parked `<partition>.__old`
+    * directory under the temp root whose live partition directory is
+    * MISSING means a crash landed between park and install — the parked
+    * copy is the only surviving pre-batch state, so rename it back. Parked
+    * dirs whose live directory exists are superseded leftovers and are
+    * removed with the temp root by the caller.
+    */
+  private def recoverParked(fs: org.apache.hadoop.fs.FileSystem,
+      tmpRoot: org.apache.hadoop.fs.Path,
+      livePath: org.apache.hadoop.fs.Path): Unit = {
+    if (!fs.exists(tmpRoot)) return
+    for {
+      prov <- fs.listStatus(tmpRoot) if prov.isDirectory
+      dr <- fs.listStatus(prov.getPath)
+      if dr.isDirectory && dr.getPath.getName.endsWith(".__old")
+    } {
+      val rel = s"${prov.getPath.getName}/${dr.getPath.getName.stripSuffix(".__old")}"
+      val dst = new org.apache.hadoop.fs.Path(livePath, rel)
+      if (!fs.exists(dst)) {
+        check(fs.mkdirs(dst.getParent), s"mkdirs ${dst.getParent}")
+        check(fs.rename(dr.getPath, dst), s"recover ${dr.getPath} -> $dst")
+      }
+    }
   }
 
   /** Catalog sink (K6): same write, registered as a queryable table —

@@ -63,7 +63,10 @@ object ProductPipeline {
     val bbox = col("bounding_box")
     val cols = ProductSchema.cleanColumns.map {
       case "bounding_box" =>
-        when(bbox.isNotNull, concat_ws(",", bbox.cast("array<string>")))
+        // size > 0 (null for both null and EMPTY arrays): DuckDB's
+        // array_to_string([]) yields NULL while concat_ws yields "" — an
+        // empty extractor bbox must serialize identically on both sides
+        when(size(bbox) > 0, concat_ws(",", bbox.cast("array<string>")))
           .as("bounding_box")
       case c => col(c)
     }

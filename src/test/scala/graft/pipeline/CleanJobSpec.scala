@@ -158,6 +158,30 @@ class CleanJobSpec extends SparkTestBase {
     assert(stray.isEmpty)
   }
 
+  test("mergeWriteClean recovers a partition parked by a mid-swap crash") {
+    val root = scratch("clean-merge-recover")
+    val page1 = CleanJob.clean(CleanJob.readSilver(
+      spark, "/root/repo/fixtures/silver/PnP/Gauteng/*/page_1.json"))
+    CleanJob.mergeWriteClean(page1, root)
+    assert(spark.read.parquet(root).count() === 4)
+    // simulate a crash between park and install: the live partition dir is
+    // parked under the temp root and the live zone no longer has it
+    val rel = "province=Gauteng/date_range=13_February_-_15_February_2026"
+    val parked = Paths.get(s"$root.__merge_tmp/$rel.__old")
+    Files.createDirectories(parked.getParent)
+    Files.move(Paths.get(s"$root/$rel"), parked)
+    // the streaming retry re-runs the same batch: recovery must restore the
+    // parked pre-batch state BEFORE clearing the temp root, then re-merge
+    CleanJob.mergeWriteClean(page1, root)
+    assert(spark.read.parquet(root).count() === 4)
+    // sibling-file rows survive the recovered partition on the next merge
+    val page2 = CleanJob.clean(CleanJob.readSilver(
+      spark, "/root/repo/fixtures/silver/PnP/Gauteng/*/page_2.json"))
+    CleanJob.mergeWriteClean(page2, root)
+    assert(spark.read.parquet(root).count() === 8)
+    assert(!Files.exists(Paths.get(s"$root.__merge_tmp")))
+  }
+
   test("malformed paths quarantine as null partition columns, not errors (F6)") {
     import spark.implicits._
     val df = Seq("""{"product_name":"X","current_price":1.0}""").toDS()

@@ -41,19 +41,35 @@ class PlanSpec extends SparkTestBase {
     // centroid table — legal at any corpus size; the corpus-side candidate
     // join must be a hash join on (cell)/(vec_id)/(query_id)
     assert(p.contains("BroadcastHashJoin"), "candidate join lost its equi-join shape")
-    val e = Similarity.ivfTopK(spark, sf).collect()
-    // IVF output agrees with the brute-force baseline where cells allow:
-    // every reported neighbor must appear with the SAME cosine in n1's full
-    // ranking universe (consistency, not recall — recall is tunable via K/nprobe)
-    val brute = Similarity.bruteForceTopK(spark, sf).collect()
-      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cos"))
+    // EVERY reported cosine must equal an independent in-test computation
+    // over the raw embeddings (not just the ones overlapping n1's top-5) —
+    // a wrong norm column or mis-joined vector fails here for all rows
+    val vecs = graft.core.Tables(spark, sf).embeddings
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray)
       .toMap
-    e.foreach { r =>
-      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
-      brute.get(key).foreach(c => assert(c === r.getAs[Double]("cos"),
-        s"cosine mismatch vs brute force for $key"))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      // HALF_UP to match Spark's round()
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     }
+    val e = Similarity.ivfTopK(spark, sf).collect()
     assert(e.nonEmpty)
+    e.foreach { r =>
+      val expect = cos(vecs(r.getAs[Long]("query_id")), vecs(r.getAs[Long]("neighbor_id")))
+      assert(math.abs(expect - r.getAs[Double]("cos")) < 1e-9,
+        s"cosine mismatch for (${r.getAs[Long]("query_id")}, ${r.getAs[Long]("neighbor_id")})")
+    }
+    // per-query results are ranked descending with no duplicates
+    e.groupBy(_.getAs[Long]("query_id")).values.foreach { rows =>
+      val byRank = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("cos"))
+      assert(byRank.sameElements(byRank.sortBy(-(_: Double))), "ranks out of order")
+      val ids = rows.map(_.getAs[Long]("neighbor_id"))
+      assert(ids.distinct.length === ids.length)
+    }
   }
 
   test("relational joins broadcast the dimension side") {
@@ -70,10 +86,11 @@ class PlanSpec extends SparkTestBase {
     assert(plan("q3_shipping_priority").contains("TakeOrderedAndProject"))
   }
 
-  test("fingerprinting (t4) is a pure projection — no exchange at all") {
+  test("fingerprinting (t4) never shuffles per-SHINGLE rows") {
     val p = plan("t4_fingerprint")
-    // one AQE sort for the ORDER BY is fine; the fingerprint itself must not
-    // shuffle per-shingle rows (no Generate/explode feeding an aggregate)
+    // the plan carries exactly two benign exchanges — the narrow per-DOC
+    // Tables.spread and the final ORDER BY — but the fingerprint itself is
+    // a per-row projection: no Generate/explode feeding an aggregate
     assert(!p.contains("HashAggregate"), "t4 regressed to explode+groupBy")
   }
 }
