@@ -214,13 +214,59 @@ object TextAnalysis {
       |GROUP BY source, lang
       |ORDER BY source, lang""".stripMargin
 
+  /** TF-IDF top terms per document — the inverted-index shape every corpus
+    * pipeline builds: term frequencies per doc, document frequencies per
+    * term, smoothed idf (ln((N+1)/(df+1)) + 1), top-3 terms by score.
+    * All equi-joins on the term; the corpus count joins in as a broadcast
+    * 1-row frame so the plan stays fully declarative (no driver action).
+    * Ranking uses the ROUNDED score with a term tie-break, the cross-engine
+    * determinism contract.
+    */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir).documents
+    val toks = Tables.spread(docs.select("doc_id", "text"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * (log((col("n") + 1.0) / (col("df") + 1.0)) + 1.0), 4))
+    val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("term"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("doc_id", "rank", "term", "tfidf")
+      .orderBy("doc_id", "rank")
+  }
+
+  val tfidfTopTermsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |scored AS (
+      |  SELECT doc_id, term,
+      |    round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 4) AS tfidf
+      |  FROM tf JOIN df USING (term) CROSS JOIN n)
+      |SELECT doc_id, rank, term, tfidf
+      |FROM (SELECT *, CAST(row_number() OVER (
+      |        PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rank
+      |      FROM scored)
+      |WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_lang_id" -> (langId _),
     "t2_quality_score" -> (qualityScore _),
     "t3_token_counts" -> (tokenCounts _),
     "t4_fingerprint" -> (fingerprint _),
     "t5_fingerprint_clusters" -> (fingerprintClusters _),
-    "t6_corpus_stats" -> (corpusStats _))
+    "t6_corpus_stats" -> (corpusStats _),
+    "t9_tfidf_top_terms" -> (tfidfTopTerms _))
 
   val oracles: Map[String, String] = Map(
     "t1_lang_id" -> langIdSql,
@@ -228,5 +274,6 @@ object TextAnalysis {
     "t3_token_counts" -> tokenCountsSql,
     "t4_fingerprint" -> fingerprintSql,
     "t5_fingerprint_clusters" -> fingerprintClustersSql,
-    "t6_corpus_stats" -> corpusStatsSql)
+    "t6_corpus_stats" -> corpusStatsSql,
+    "t9_tfidf_top_terms" -> tfidfTopTermsSql)
 }
