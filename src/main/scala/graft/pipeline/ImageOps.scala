@@ -79,6 +79,37 @@ object ImageOps {
       (r.toDouble / n, g.toDouble / n, b.toDouble / n)
     }
 
+  /** 64-bit average-hash (aHash), the standard perceptual image
+    * fingerprint: decode → 8×8 bilinear downscale → luminance → each bit =
+    * pixel ≥ mean. Stable under re-encoding and resizing, one Long per
+    * image — the multimodal twin of the text fingerprint (t4): exact-dup
+    * and near-dup detection over image columns via plain groupBy/equi-join
+    * on the hash, never a pixel comparison.
+    */
+  def aHash(bytes: Array[Byte]): Option[Long] =
+    Option(ImageIO.read(new ByteArrayInputStream(bytes))).map { img =>
+      val small = new BufferedImage(8, 8, BufferedImage.TYPE_3BYTE_BGR)
+      val g = small.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, 8, 8, null)
+      } finally g.dispose()
+      val lum = new Array[Int](64)
+      var i = 0
+      while (i < 64) {
+        val p = small.getRGB(i % 8, i / 8)
+        // integer Rec.601 luma ×1000 — no float rounding in the threshold
+        lum(i) = ((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 + (p & 0xff) * 114
+        i += 1
+      }
+      val mean = lum.sum / 64
+      var h = 0L
+      i = 0
+      while (i < 64) { if (lum(i) >= mean) h |= (1L << i); i += 1 }
+      h
+    }
+
   def encodeJpeg(img: BufferedImage, quality: Float): Array[Byte] = {
     val writer = ImageIO.getImageWritersByFormatName("jpg").next()
     val params = writer.getDefaultWriteParam

@@ -129,6 +129,37 @@ object BinaryPipeline {
        |ORDER BY province, date_range, page, i""".stripMargin
   }
 
+  // ------------------------------------------------------------------ c3
+
+  /** Perceptual image dedup over the crop images: 64-bit aHash per crop
+    * (ImageOps.aHash — real decode, 8×8 luminance threshold) + same-hash
+    * group sizes. The multimodal twin of exact text dedup (d1): one Long
+    * per image, dup discovery is a groupBy on the hash — pixels never
+    * shuffle and are decoded exactly once. No SQL oracle (DuckDB cannot
+    * decode JPEG) → driver rows-only check; pixel-level semantics are
+    * spec-tested (determinism, re-encode stability, distinctness).
+    */
+  def cropAhash(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    resetZones()
+    FixtureBinaries.writeRawPdfs(RawRoot)
+    ConvertJob.run(spark, RawRoot, InterimRoot)
+    val crops = CropJob.run(spark, InterimRoot, ProductPipeline.SilverGlob, ShrRoot)
+    val ah = udf((b: Array[Byte]) => ImageOps.aHash(b))
+    val k = split(col("page_key"), "/")
+    crops
+      .withColumn("ahash", ah(col("crop")))
+      .withColumn("n_same_hash",
+        count(lit(1)).over(Window.partitionBy("ahash")).cast("long"))
+      .select(
+        try_element_at(k, lit(1)).as("province"),
+        try_element_at(k, lit(3)).as("page"),
+        col("crop_file"),
+        format_string("%016x", col("ahash")).as("ahash_hex"),
+        col("n_same_hash"))
+      .orderBy("province", "page", "crop_file")
+  }
+
   // -------------------------------------------------------------- x1/x2
 
   /** In-memory page frame with the {province}/{flyer}/page_N join key —
@@ -202,6 +233,7 @@ object BinaryPipeline {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_pdf_pages" -> (pdfPages _),
     "c2_product_crops" -> (productCrops _),
+    "c3_crop_ahash" -> (cropAhash _),
     "x1_extract_products" -> (extractProducts _),
     "x2_extract_status" -> (extractStatus _))
 

@@ -32,12 +32,27 @@ class ImageOpsSpec extends SparkTestBase {
     }
   }
 
+  test("aHash is deterministic, survives re-encoding, and separates different images") {
+    val h1 = ImageOps.aHash(page)
+    assert(h1.isDefined)
+    assert(ImageOps.aHash(page) === h1, "same bytes must hash identically")
+    // re-encode via a lossy resize round-trip at the same dims: perceptual
+    // hash must be stable (that is its entire point vs md5)
+    val dims = ImageOps.decodeDims(page).get
+    val reenc = ImageOps.resizeJpeg(page, dims._1, dims._2).get
+    assert(ImageOps.aHash(reenc) === h1, "aHash must survive JPEG re-encoding")
+    // a different page (different md5 fill + band position) must not collide
+    val other = StubRasterizer.rasterize(FixtureBinaries.minimalPdf(2)).last
+    assert(ImageOps.aHash(other) !== h1)
+  }
+
   test("undecodable bytes yield None across all operators") {
     val junk = Array[Byte](1, 2, 3, 4)
     assert(ImageOps.decodeDims(junk).isEmpty)
     assert(ImageOps.resizeJpeg(junk, 10, 10).isEmpty)
     assert(ImageOps.meanRgb(junk).isEmpty)
     assert(ImageOps.cropJpeg(junk, 0, 0, 5, 5).isEmpty)
+    assert(ImageOps.aHash(junk).isEmpty)
   }
 
   test("degenerate crop windows yield None, not errors") {
