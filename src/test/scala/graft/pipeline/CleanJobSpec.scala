@@ -182,6 +182,22 @@ class CleanJobSpec extends SparkTestBase {
     assert(!Files.exists(Paths.get(s"$root.__merge_tmp")))
   }
 
+  test("schema drift: unknown extra keys are ignored, known keys still conform (§7.4 item 6)") {
+    val silver = scratch("clean-drift")
+    val dir = Paths.get(s"$silver/Gauteng/13_February_-_15_February_2026")
+    Files.createDirectories(dir)
+    // the LLM extractor added fields nobody asked for — conformance must
+    // project them away without error and keep every contracted column
+    Files.writeString(dir.resolve("page_1.json"),
+      """[{"product_name":"Drifty","current_price":9.99,
+        |  "llm_confidence":0.87,"extra_nested":{"a":[1,2]},"emoji":"✨"}]""".stripMargin)
+    val rows = CleanJob.clean(CleanJob.readSilver(spark, s"$silver/*/*/*.json")).collect()
+    assert(rows.length === 1)
+    assert(rows(0).getAs[String]("product_name") === "Drifty")
+    assert(rows(0).getAs[Double]("current_price") === 9.99)
+    assert(rows(0).schema.fieldNames.toSeq === ProductSchema.cleanColumns)
+  }
+
   test("malformed paths quarantine as null partition columns, not errors (F6)") {
     import spark.implicits._
     val df = Seq("""{"product_name":"X","current_price":1.0}""").toDS()
