@@ -95,11 +95,52 @@ object Sampling {
       |SELECT doc_id, n_tokens, cum_before // 5000 AS shard_id
       |FROM c ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------------------------- t10
+
+  /** Per-stratum rates in permille: downsample the dominant language, keep
+    * the rest at a higher rate — the corpus-rebalancing step before
+    * training. Unlisted strata fall back to the default rate.
+    */
+  private val StratumPermille: Seq[(String, Int)] =
+    Seq("en" -> 50, "fr" -> 200, "es" -> 200)
+  private val DefaultPermille = 500
+
+  /** Stratified deterministic sample: same salted-hash mechanism as [[t7
+    * hashSample]], but the keep-threshold comes from a per-stratum rate map
+    * (a broadcast-free map literal — Catalyst folds the lookup into the
+    * row predicate). Still a pure filter: no shuffle, reproducible at any
+    * parallelism, and the same doc keeps/drops consistently as rates for
+    * OTHER strata change.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    VectorOps.register(spark) // graft_hash60
+    val rate = StratumPermille.foldLeft(lit(DefaultPermille)) {
+      case (acc, (lang, pm)) => when(col("lang") === lang, lit(pm)).otherwise(acc)
+    }
+    Tables(spark, dir).documents
+      .filter(
+        hash60(concat(lit("graft-strat|"), col("doc_id").cast("string"))) % 1000 < rate)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  val stratifiedSampleSql: String = {
+    val h = hash60Sql("'graft-strat|' || CAST(doc_id AS VARCHAR)")
+    val rate = StratumPermille.reverse.foldRight(s"$DefaultPermille") {
+      case ((lang, pm), acc) => s"CASE WHEN lang = '$lang' THEN $pm ELSE $acc END"
+    }
+    s"""SELECT doc_id, lang FROM documents
+       |WHERE $h % 1000 < $rate
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t7_hash_sample" -> (hashSample _),
-    "t8_token_shards" -> (tokenShards _))
+    "t8_token_shards" -> (tokenShards _),
+    "t10_stratified_sample" -> (stratifiedSample _))
 
   val oracles: Map[String, String] = Map(
     "t7_hash_sample" -> hashSampleSql,
-    "t8_token_shards" -> tokenShardsSql)
+    "t8_token_shards" -> tokenShardsSql,
+    "t10_stratified_sample" -> stratifiedSampleSql)
 }
