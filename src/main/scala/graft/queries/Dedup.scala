@@ -327,7 +327,46 @@ object Dedup {
        |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        |ORDER BY cos DESC, id1, id2 LIMIT 20""".stripMargin
 
+  /** Cross-document repeated substrings (the boilerplate/substring-dedup
+    * pass): hash every 64-char window at stride 32 and report windows seen
+    * in ≥2 distinct documents. Stride-32 detects repeats whose offsets
+    * agree mod 32 — whole-document copies, shared prefixes, and
+    * fixed-position boilerplate, the dominant cases in page-level corpus
+    * dedup; arbitrary-alignment substring dedup is the SAME query at
+    * stride 1 (32× the rows, one constant). Pure explode → hash-aggregate
+    * on a long — the shuffle carries (doc_id, hash) pairs, never text, and
+    * the group-by key domain is the distinct-window space.
+    */
+  def substringDups(spark: SparkSession, dir: String): DataFrame = {
+    VectorOps.register(spark) // graft_hash60
+    val wins = Tables.spread(
+      Tables(spark, dir).documents.select("doc_id", "text"))
+      .filter(length(col("text")) >= 64)
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(0, (length(text) - 64) DIV 32)")).as("i"))
+      .select(col("doc_id"), hash60(expr("substring(text, i * 32 + 1, 64)")).as("wh"))
+    wins.groupBy("wh")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("wh")
+  }
+
+  val substringDupsSql: String =
+    s"""WITH idx AS (
+       |  SELECT doc_id, text,
+       |    unnest(generate_series(0, CAST((length(text) - 64) // 32 AS INTEGER))) AS i
+       |  FROM documents WHERE length(text) >= 64),
+       |w AS (
+       |  SELECT doc_id, ${hash60Sql("substring(text, i * 32 + 1, 64)")} AS wh
+       |  FROM idx)
+       |SELECT wh, count(DISTINCT doc_id) AS n_docs,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM w GROUP BY wh HAVING count(DISTINCT doc_id) >= 2
+       |ORDER BY wh""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d7_substring_dups" -> (substringDups _),
     "d1_exact_dedup" -> (exactDedup _),
     "d2_minhash_lsh" -> (minhashLsh _),
     "d3_simhash" -> (simhash _),
@@ -336,6 +375,7 @@ object Dedup {
     "d6_embedding_near_dup" -> (embeddingNearDup _))
 
   val oracles: Map[String, String] = Map(
+    "d7_substring_dups" -> substringDupsSql,
     "d1_exact_dedup" -> exactDedupSql,
     "d2_minhash_lsh" -> minhashLshSql,
     "d3_simhash" -> simhashSql,
