@@ -88,13 +88,15 @@ object ImageOps {
     */
   def aHash(bytes: Array[Byte]): Option[Long] =
     Option(ImageIO.read(new ByteArrayInputStream(bytes))).map { img =>
-      val small = new BufferedImage(8, 8, BufferedImage.TYPE_3BYTE_BGR)
-      val g = small.createGraphics()
-      try {
-        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-        g.drawImage(img, 0, 0, 8, 8, null)
-      } finally g.dispose()
+      // pyramid-downscale by halving: one-step bilinear to 8x8 samples only
+      // a 2x2 neighborhood per output pixel (point sampling on big images),
+      // which would break hash stability under resizing — the property the
+      // perceptual dedup depends on
+      var cur = img
+      while (cur.getWidth > 16 || cur.getHeight > 16)
+        cur = renderScaled(cur,
+          math.max(8, cur.getWidth / 2), math.max(8, cur.getHeight / 2))
+      val small = renderScaled(cur, 8, 8)
       val lum = new Array[Int](64)
       var i = 0
       while (i < 64) {
@@ -109,6 +111,17 @@ object ImageOps {
       while (i < 64) { if (lum(i) >= mean) h |= (1L << i); i += 1 }
       h
     }
+
+  private def renderScaled(img: BufferedImage, w: Int, h: Int): BufferedImage = {
+    val out = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    val g = out.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null)
+    } finally g.dispose()
+    out
+  }
 
   def encodeJpeg(img: BufferedImage, quality: Float): Array[Byte] = {
     val writer = ImageIO.getImageWritersByFormatName("jpg").next()

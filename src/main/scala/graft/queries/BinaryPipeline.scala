@@ -149,15 +149,19 @@ object BinaryPipeline {
     val k = split(col("page_key"), "/")
     crops
       .withColumn("ahash", ah(col("crop")))
+      // undecodable crops hash to null — they are broken inputs, not a
+      // perceptual dup group, and must not collapse into one null bucket
+      .filter(col("ahash").isNotNull)
       .withColumn("n_same_hash",
         count(lit(1)).over(Window.partitionBy("ahash")).cast("long"))
       .select(
         try_element_at(k, lit(1)).as("province"),
+        try_element_at(k, lit(2)).as("date_range"),
         try_element_at(k, lit(3)).as("page"),
         col("crop_file"),
         format_string("%016x", col("ahash")).as("ahash_hex"),
         col("n_same_hash"))
-      .orderBy("province", "page", "crop_file")
+      .orderBy("province", "date_range", "page", "crop_file")
   }
 
   // -------------------------------------------------------------- x1/x2

@@ -126,8 +126,9 @@ object Sampling {
 
   val stratifiedSampleSql: String = {
     val h = hash60Sql("'graft-strat|' || CAST(doc_id AS VARCHAR)")
-    val rate = StratumPermille.reverse.foldRight(s"$DefaultPermille") {
-      case ((lang, pm), acc) => s"CASE WHEN lang = '$lang' THEN $pm ELSE $acc END"
+    // same foldLeft shape as the Spark twin above — identical CASE nesting
+    val rate = StratumPermille.foldLeft(s"$DefaultPermille") {
+      case (acc, (lang, pm)) => s"CASE WHEN lang = '$lang' THEN $pm ELSE $acc END"
     }
     s"""SELECT doc_id, lang FROM documents
        |WHERE $h % 1000 < $rate

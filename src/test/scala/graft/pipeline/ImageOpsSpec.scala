@@ -41,8 +41,17 @@ class ImageOpsSpec extends SparkTestBase {
     val dims = ImageOps.decodeDims(page).get
     val reenc = ImageOps.resizeJpeg(page, dims._1, dims._2).get
     assert(ImageOps.aHash(reenc) === h1, "aHash must survive JPEG re-encoding")
-    // a different page (different md5 fill + band position) must not collide
-    val other = StubRasterizer.rasterize(FixtureBinaries.minimalPdf(2)).last
+    // a half-size rendition of the same image must stay within a small
+    // hamming distance — the resize-stability property the pyramid
+    // downscale exists for (one-step bilinear would point-sample and fail)
+    val half = ImageOps.resizeJpeg(page, dims._1 / 2, dims._2 / 2).get
+    val hd = java.lang.Long.bitCount(ImageOps.aHash(half).get ^ h1.get)
+    assert(hd <= 8, s"aHash must survive downscaling (hamming $hd)")
+    // a STRUCTURALLY different image must not collide: a crop excluding
+    // the white band is a uniform field (all bits ≥ mean), unlike the
+    // banded page. (Two stub pages with bands in the same 8x8 cell
+    // correctly DO collide — aHash keys on structure, not fill color.)
+    val other = ImageOps.cropJpeg(page, 0, 50, 248, 350).get
     assert(ImageOps.aHash(other) !== h1)
   }
 
