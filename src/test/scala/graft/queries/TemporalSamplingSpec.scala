@@ -88,6 +88,22 @@ class TemporalSamplingSpec extends SparkTestBase {
       s"sampling must not shuffle (only the final sort may):\n$plan")
   }
 
+  test("stratified sample is deterministic and actually downsamples the heavy stratum (t10)") {
+    val a = Sampling.stratifiedSample(spark, Sf).collect()
+    val b = Sampling.stratifiedSample(spark, Sf).collect()
+    assert(a.map(_.toString).sameElements(b.map(_.toString)))
+    val docs = graft.core.Tables(spark, Sf).documents
+      .groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    val kept = a.groupBy(_.getAs[String]("lang")).view.mapValues(_.length.toLong).toMap
+    // en keeps ~5%, others ≥20%: the en keep-RATE must be well below the rest
+    val enRate = kept.getOrElse("en", 0L).toDouble / docs("en")
+    val restKept = (kept - "en").values.sum.toDouble
+    val restTotal = (docs - "en").values.sum.toDouble
+    assert(enRate < restKept / restTotal,
+      s"en rate $enRate not below rest ${restKept / restTotal}")
+  }
+
   test("two-level token sharding equals the flat running sum (t8)") {
     val docs = graft.core.Tables(spark, Sf).documents
       .select("doc_id", "text").collect()
