@@ -19,6 +19,8 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.warehouse.dir", "target/warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -34,30 +36,48 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       // best of two runs: single-shot numbers swing ±15% from GC/JIT noise
       // (measured across identical runs); min-of-2 reports the query's
-      // actual cost, not whichever pause landed on it
-      val times = (1 to 2).map { _ =>
+      // actual cost, not whichever pause landed on it. A run that throws
+      // contributes NO time — a broken query must read as failed, not as
+      // a fast time-to-exception.
+      val times = (1 to 2).flatMap { _ =>
         // clean slate between queries: prior queries' garbage (shuffle
         // buffers, codegen classes) otherwise bills GC pauses to whoever
         // runs next — measured up to 8x inflation on trivial projections
         System.gc()
         val t0 = System.nanoTime()
-        try materialize(fn(spark, sfDir)) catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          materialize(fn(spark, sfDir))
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          None
+        }
       }
-      name -> times.min
+      name -> times.minOption
     }
     // 2-decimal (10 ms) precision, trailing zeros stripped, sf as basename:
-    // keeps the ONE-line contract compact enough to fit (nearly) entirely
-    // inside consumers that only retain a bounded tail of the output
+    // keeps every line compact for consumers that retain a bounded tail
     def f3(v: Double): String =
       java.math.BigDecimal.valueOf(v)
         .setScale(2, java.math.RoundingMode.HALF_UP)
         .stripTrailingZeros().toPlainString()
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    def qjson(kv: Seq[(String, Double)]): String =
+      kv.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+    val failed = results.collect { case (n, None) => n }
+    val ok = results.collect { case (n, Some(t)) => n -> t }
     val sfName = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}""")
+    // Output layout for a consumer that keeps only a bounded TAIL of
+    // stdout: the full per-query detail goes FIRST in small chunks, and
+    // the one-line summary goes LAST so it always survives truncation.
+    // The summary's own `queries` map carries only the slowest entries —
+    // the full 70+-query map is what overran the tail in earlier rounds.
+    ok.grouped(12).zipWithIndex.foreach { case (grp, i) =>
+      println(s"""{"metric":"queries","part":${i + 1},"queries":${qjson(grp)}}""")
+    }
+    val total = ok.map(_._2).sum
+    val slowest = ok.sortBy(-_._2).take(20).sortBy(_._1)
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${qjson(slowest)},"n_queries":${ok.size},"failed":$failedJson,"sf":"$sfName"}""")
     spark.stop()
   }
 }

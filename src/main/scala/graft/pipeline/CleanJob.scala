@@ -218,7 +218,19 @@ object CleanJob {
     * without a crawler: the write IS the catalog update.
     */
   def writeCleanAsTable(df: DataFrame, tableName: String): Unit = {
-    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val spark = df.sparkSession
+    // Re-registration must be idempotent across metastore lifetimes: a
+    // fresh catalog with a leftover managed-table directory (e.g. from a
+    // crashed prior run) fails saveAsTable with LOCATION_ALREADY_EXISTS —
+    // drop the entry AND clear the orphan location first.
+    spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
+    val loc = new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath match {
+      case p if p != null && p.nonEmpty => s"$p/$tableName"
+      case _ => s"spark-warehouse/$tableName"
+    }
+    graft.core.FsUtil.deleteRecursively(loc)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     df.write
       .mode("overwrite")
       .partitionBy(ProductSchema.partitionColumns: _*)

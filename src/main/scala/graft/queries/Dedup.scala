@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -233,9 +234,21 @@ object Dedup {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
        |ORDER BY d1, d2""".stripMargin
 
+  /** Grams seen in more documents than this are dropped before the pair
+    * join (and from the Jaccard universe, identically in the oracle). A
+    * single boilerplate gram shared by d documents creates a d²/2-pair
+    * bucket in the self-join; capping d bounds any one gram's bucket to
+    * ≤ MaxGramDf²/2 pairs no matter the corpus size. Chosen far above the
+    * fixture max DF (25 at sf0.1) so test-scale results are unchanged; at
+    * production scale it redefines jaccard over the sub-boilerplate gram
+    * vocabulary, which is the standard near-dup practice.
+    */
+  val MaxGramDf = 1000L
+
   /** Word-3-gram Jaccard near-dup pairs ≥ 0.5, candidates = any shared gram.
     * No LSH — this is the exact (more expensive) variant; the join on gram
-    * values bounds work by actual overlap.
+    * values bounds work by actual overlap, and [[MaxGramDf]] bounds the
+    * worst-case bucket a high-document-frequency gram can create.
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
@@ -246,11 +259,16 @@ object Dedup {
     // interpreted per-row array build)
     val gram = expr(
       "concat_ws(' ', try_element_at(t, i), try_element_at(t, i + 1), try_element_at(t, i + 2))")
+    // DF guard as a window over g: one shuffle on the gram, which the
+    // self-join below (also keyed on g) reuses instead of re-exchanging
     val sh = toks
       .select(col("doc_id"), col("t"),
         explode(expr("sequence(1, greatest(size(t) - 2, 1))")).as("i"))
       .select(col("doc_id"), gram.as("g"))
       .distinct()
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
+      .filter(col("df") <= MaxGramDf)
+      .drop("df")
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
@@ -269,9 +287,13 @@ object Dedup {
 
   val ngramJaccardSql: String =
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-       |sh AS (
+       |sh0 AS (
        |  SELECT DISTINCT doc_id, g FROM (
        |    SELECT doc_id, unnest(${TextHash.wordNgramsSql("t", 3)}) AS g FROM toks)),
+       |sh AS (
+       |  SELECT doc_id, g FROM (
+       |    SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df FROM sh0)
+       |  WHERE df <= $MaxGramDf),
        |counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
        |inter AS (
        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter

@@ -3,7 +3,7 @@ package graft.queries
 import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, max}
+import org.apache.spark.sql.functions.{col, max_by, struct}
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.EventStreams
@@ -29,11 +29,11 @@ object EventStreaming {
       s"st2_mem_${runSeq.incrementAndGet()}", OutputMode.Complete())
       .orderBy("hour_ts", "event_type")
 
-  /** st3: mapGroupsWithState sessionization (streaming e2). Update mode
-    * emits one row per user per batch that touched it; the per-user counters
-    * are monotone running totals, so the FINAL state row is the per-user max
-    * — collapse on that so the result is replay-robust even if the source
-    * ever drains in more than one micro-batch.
+  /** st3: buffered sessionization (streaming e2). Update mode emits one
+    * provisional row per user per batch that touched it, tagged with a
+    * monotone per-user version; the max-version row reflects that user's
+    * complete event set, so the collapse below reproduces the batch result
+    * for ANY micro-batch split and ANY cross-batch arrival order.
     */
   def streamSessions(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -43,14 +43,17 @@ object EventStreaming {
       EventStreams.userSessions(evs).toDF(),
       s"st3_mem_${runSeq.incrementAndGet()}", OutputMode.Update())
       .groupBy("user_id")
-      .agg(max("n_sessions").as("n_sessions"), max("n_events").as("n_events"))
+      .agg(max_by(struct(col("n_sessions"), col("n_events")), col("ver")).as("s"))
+      .select(col("user_id"), col("s.n_sessions"), col("s.n_events"))
       .orderBy("user_id")
   }
 
   /** st5: streaming as-of join (attribution) via flatMapGroupsWithState.
-    * Each purchase is emitted exactly once, in the batch that delivers it,
-    * so the update-mode memory table accumulates the complete result with
-    * no per-batch duplication; the oracle is batch j1's ASOF JOIN.
+    * A purchase past the watermark is emitted once, finally; a buffered one
+    * re-emits a provisional attribution per batch, superseded by version —
+    * the max-version row per purchase equals batch j1's ASOF JOIN for any
+    * arrival order (triggers only accumulate, so attributions refine but
+    * never retract).
     */
   def streamAttribution(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -61,6 +64,12 @@ object EventStreaming {
     EventStreams.replayToTable(
       EventStreams.attribution(evs).toDF(),
       s"st5_mem_${runSeq.incrementAndGet()}", OutputMode.Update())
+      .groupBy("purchase_id")
+      .agg(max_by(
+        struct(col("user_id"), col("attributed_id"),
+          col("attributed_type"), col("lag_seconds")), col("ver")).as("s"))
+      .select(col("purchase_id"), col("s.user_id"), col("s.attributed_id"),
+        col("s.attributed_type"), col("s.lag_seconds"))
       .orderBy("purchase_id")
   }
 

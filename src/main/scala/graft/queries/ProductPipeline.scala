@@ -112,6 +112,28 @@ object ProductPipeline {
        |GROUP BY province, brand
        |ORDER BY province, brand""".stripMargin
 
+  // ------------------------------------------------------------------ p6
+
+  /** The CATALOG path (K6, the reference's Glue-catalog equivalent —
+    * `infrastructure/main.tf:288-352`): register the clean zone as a
+    * partitioned metastore table via saveAsTable, then answer p2's
+    * question through `spark.sql` over the TABLE NAME — scan, partition
+    * pruning and schema all resolved from the catalog, not from a path.
+    * The oracle is p2's independent recomputation, so a mismatch anywhere
+    * in the write-register-read round-trip fails the row hash.
+    */
+  def catalogDiscount(spark: SparkSession, dir: String): DataFrame = {
+    CleanJob.writeCleanAsTable(
+      CleanJob.clean(CleanJob.readSilver(spark, SilverGlob)), "products_clean")
+    spark.sql(
+      """SELECT province, brand,
+        |  round(avg(was_price - current_price), 4) AS avg_discount,
+        |  count(*) AS n_specials
+        |FROM products_clean WHERE was_price IS NOT NULL
+        |GROUP BY province, brand
+        |ORDER BY province, brand""".stripMargin)
+  }
+
   // ------------------------------------------------------------------ p3
 
   /** Deal-group rollup (J3): products sharing a group_id within one page
@@ -289,6 +311,7 @@ object ProductPipeline {
     "p1_clean_products" -> (cleanProducts _),
     "p2_avg_discount" -> (avgDiscount _),
     "p3_deal_groups" -> (dealGroups _),
+    "p6_catalog_discount" -> (catalogDiscount _),
     "p4_latest_catalogue" -> (latestCatalogue _),
     "p5_crop_spec" -> (cropSpec _),
     "st1_stream_clean" -> (streamClean _),
@@ -298,6 +321,7 @@ object ProductPipeline {
     "p1_clean_products" -> cleanProductsSql,
     "p2_avg_discount" -> avgDiscountSql,
     "p3_deal_groups" -> dealGroupsSql,
+    "p6_catalog_discount" -> avgDiscountSql,
     "p4_latest_catalogue" -> latestCatalogueSql,
     "p5_crop_spec" -> cropSpecSql,
     "st1_stream_clean" -> cleanProductsSql,

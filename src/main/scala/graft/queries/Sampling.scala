@@ -56,6 +56,10 @@ object Sampling {
     * Only the block-level window is unpartitioned, over corpus/BLOCK rows —
     * 256× reduction per level; at extreme scale the same construction
     * recurses. The per-doc window shuffles once on the block id.
+    *
+    * `DIV` truncates toward zero, which equals floor division only on a
+    * non-negative domain — `doc_id >= 0` and token counts `>= 0` are
+    * preconditions here (they hold for any corpus keyed by unsigned ids).
     */
   def tokenShards(spark: SparkSession, dir: String): DataFrame = {
     val Budget = 5000L
@@ -92,7 +96,7 @@ object Sampling {
       |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
       |  FROM t)
-      |SELECT doc_id, n_tokens, cum_before // 5000 AS shard_id
+      |SELECT doc_id, n_tokens, CAST(cum_before // 5000 AS BIGINT) AS shard_id
       |FROM c ORDER BY doc_id""".stripMargin
 
   // ----------------------------------------------------------------- t10

@@ -30,8 +30,12 @@ object Temporal {
     * carrying the last-seen trigger forward with a running window —
     * exactly one shuffle (on user_id), no inequality join anywhere.
     * Parallelism scales with the user population, and the per-user state
-    * is one row. (user_id, ts) is unique in the events table, so the
-    * order — and therefore the result — is deterministic.
+    * is one row. (user_id, ts) is unique in the events table, but the
+    * window order does not rely on that: same-ts purchases sort BEFORE
+    * same-ts triggers (a trigger at exactly the purchase's timestamp never
+    * attributes — strict `<`, DuckDB ASOF semantics) and same-ts triggers
+    * tie-break ascending trig_id, so `last()` picks the max — the same tie
+    * rules as the streaming twin (EventStreams.attribution).
     */
   def asofAttribution(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir).events
@@ -46,7 +50,8 @@ object Temporal {
     // running frame ends at the PREVIOUS row: "strictly earlier" by
     // construction, and a purchase row (all-null trigger cols) never
     // attributes to itself or another purchase
-    val w = Window.partitionBy("user_id").orderBy("ts")
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("trig_id").isNotNull, col("trig_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     triggers.unionByName(purchases)
       .withColumn("attributed_id", last(col("trig_id"), ignoreNulls = true).over(w))
@@ -83,6 +88,11 @@ object Temporal {
     * purchase row expands to 3). The join is a plain equi-join on a long —
     * shuffle-friendly, AQE-skew-splittable — with the exact |Δts| ≤ W
     * predicate applied after.
+    *
+    * Precondition: non-negative epoch timestamps. `DIV` truncates toward
+    * zero, which equals the floor division the covering-bucket argument
+    * needs only for ts ≥ 0 (epoch 1970+); for pre-epoch data swap in
+    * `floor(e_us / W)`.
     */
   def rangeCorrelation(spark: SparkSession, dir: String): DataFrame = {
     val WindowUs = 60000000L // 60 s in microseconds

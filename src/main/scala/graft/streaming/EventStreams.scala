@@ -55,71 +55,121 @@ object EventStreams {
 
   final case class Ev(event_id: Long, user_id: Long, ts: Timestamp)
   final case class SessState(lastTs: Long, nSessions: Long, nEvents: Long)
-  final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+  final case class SessBuf(folded: SessState, buf: Seq[Ev], ver: Long)
+  final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long, ver: Long)
 
-  /** Streaming twin of e2 via mapGroupsWithState: a session break is a
-    * >30-minute gap between a user's consecutive events. Within a batch the
-    * group iterator is sorted by (ts, event_id) — the batch query's window
-    * order — and merged into running per-user state; ProcessingTimeTimeout
-    * is deliberately unused (the state is a running total, never evicted —
-    * per-user counters are bounded by the user population).
+  private def microsOf(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  /** Streaming twin of e2 via flatMapGroupsWithState with EVENT-TIME
+    * buffering: a session break is a >30-minute gap between a user's
+    * consecutive events IN EVENT TIME, regardless of arrival order.
+    *
+    * Out-of-order contract: events within `delay` of the max seen event
+    * time may arrive in any order, across any number of micro-batches.
+    * Per-user state is (committed fold, buffer). Events at or before the
+    * watermark fold into the committed counters — the watermark guarantees
+    * nothing earlier can still arrive, so the fold is final; newer events
+    * stay buffered and are re-sorted on every invocation. Each invocation
+    * emits the PROVISIONAL totals (committed ++ sorted buffer) tagged with
+    * a monotone per-user version; the last version per user reflects that
+    * user's complete event set, so a max_by(ver) collapse downstream
+    * reproduces the batch result exactly (see EventStreaming.streamSessions).
+    * EventTimeTimeout re-invokes idle groups once the watermark passes
+    * their oldest buffered event, so buffers drain without new data.
     */
-  def userSessions(events: Dataset[Ev]): Dataset[UserSessions] = {
+  def userSessions(events: Dataset[Ev], delay: String = "40 days"): Dataset[UserSessions] = {
     import events.sparkSession.implicits._
     val GapMs = 30L * 60 * 1000
+    def fold(s0: SessState, evs: Seq[Ev]): SessState =
+      evs.foldLeft(s0) { (s, e) =>
+        val isBreak = s.lastTs == Long.MinValue || e.ts.getTime > s.lastTs + GapMs
+        SessState(e.ts.getTime,
+          s.nSessions + (if (isBreak) 1 else 0), s.nEvents + 1)
+      }
     events
+      .withWatermark("ts", delay)
       .groupByKey(_.user_id)
-      .mapGroupsWithState[SessState, UserSessions](GroupStateTimeout.NoTimeout) {
-        (user, evs, state: GroupState[SessState]) =>
-          val prior = state.getOption.getOrElse(SessState(Long.MinValue, 0L, 0L))
-          val next = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            .foldLeft(prior) { (s, e) =>
-              val isBreak = s.lastTs == Long.MinValue || e.ts.getTime > s.lastTs + GapMs
-              SessState(e.ts.getTime,
-                s.nSessions + (if (isBreak) 1 else 0), s.nEvents + 1)
-            }
-          state.update(next)
-          UserSessions(user, next.nSessions, next.nEvents)
+      .flatMapGroupsWithState[SessBuf, UserSessions](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (user, evs, state: GroupState[SessBuf]) =>
+          val prior = state.getOption
+            .getOrElse(SessBuf(SessState(Long.MinValue, 0L, 0L), Nil, 0L))
+          val wm = state.getCurrentWatermarkMs()
+          val all = (prior.buf ++ evs)
+            .sortBy(e => (microsOf(e.ts), e.event_id))
+          // ripe = final by the watermark guarantee; strict < keeps sub-ms
+          // stragglers at the boundary buffered one extra round
+          val (ripe, keep) = all.partition(_.ts.getTime < wm)
+          val committed = fold(prior.folded, ripe)
+          state.update(SessBuf(committed, keep, prior.ver + 1))
+          if (keep.nonEmpty)
+            state.setTimeoutTimestamp(math.max(wm + 1, keep.head.ts.getTime))
+          val provisional = fold(committed, keep)
+          Iterator.single(
+            UserSessions(user, provisional.nSessions, provisional.nEvents, prior.ver + 1))
       }
   }
 
   final case class AttrEv(event_id: Long, user_id: Long, ts: Timestamp, event_type: String)
   final case class AttrState(trigId: Long, trigType: String, trigTsUs: Long)
+  final case class AttrBuf(trig: AttrState, buf: Seq[AttrEv], ver: Long)
   final case class Attribution(purchase_id: Long, user_id: Long,
-    attributed_id: Long, attributed_type: String, lag_seconds: Long)
+    attributed_id: Long, attributed_type: String, lag_seconds: Long, ver: Long)
 
-  /** STREAMING AS-OF JOIN (the stateful twin of graft.queries.Temporal
-    * j1): per-user state is the last-seen view/click; each purchase emits
-    * one attribution row against it, immediately — no buffering of the
-    * probe side, state is ONE row per user. This is the shape batch as-of
-    * cannot give you: attributions stream out with arrival latency instead
-    * of waiting for a corpus-wide sort. Within a batch the group iterator
-    * is sorted by (ts, event_id); across batches the file-replay order
-    * carries state forward (the same in-order contract as
-    * [[userSessions]]).
+  /** STREAMING AS-OF JOIN (the stateful twin of graft.queries.Temporal j1):
+    * for each purchase, the latest STRICTLY-earlier view/click by the same
+    * user — strict in event time, robust to cross-batch disorder.
+    *
+    * Same buffering contract as [[userSessions]]: per-user state is the
+    * last trigger at-or-before the watermark plus a buffer of newer events.
+    * Ripe events fold in event-time order — each ripe purchase's
+    * attribution is FINAL (every event that could precede it is ripe too)
+    * and the purchase leaves state. Buffered purchases re-emit a
+    * provisional attribution each invocation, superseded by version;
+    * triggers can only be added, so an attribution can be refined but never
+    * retracted, and max_by(ver) per purchase downstream equals the batch
+    * as-of result. Ties: among same-timestamp triggers the max event_id
+    * wins (the batch window's (ts, trig_id) order); a trigger at exactly a
+    * purchase's timestamp does NOT attribute (strict <, matching ASOF).
     */
-  def attribution(events: Dataset[AttrEv]): Dataset[Attribution] = {
+  def attribution(events: Dataset[AttrEv], delay: String = "40 days"): Dataset[Attribution] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", delay)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[AttrState, Attribution](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (user, evs, state: GroupState[AttrState]) =>
-          def us(t: Timestamp): Long =
-            t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
-          var st = state.getOption.getOrElse(AttrState(-1L, null, Long.MinValue))
+      .flatMapGroupsWithState[AttrBuf, Attribution](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (user, evs, state: GroupState[AttrBuf]) =>
+          val prior = state.getOption
+            .getOrElse(AttrBuf(AttrState(-1L, null, Long.MinValue), Nil, 0L))
+          val wm = state.getCurrentWatermarkMs()
+          val all = (prior.buf ++ evs)
+            .sortBy(e => (microsOf(e.ts), e.event_id))
+          val (ripe, keep) = all.partition(_.ts.getTime < wm)
           val out = Seq.newBuilder[Attribution]
-          evs.toSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
-            e.event_type match {
-              case "purchase" =>
-                if (st.trigId >= 0)
-                  out += Attribution(e.event_id, user, st.trigId, st.trigType,
-                    (us(e.ts) - st.trigTsUs) / 1000000L)
-              case _ => // view / click (callers pre-filter the rest)
-                st = AttrState(e.event_id, e.event_type, us(e.ts))
+          val ver = prior.ver + 1
+          // replay `evs` from `st`, emitting attributions for purchases;
+          // strict trigTsUs < ts so a same-instant trigger never attributes
+          def replay(st0: AttrState, evs: Seq[AttrEv]): AttrState = {
+            var st = st0
+            evs.foreach { e =>
+              e.event_type match {
+                case "purchase" =>
+                  if (st.trigId >= 0 && st.trigTsUs < microsOf(e.ts))
+                    out += Attribution(e.event_id, user, st.trigId, st.trigType,
+                      (microsOf(e.ts) - st.trigTsUs) / 1000000L, ver)
+                case _ => // view / click (callers pre-filter the rest)
+                  st = AttrState(e.event_id, e.event_type, microsOf(e.ts))
+              }
             }
+            st
           }
-          state.update(st)
+          val committed = replay(prior.trig, ripe) // final rows, leave state
+          replay(committed, keep)                  // provisional rows, stay buffered
+          state.update(AttrBuf(committed, keep, ver))
+          if (keep.nonEmpty)
+            state.setTimeoutTimestamp(math.max(wm + 1, keep.head.ts.getTime))
           out.result().iterator
       }
   }
