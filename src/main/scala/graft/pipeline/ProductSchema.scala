@@ -30,6 +30,15 @@ object ProductSchema {
   val silver: StructType = StructType(Seq(
     StructField("product_name", StringType),
     StructField("brand", StringType),
+    // Prices stay DoubleType, NOT DecimalType(10,2): the extractor emits
+    // JSON numbers and the whole verification chain (DuckDB read_json
+    // DOUBLE columns → pandas float64 row hashing) compares binary-equal
+    // doubles, so Double is what keeps the oracle exact here. A production
+    // 100 TB deployment exposed to currency arithmetic (sums across
+    // billions of rows, tax/discount chains) should switch these two
+    // fields to DecimalType(10,2) — exact accumulation, no float drift —
+    // at the cost of ~2x agg width; the engine code is type-agnostic
+    // (no float-specific ops on prices outside round()).
     StructField("current_price", DoubleType),
     StructField("was_price", DoubleType),
     StructField("weight_volume", StringType),

@@ -67,6 +67,60 @@ object StubRasterizer extends PageRasterizer {
   }
 }
 
+/** Photographic-ish stub renderer: a smooth seeded 2-D luminance wave plus
+  * per-pixel noise, real JPEG encode. Same fan-out contract as
+  * [[StubRasterizer]] (page count from the real PDF structure), but the
+  * pixels have the continuous, non-uniform luminance distribution of a
+  * photograph — the regime the perceptual aHash dedup (c3) actually targets,
+  * which flat fills never exercise. Still NOT a real PDF decode: no PDF
+  * raster library exists in this offline environment (see COVERAGE.md);
+  * a real renderer swaps in behind [[PageRasterizer]] unchanged.
+  */
+object PhotoRasterizer extends PageRasterizer {
+
+  val PageWidth: Int = StubRasterizer.PageWidth
+  val PageHeight: Int = StubRasterizer.PageHeight
+
+  override def rasterize(pdfBytes: Array[Byte]): Seq[Array[Byte]] = {
+    val digest = MessageDigest.getInstance("MD5").digest(pdfBytes)
+    val base = java.nio.ByteBuffer.wrap(digest).getLong
+    (0 until StubRasterizer.pageCount(pdfBytes))
+      .map(i => renderPhoto(base + i, PageWidth, PageHeight))
+  }
+
+  /** Deterministic "photo": seed fixes the wave orientation, frequency,
+    * phase and brightness; a seeded PRNG adds ±15 uniform noise per pixel.
+    * The noise averages out under aHash's 8×8 pooling (each cell pools
+    * hundreds of pixels), so near-dup detection across resize/re-encode
+    * holds, while different seeds give structurally different images.
+    */
+  def renderPhoto(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val rnd = new java.util.Random(seed)
+    val angle = rnd.nextDouble() * math.Pi
+    val freq = 1.5 + rnd.nextDouble() * 2.5
+    val phase = rnd.nextDouble() * math.Pi
+    val base = 90 + rnd.nextInt(60)
+    val (dx, dy) = (math.cos(angle), math.sin(angle))
+    val span = math.max(w, h).toDouble
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val u = (x * dx + y * dy) / span
+        val lum = base + 70.0 * math.sin(u * freq * math.Pi + phase)
+        val noise = rnd.nextInt(31) - 15
+        def ch(off: Int): Int =
+          math.min(255, math.max(0, (lum + noise + off).toInt))
+        img.setRGB(x, y, (ch(10) << 16) | (ch(0) << 8) | ch(-10))
+        x += 1
+      }
+      y += 1
+    }
+    ImageOps.encodeJpeg(img, quality = 0.9f)
+  }
+}
+
 /** Deterministic fixture binaries for the raw zone (FIXTURES.md A3): a
   * hand-written minimal PDF (uncompressed objects, one `/Type /Page` per
   * page) that the stub rasterizer can page-count.

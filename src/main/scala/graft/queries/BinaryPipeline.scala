@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{BboxOps, ProductNormalize}
-import graft.pipeline.{ConvertJob, CropJob, ExtractJob, FixtureBinaries, FixtureExtractor, ImageOps, StubRasterizer}
+import graft.pipeline.{ConvertJob, CropJob, ExtractJob, FixtureBinaries, FixtureExtractor, ImageOps, PhotoRasterizer, StubRasterizer}
 
 /** The binary (multimodal) pipeline exercised as oracle-checked queries:
   * raw PDFs → page images (ConvertJob, stub-rendered but really encoded
@@ -135,15 +135,22 @@ object BinaryPipeline {
     * (ImageOps.aHash — real decode, 8×8 luminance threshold) + same-hash
     * group sizes. The multimodal twin of exact text dedup (d1): one Long
     * per image, dup discovery is a groupBy on the hash — pixels never
-    * shuffle and are decoded exactly once. No SQL oracle (DuckDB cannot
-    * decode JPEG) → driver rows-only check; pixel-level semantics are
-    * spec-tested (determinism, re-encode stability, distinctness).
+    * shuffle and are decoded exactly once. Pages render through
+    * PhotoRasterizer (seeded gradient+noise), so the hash sees continuous
+    * photographic-like luminance, not flat fills. No SQL oracle (DuckDB
+    * cannot decode JPEG) → driver rows-only check; pixel-level semantics
+    * are spec-tested (determinism, re-encode stability, near-dup across
+    * resize, separation of distinct photos).
     */
   def cropAhash(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     resetZones()
     FixtureBinaries.writeRawPdfs(RawRoot)
-    ConvertJob.run(spark, RawRoot, InterimRoot)
+    // photographic-ish pages (seeded gradient + noise), not flat stub
+    // fills: the perceptual hash must see realistic luminance
+    ConvertJob.writeImages(
+      ConvertJob.pages(ConvertJob.readPdfs(spark, RawRoot), PhotoRasterizer),
+      InterimRoot)
     val crops = CropJob.run(spark, InterimRoot, ProductPipeline.SilverGlob, ShrRoot)
     val ah = udf((b: Array[Byte]) => ImageOps.aHash(b))
     val k = split(col("page_key"), "/")

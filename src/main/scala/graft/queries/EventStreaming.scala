@@ -35,17 +35,23 @@ object EventStreaming {
     * complete event set, so the collapse below reproduces the batch result
     * for ANY micro-batch split and ANY cross-batch arrival order.
     */
-  def streamSessions(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val evs = EventStreams.readEvents(spark, dir)
-      .select("event_id", "user_id", "ts").as[EventStreams.Ev]
-    EventStreams.replayToTable(
-      EventStreams.userSessions(evs).toDF(),
-      s"st3_mem_${runSeq.incrementAndGet()}", OutputMode.Update())
+  /** Collapse versioned update-mode session rows to the final per-user
+    * result: the max-version row per user reflects the complete event set.
+    */
+  def collapseSessions(updates: DataFrame): DataFrame =
+    updates
       .groupBy("user_id")
       .agg(max_by(struct(col("n_sessions"), col("n_events")), col("ver")).as("s"))
       .select(col("user_id"), col("s.n_sessions"), col("s.n_events"))
       .orderBy("user_id")
+
+  def streamSessions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val evs = EventStreams.readEvents(spark, dir)
+      .select("event_id", "user_id", "ts").as[EventStreams.Ev]
+    collapseSessions(EventStreams.replayToTable(
+      EventStreams.userSessions(evs).toDF(),
+      s"st3_mem_${runSeq.incrementAndGet()}", OutputMode.Update()))
   }
 
   /** st5: streaming as-of join (attribution) via flatMapGroupsWithState.
@@ -55,15 +61,11 @@ object EventStreaming {
     * arrival order (triggers only accumulate, so attributions refine but
     * never retract).
     */
-  def streamAttribution(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val evs = EventStreams.readEvents(spark, dir)
-      .filter(col("event_type").isin("view", "click", "purchase"))
-      .select("event_id", "user_id", "ts", "event_type")
-      .as[EventStreams.AttrEv]
-    EventStreams.replayToTable(
-      EventStreams.attribution(evs).toDF(),
-      s"st5_mem_${runSeq.incrementAndGet()}", OutputMode.Update())
+  /** Collapse versioned update-mode attribution rows: max-version per
+    * purchase (attributions refine but never retract as triggers arrive).
+    */
+  def collapseAttribution(updates: DataFrame): DataFrame =
+    updates
       .groupBy("purchase_id")
       .agg(max_by(
         struct(col("user_id"), col("attributed_id"),
@@ -71,6 +73,16 @@ object EventStreaming {
       .select(col("purchase_id"), col("s.user_id"), col("s.attributed_id"),
         col("s.attributed_type"), col("s.lag_seconds"))
       .orderBy("purchase_id")
+
+  def streamAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val evs = EventStreams.readEvents(spark, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select("event_id", "user_id", "ts", "event_type")
+      .as[EventStreams.AttrEv]
+    collapseAttribution(EventStreams.replayToTable(
+      EventStreams.attribution(evs).toDF(),
+      s"st5_mem_${runSeq.incrementAndGet()}", OutputMode.Update()))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

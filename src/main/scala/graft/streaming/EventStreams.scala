@@ -30,13 +30,18 @@ object EventStreams {
 
   /** Replay an events parquet zone as a stream (the streaming file source
     * takes a DIRECTORY; the glob filter selects the events table out of the
-    * shared sf dir — F2 as a file-index predicate again).
+    * shared sf dir — F2 as a file-index predicate again). `maxFilesPerTrigger`
+    * caps each micro-batch at N files — the multi-batch replay knob the
+    * out-of-order specs use to force cross-batch disorder.
     */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+  def readEvents(spark: SparkSession, dir: String,
+      glob: String = "events.parquet",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val r = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", glob)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 

@@ -55,6 +55,24 @@ class ImageOpsSpec extends SparkTestBase {
     assert(ImageOps.aHash(other) !== h1)
   }
 
+  test("aHash near-dup detection on photographic imagery (resize + re-encode)") {
+    // seeded gradient+noise "photo": continuous luminance, unlike the flat
+    // stub pages — the distribution the perceptual dedup actually targets
+    val photo = PhotoRasterizer.renderPhoto(42L, 248, 350)
+    val h = ImageOps.aHash(photo)
+    assert(h.isDefined)
+    assert(ImageOps.aHash(photo) === h, "deterministic on identical bytes")
+    // a 60%-size lossy rendition must land within near-dup range: the ±15
+    // pixel noise pools away under the 8x8 aHash averaging
+    val small = ImageOps.resizeJpeg(photo, 149, 210).get
+    val hd = java.lang.Long.bitCount(ImageOps.aHash(small).get ^ h.get)
+    assert(hd <= 8, s"resized+re-encoded photo must be a near-dup (hamming $hd)")
+    // and a different seed = different wave structure = NOT a near-dup
+    val other = PhotoRasterizer.renderPhoto(43L, 248, 350)
+    val hdOther = java.lang.Long.bitCount(ImageOps.aHash(other).get ^ h.get)
+    assert(hdOther > 8, s"different photos must separate (hamming $hdOther)")
+  }
+
   test("undecodable bytes yield None across all operators") {
     val junk = Array[Byte](1, 2, 3, 4)
     assert(ImageOps.decodeDims(junk).isEmpty)
