@@ -224,12 +224,12 @@ object CleanJob {
     // crashed prior run) fails saveAsTable with LOCATION_ALREADY_EXISTS —
     // drop the entry AND clear the orphan location first.
     spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
-    val loc = new java.net.URI(
-      spark.conf.get("spark.sql.warehouse.dir")).getPath match {
-      case p if p != null && p.nonEmpty => s"$p/$tableName"
-      case _ => s"spark-warehouse/$tableName"
-    }
-    graft.core.FsUtil.deleteRecursively(loc)
+    // ask the catalog for the managed location rather than string-building
+    // <warehouse>/<name>: the metastore lower-cases directory names and the
+    // warehouse dir may need URI escaping — both are its business, not ours
+    val loc = spark.sessionState.catalog.defaultTablePath(
+      org.apache.spark.sql.catalyst.TableIdentifier(tableName))
+    graft.core.FsUtil.deleteRecursively(new java.io.File(loc).getPath)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     df.write
       .mode("overwrite")

@@ -103,6 +103,9 @@ object PhotoRasterizer extends PageRasterizer {
     val (dx, dy) = (math.cos(angle), math.sin(angle))
     val span = math.max(w, h).toDouble
     val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    // one bulk setRGB: per-pixel setRGB round-trips the color model ~87k
+    // times per page
+    val px = new Array[Int](w * h)
     var y = 0
     while (y < h) {
       var x = 0
@@ -112,11 +115,12 @@ object PhotoRasterizer extends PageRasterizer {
         val noise = rnd.nextInt(31) - 15
         def ch(off: Int): Int =
           math.min(255, math.max(0, (lum + noise + off).toInt))
-        img.setRGB(x, y, (ch(10) << 16) | (ch(0) << 8) | ch(-10))
+        px(y * w + x) = (ch(10) << 16) | (ch(0) << 8) | ch(-10)
         x += 1
       }
       y += 1
     }
+    img.setRGB(0, 0, w, h, px, 0, w)
     ImageOps.encodeJpeg(img, quality = 0.9f)
   }
 }

@@ -29,12 +29,6 @@ object EventStreaming {
       s"st2_mem_${runSeq.incrementAndGet()}", OutputMode.Complete())
       .orderBy("hour_ts", "event_type")
 
-  /** st3: buffered sessionization (streaming e2). Update mode emits one
-    * provisional row per user per batch that touched it, tagged with a
-    * monotone per-user version; the max-version row reflects that user's
-    * complete event set, so the collapse below reproduces the batch result
-    * for ANY micro-batch split and ANY cross-batch arrival order.
-    */
   /** Collapse versioned update-mode session rows to the final per-user
     * result: the max-version row per user reflects the complete event set.
     */
@@ -45,6 +39,12 @@ object EventStreaming {
       .select(col("user_id"), col("s.n_sessions"), col("s.n_events"))
       .orderBy("user_id")
 
+  /** st3: buffered sessionization (streaming e2). Update mode emits one
+    * provisional row per user per batch that touched it, tagged with a
+    * monotone per-user version; the max-version collapse reproduces the
+    * batch result for ANY micro-batch split and ANY cross-batch arrival
+    * order.
+    */
   def streamSessions(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val evs = EventStreams.readEvents(spark, dir)
@@ -54,13 +54,6 @@ object EventStreaming {
       s"st3_mem_${runSeq.incrementAndGet()}", OutputMode.Update()))
   }
 
-  /** st5: streaming as-of join (attribution) via flatMapGroupsWithState.
-    * A purchase past the watermark is emitted once, finally; a buffered one
-    * re-emits a provisional attribution per batch, superseded by version —
-    * the max-version row per purchase equals batch j1's ASOF JOIN for any
-    * arrival order (triggers only accumulate, so attributions refine but
-    * never retract).
-    */
   /** Collapse versioned update-mode attribution rows: max-version per
     * purchase (attributions refine but never retract as triggers arrive).
     */
@@ -74,6 +67,13 @@ object EventStreaming {
         col("s.attributed_type"), col("s.lag_seconds"))
       .orderBy("purchase_id")
 
+  /** st5: streaming as-of join (attribution) via flatMapGroupsWithState.
+    * A purchase past the watermark is emitted once, finally; a buffered one
+    * re-emits a provisional attribution per batch, superseded by version —
+    * the max-version row per purchase equals batch j1's ASOF JOIN for any
+    * arrival order (triggers only accumulate, so attributions refine but
+    * never retract).
+    */
   def streamAttribution(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val evs = EventStreams.readEvents(spark, dir)

@@ -82,14 +82,24 @@ object EventStreams {
     * reproduces the batch result exactly (see EventStreaming.streamSessions).
     * EventTimeTimeout re-invokes idle groups once the watermark passes
     * their oldest buffered event, so buffers drain without new data.
+    *
+    * `delay` bounds BOTH tolerated disorder and state: the buffer holds
+    * only events younger than (max event time - delay), so per-user state
+    * is O(events within the delay window) — size it to the source's real
+    * lateness, not to the replay span (a finite single-batch replay is
+    * exact under any delay, because the watermark only moves between
+    * batches).
     */
-  def userSessions(events: Dataset[Ev], delay: String = "40 days"): Dataset[UserSessions] = {
+  def userSessions(events: Dataset[Ev], delay: String = "1 hour"): Dataset[UserSessions] = {
     import events.sparkSession.implicits._
-    val GapMs = 30L * 60 * 1000
+    // full microsecond precision, matching the batch twin's
+    // `ts > prev_ts + INTERVAL 30 MINUTES` — a ms-truncated compare would
+    // miss a break that exceeds the gap by less than a millisecond
+    val GapUs = 30L * 60 * 1000 * 1000
     def fold(s0: SessState, evs: Seq[Ev]): SessState =
       evs.foldLeft(s0) { (s, e) =>
-        val isBreak = s.lastTs == Long.MinValue || e.ts.getTime > s.lastTs + GapMs
-        SessState(e.ts.getTime,
+        val isBreak = s.lastTs == Long.MinValue || microsOf(e.ts) > s.lastTs + GapUs
+        SessState(microsOf(e.ts),
           s.nSessions + (if (isBreak) 1 else 0), s.nEvents + 1)
       }
     events
@@ -138,7 +148,7 @@ object EventStreams {
     * wins (the batch window's (ts, trig_id) order); a trigger at exactly a
     * purchase's timestamp does NOT attribute (strict <, matching ASOF).
     */
-  def attribution(events: Dataset[AttrEv], delay: String = "40 days"): Dataset[Attribution] = {
+  def attribution(events: Dataset[AttrEv], delay: String = "1 hour"): Dataset[Attribution] = {
     import events.sparkSession.implicits._
     events
       .withWatermark("ts", delay)

@@ -95,10 +95,12 @@ class CleanJobSpec extends SparkTestBase {
   }
 
   test("catalog sink registers a queryable partitioned table (K6)") {
-    // the in-memory catalog forgets tables between JVMs but the warehouse
-    // dir persists — clear both for a deterministic re-run
-    spark.sql("DROP TABLE IF EXISTS products_clean_test")
-    graft.core.FsUtil.deleteRecursively("/root/repo/target/test-warehouse/products_clean_test")
+    // NO pre-cleanup here: the in-memory catalog forgets tables between
+    // JVMs while the warehouse dir persists, so re-running this suite is
+    // itself the regression test for writeCleanAsTable's internal
+    // drop-and-clear (a leftover orphan dir must not fail the write)
+    CleanJob.writeCleanAsTable(cleanedFixtures, "products_clean_test")
+    // and registering TWICE in one session must also succeed (overwrite)
     CleanJob.writeCleanAsTable(cleanedFixtures, "products_clean_test")
     val n = spark.sql(
       "SELECT count(*) FROM products_clean_test WHERE province = 'Gauteng'")
