@@ -3,10 +3,10 @@ package graft.queries
 import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, max_by, struct}
+import org.apache.spark.sql.functions.{col, max, max_by, min, struct}
 import org.apache.spark.sql.streaming.OutputMode
 
-import graft.streaming.EventStreams
+import graft.streaming.{DocumentStreams, EventStreams}
 
 /** Streaming replay queries: the event-analytics streams must produce
   * EXACTLY the batch results when the events zone is replayed through them
@@ -85,13 +85,34 @@ object EventStreaming {
       s"st5_mem_${runSeq.incrementAndGet()}", OutputMode.Update()))
   }
 
+  /** Collapse update-mode dedup-ledger rows to the final ledger: both
+    * columns are monotone per digest (see DocumentStreams.dedupGroups), so
+    * min/max — not a version collapse — recovers the last state.
+    */
+  def collapseDedup(updates: DataFrame): DataFrame =
+    updates
+      .groupBy("text_md5")
+      .agg(min("keep_doc_id").as("keep_doc_id"), max("n_copies").as("n_copies"))
+      .orderBy("keep_doc_id")
+
+  /** st6: streaming exact dedup (streaming d1). The documents zone replayed
+    * through the stateful digest aggregation must land on exactly the batch
+    * dedup ledger — shared oracle with d1.
+    */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame =
+    collapseDedup(EventStreams.replayToTable(
+      DocumentStreams.dedupGroups(DocumentStreams.readDocuments(spark, dir)),
+      s"st6_mem_${runSeq.incrementAndGet()}", OutputMode.Update()))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st2_stream_hourly" -> (streamHourly _),
     "st3_stream_sessions" -> (streamSessions _),
-    "st5_stream_attribution" -> (streamAttribution _))
+    "st5_stream_attribution" -> (streamAttribution _),
+    "st6_stream_dedup" -> (streamDedup _))
 
   val oracles: Map[String, String] = Map(
     "st2_stream_hourly" -> Events.hourlyRollupSql,
     "st3_stream_sessions" -> Events.userSessionsSql,
-    "st5_stream_attribution" -> Temporal.asofAttributionSql)
+    "st5_stream_attribution" -> Temporal.asofAttributionSql,
+    "st6_stream_dedup" -> Dedup.exactDedupSql)
 }

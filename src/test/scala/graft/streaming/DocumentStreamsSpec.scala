@@ -1,0 +1,75 @@
+package graft.streaming
+
+import java.io.File
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkTestBase
+import graft.queries.EventStreaming
+
+/** Streaming exact dedup (st6) under the conditions the single-file oracle
+  * replay never exercises: a 3-file zone with the SAME texts recurring in
+  * later files under fresh doc_ids, replayed one file per micro-batch — the
+  * digest state must absorb each batch incrementally and the collapsed
+  * update log must equal the batch ledger over the whole zone.
+  */
+class DocumentStreamsSpec extends SparkTestBase {
+
+  private val SfDir = "/root/testdata/sf0.001"
+
+  /** Write `df` as a single parquet FILE at dst with the given mtime (the
+    * file stream source processes oldest-mtime first).
+    */
+  private def writeOne(df: DataFrame, dst: String, mtime: Long): Unit = {
+    val stage = dst + "_stage"
+    df.coalesce(1).write.parquet(stage)
+    val part = new File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.move(part.toPath, Paths.get(dst))
+    graft.core.FsUtil.deleteRecursively(stage)
+    new File(dst).setLastModified(mtime)
+  }
+
+  test("streaming dedup ledger equals batch dedup over a 3-file replay with cross-file duplicates") {
+    val dir = scratch("docstream_dedup")
+    val docs = spark.read.parquet(s"$SfDir/documents.parquet")
+    // every 25th text recurs in files 2 and 3 under fresh doc_ids, so its
+    // digest group is touched by up to three different micro-batches
+    val dupes = docs.filter(col("doc_id") % 25 === 0)
+    def shifted(by: Long) = dupes.withColumn("doc_id", col("doc_id") + by)
+    val t0 = 1700000000000L
+    writeOne(docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+      s"$dir/f0.parquet", t0)
+    writeOne(docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+      .unionByName(shifted(100000L)), s"$dir/f1.parquet", t0 + 60000L)
+    writeOne(docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+      .unionByName(shifted(200000L)), s"$dir/f2.parquet", t0 + 120000L)
+
+    val updates = EventStreams.replayToTable(
+      DocumentStreams.dedupGroups(DocumentStreams.readDocuments(
+        spark, dir, glob = "*.parquet", maxFilesPerTrigger = Some(1))),
+      "docstream_dedup_t", OutputMode.Update())
+    // the cross-batch path was really taken: some digest emitted updates
+    // from more than one micro-batch
+    val maxUpdates = updates.groupBy("text_md5").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(maxUpdates > 1)
+
+    val got = EventStreaming.collapseDedup(updates).collect().toSeq
+    val want = spark.read.parquet(dir)
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_doc_id").collect().toSeq
+    assert(got.size === want.size)
+    got.zip(want).foreach { case (a, b) => assert(a === b) }
+    // keep-first survived disorder: the duplicated texts kept their
+    // ORIGINAL ids and counted all three copies
+    val dupeRows = EventStreaming.collapseDedup(updates)
+      .filter(col("n_copies") === 3).collect()
+    assert(dupeRows.nonEmpty)
+    assert(dupeRows.forall(_.getLong(1) < 100000L))
+  }
+}
