@@ -387,7 +387,70 @@ object Dedup {
        |FROM w GROUP BY wh HAVING count(DISTINCT doc_id) >= 2
        |ORDER BY wh""".stripMargin
 
+  /** Eval-set docs for decontamination: doc_id ≡ 0 (mod EvalMod) stands in
+    * for "the held-out benchmark corpus" (in production: a separate table).
+    */
+  val EvalMod = 97L
+
+  /** Word-gram width for decontamination. 4 keeps the flagged set selective
+    * but non-empty on the synthetic fixture's small vocabulary; production
+    * decontamination uses 8–13-gram windows — the mechanism is identical,
+    * only this constant changes.
+    */
+  val DecontamN = 4
+
+  /** Test-set DECONTAMINATION: flag training documents sharing any
+    * contiguous [[DecontamN]]-token gram with the eval set, with the count
+    * of distinct shared grams — the standard pre-training hygiene pass
+    * (an eval question leaking into training data inflates benchmarks).
+    *
+    * Scale design: grams are hashed to 60-bit longs INSIDE the per-row
+    * transform, so the explode emits scalars and the dedup shuffle carries
+    * (doc_id, long) — text never moves. The eval gram set is small by
+    * definition (benchmarks are thousands of docs, not billions) and
+    * broadcasts; the training corpus is never self-joined, so cost is one
+    * scan + one shuffle on the gram hash, linear in corpus size. Both
+    * sides of the oracle count distinct HASHES, so parity cannot be broken
+    * by a collision.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    VectorOps.register(spark) // graft_hash60
+    val docs = Tables(spark, dir).documents
+    val toks = Tables.spread(docs.select("doc_id", "text"))
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= DecontamN)
+    val window = (0 until DecontamN)
+      .map(k => s"try_element_at(t, i + $k)").mkString(", ")
+    val gramHashes =
+      s"transform(sequence(1, size(t) - ${DecontamN - 1}), " +
+        s"i -> ${TextHash.hash60Expr(s"concat_ws(' ', $window)")})"
+    val grams = toks
+      .select(col("doc_id"), explode(expr(gramHashes)).as("h"))
+      .distinct()
+    val evalGrams = grams.filter(col("doc_id") % EvalMod === 0)
+      .select("h").distinct()
+    grams.filter(col("doc_id") % EvalMod =!= 0)
+      .join(broadcast(evalGrams), "h")
+      .groupBy("doc_id") // (doc_id, h) already distinct: count(*) = distinct
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
+  val decontaminateSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |grams AS (
+       |  SELECT DISTINCT doc_id, ${hash60Sql("g")} AS h FROM (
+       |    SELECT doc_id, unnest(${TextHash.wordNgramsSql("t", 4)}) AS g
+       |    FROM toks WHERE len(t) >= $DecontamN)),
+       |ev AS (SELECT DISTINCT h FROM grams WHERE doc_id % $EvalMod = 0)
+       |SELECT g.doc_id, count(*) AS n_shared
+       |FROM grams g JOIN ev USING (h)
+       |WHERE g.doc_id % $EvalMod != 0
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d8_decontaminate" -> (decontaminate _),
     "d7_substring_dups" -> (substringDups _),
     "d1_exact_dedup" -> (exactDedup _),
     "d2_minhash_lsh" -> (minhashLsh _),
@@ -397,6 +460,7 @@ object Dedup {
     "d6_embedding_near_dup" -> (embeddingNearDup _))
 
   val oracles: Map[String, String] = Map(
+    "d8_decontaminate" -> decontaminateSql,
     "d7_substring_dups" -> substringDupsSql,
     "d1_exact_dedup" -> exactDedupSql,
     "d2_minhash_lsh" -> minhashLshSql,

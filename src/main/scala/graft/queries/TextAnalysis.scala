@@ -259,7 +259,51 @@ object TextAnalysis {
       |WHERE rank <= 3
       |ORDER BY doc_id, rank""".stripMargin
 
+  /** REPETITION quality signals (the Gopher-rules family): per document,
+    * the most-frequent-token share and the duplicate-bigram fraction —
+    * the two cheapest detectors of degenerate/boilerplate text (a looping
+    * generator or a nav-bar dump scores near 1.0 on both; clean prose sits
+    * well under 0.2 / 0.3).
+    *
+    * Pure per-row array expressions — no explode, no shuffle, single scan;
+    * the per-row cost is O(distinct·n) for the top-token count, bounded by
+    * document length, embarrassingly parallel at any corpus size. Ratios
+    * round to 6 decimals on both engines (exact same integer inputs, IEEE
+    * double division — bit-identical).
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables(spark, dir).documents.select("doc_id", "text"))
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .withColumn("n_tok", size(col("t")).cast("long"))
+      .withColumn("top_cnt",
+        expr("array_max(transform(array_distinct(t), x -> size(filter(t, y -> y = x))))")
+          .cast("long"))
+      .withColumn("bigrams",
+        expr("transform(sequence(1, greatest(size(t) - 1, 1)), " +
+          "i -> concat_ws(' ', try_element_at(t, i), try_element_at(t, i + 1)))"))
+      .select(
+        col("doc_id"), col("n_tok"),
+        round(col("top_cnt").cast("double") / col("n_tok"), 6).as("top_tok_ratio"),
+        round(lit(1.0) - expr("size(array_distinct(bigrams))").cast("double") /
+          expr("size(bigrams)"), 6).as("dup_bigram_frac"))
+      .orderBy("doc_id")
+
+  val repetitionSql: String =
+    s"""SELECT doc_id, n_tok,
+       |  round(CAST(top_cnt AS DOUBLE) / n_tok, 6) AS top_tok_ratio,
+       |  round(1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams), 6)
+       |    AS dup_bigram_frac
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(len(t) AS BIGINT) AS n_tok,
+       |    CAST(list_max(list_transform(list_distinct(t),
+       |      x -> len(list_filter(t, y -> y = x)))) AS BIGINT) AS top_cnt,
+       |    ${TextHash.wordNgramsSql("t", 2)} AS bigrams
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t11_repetition" -> (repetition _),
     "t1_lang_id" -> (langId _),
     "t2_quality_score" -> (qualityScore _),
     "t3_token_counts" -> (tokenCounts _),
@@ -269,6 +313,7 @@ object TextAnalysis {
     "t9_tfidf_top_terms" -> (tfidfTopTerms _))
 
   val oracles: Map[String, String] = Map(
+    "t11_repetition" -> repetitionSql,
     "t1_lang_id" -> langIdSql,
     "t2_quality_score" -> qualityScoreSql,
     "t3_token_counts" -> tokenCountsSql,

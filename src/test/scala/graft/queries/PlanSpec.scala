@@ -21,12 +21,24 @@ class PlanSpec extends SparkTestBase {
     // round 1; pigeonhole banding / LSH bucketing must keep them equi-joins
     Seq("d1_exact_dedup", "d2_minhash_lsh", "d3_simhash",
       "d4_simhash_pairs", "d5_ngram_jaccard", "d6_embedding_near_dup",
-      "d7_substring_dups")
+      "d7_substring_dups", "d8_decontaminate")
       .foreach { q =>
         val p = plan(q)
         assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
         assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
       }
+  }
+
+  test("decontamination (d8) broadcasts the eval gram set; corpus side never shuffles for the join") {
+    val p = plan("d8_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), "eval gram set must broadcast")
+    assert(!p.contains("SortMergeJoin"), "corpus grams must not sort-merge against the eval set")
+  }
+
+  test("repetition metrics (t11) are a pure single-scan projection — no join, no aggregate") {
+    val p = plan("t11_repetition")
+    assert(!p.contains("Join"), "t11 must not join")
+    assert(!p.contains("HashAggregate"), "t11 must not aggregate")
   }
 
   test("LSH ANN (n2) is an equi-join; only the brute-force baseline (n1) may nested-loop") {
