@@ -139,12 +139,66 @@ object Sampling {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ----------------------------------------------------------------- t12
+
+  /** Per-source token budget for the training-mix selection. ~half of each
+    * source's fixture tokens, so the cut falls mid-source everywhere.
+    */
+  val MixBudget = 600L
+
+  /** TRAINING-MIX selection: from each source, take documents in a
+    * deterministic pseudo-random order until that source's token budget is
+    * spent — the "mix corpora to target proportions" step of a pre-training
+    * pipeline (equal budgets here; a per-source budget map composes exactly
+    * like [[stratifiedSample]]'s rate map). A doc is kept iff the tokens
+    * consumed before it are under budget, so each source overshoots by at
+    * most one document and selection is order-stable: a doc's keep/drop
+    * never depends on docs hashed after it.
+    *
+    * Scale: the running sum partitions by SOURCE — every source's window
+    * is an independent parallel task (contrast t8's global shard sum,
+    * which needs the two-level block decomposition). A single pathological
+    * source that dwarfs the others recurses into exactly t8's block
+    * construction, partitioned by (source, block).
+    */
+  def tokenMix(spark: SparkSession, dir: String): DataFrame = {
+    VectorOps.register(spark) // graft_hash60
+    val t = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        hash60(concat(lit("graft-mix|"), col("doc_id").cast("string"))).as("h"))
+    val w = Window.partitionBy("source").orderBy("h", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.withColumn("cum_before", coalesce(sum("n_tok").over(w), lit(0L)))
+      .filter(col("cum_before") < MixBudget)
+      .select("doc_id", "source", "n_tok")
+      .orderBy("doc_id")
+  }
+
+  val tokenMixSql: String = {
+    val h = hash60Sql("'graft-mix|' || CAST(doc_id AS VARCHAR)")
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok, $h AS h
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, source, n_tok,
+       |    coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM t)
+       |SELECT doc_id, source, n_tok FROM c
+       |WHERE cum_before < $MixBudget
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t12_token_mix" -> (tokenMix _),
     "t7_hash_sample" -> (hashSample _),
     "t8_token_shards" -> (tokenShards _),
     "t10_stratified_sample" -> (stratifiedSample _))
 
   val oracles: Map[String, String] = Map(
+    "t12_token_mix" -> tokenMixSql,
     "t7_hash_sample" -> hashSampleSql,
     "t8_token_shards" -> tokenShardsSql,
     "t10_stratified_sample" -> stratifiedSampleSql)

@@ -271,13 +271,66 @@ object Similarity {
        |WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Symmetric per-vector INT8 quantization + reconstruction fidelity —
+    * the memory-bound scale path for ANN: a 64-float vector (256 B) drops
+    * to 64 bytes, shrinking shuffle payloads, executor cache footprint,
+    * and broadcast sizes 4× before any indexing even starts. Per vector:
+    * scale = 127/max|x|, q_i = round(x_i·127/amax), reported as the
+    * quantized-sum checksum (pins the int vector itself, not just stats)
+    * plus the round-trip MSE. Pure elementwise array expressions — single
+    * scan, no shuffle except the output sort.
+    *
+    * Oracle parity: round() is half-away-from-zero on doubles in both
+    * engines; the dequantized error recomputes from x inline (no index
+    * arithmetic), so both engines evaluate the identical expression tree
+    * left-to-right. Zero vectors (amax = 0) are dropped — they carry no
+    * direction and would put 0/0 in every downstream cosine anyway.
+    */
+  def quantize(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+      .select(col("vec_id"), asDouble("embedding").as("v"))
+      .withColumn("amax", expr("array_max(transform(v, x -> abs(x)))"))
+      .filter(col("amax") > 0)
+      .withColumn("qv",
+        expr("transform(v, x -> CAST(round(x * 127.0 / amax, 0) AS BIGINT))"))
+      .withColumn("errs",
+        expr("transform(v, x -> pow(x - round(x * 127.0 / amax, 0) * amax / 127.0, 2))"))
+    e.select(
+      col("vec_id"),
+      round(col("amax"), 6).as("amax"),
+      expr("aggregate(qv, 0L, (a, x) -> a + x)").as("q_sum"),
+      round(expr("aggregate(errs, CAST(0.0 AS DOUBLE), (a, x) -> a + x)") /
+        lit(Dim.toDouble), 8).as("mse"))
+      .orderBy("vec_id")
+  }
+
+  val quantizeSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |a AS (
+       |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax
+       |  FROM e),
+       |q AS (
+       |  SELECT vec_id, amax,
+       |    list_transform(v, x -> CAST(round(x * 127.0 / amax, 0) AS BIGINT)) AS qv,
+       |    list_transform(v,
+       |      x -> pow(x - round(x * 127.0 / amax, 0) * amax / 127.0, 2)) AS errs
+       |  FROM a WHERE amax > 0)
+       |SELECT vec_id, round(amax, 6) AS amax,
+       |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       |  round(list_sum(errs) / $Dim, 8) AS mse
+       |FROM q ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "n5_quantize" -> (quantize _),
     "n1_brute_force_topk" -> (bruteForceTopK _),
     "n2_lsh_bucket_topk" -> (lshBucketTopK _),
     "n3_label_centroids" -> (labelCentroids _),
     "n4_ivf_topk" -> (ivfTopK _))
 
   val oracles: Map[String, String] = Map(
+    "n5_quantize" -> quantizeSql,
     "n1_brute_force_topk" -> bruteForceTopKSql,
     "n2_lsh_bucket_topk" -> lshBucketTopKSql,
     "n3_label_centroids" -> labelCentroidsSql,
