@@ -302,7 +302,61 @@ object TextAnalysis {
        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
        |ORDER BY doc_id""".stripMargin
 
+  /** PII patterns shared by the scrub and its oracle — deliberately
+    * lookahead-free so Java regex (Spark) and RE2 (DuckDB) agree. Order
+    * matters: emails first (an email contains no phone/IP match but a
+    * greedy digit-run pattern could bite into one if it ran first).
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phone" -> "\\+?[0-9][0-9() -]{7,}[0-9]",
+    "ip" -> "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b")
+
+  /** Apply all [[PiiPatterns]] redactions in order: each match class is
+    * replaced by its bracket tag. Exposed for reuse (pipelines scrub before
+    * dedup/fingerprinting so a rotated session token doesn't defeat
+    * near-dup detection).
+    */
+  def scrubPii(c: Column): Column =
+    PiiPatterns.foldLeft(c) { case (acc, (name, pat)) =>
+      regexp_replace(acc, pat, s"[${name.toUpperCase}]")
+    }
+
+  /** PII SCRUB: per-document match counts per class plus the digest of the
+    * scrubbed text — the digest pins the full replacement pipeline (which
+    * spans all classes in order), not just the counts. Single scan, no
+    * shuffle; regex cost is per-row and embarrassingly parallel.
+    *
+    * The synthetic fixture contains no PII (every count is 0 and the
+    * digest equals md5(text)) — the oracle still binds the whole pipeline;
+    * TextAnalysisSpec proves the redaction behavior itself on synthetic
+    * emails/phones/IPs.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val counts = PiiPatterns.map { case (name, pat) =>
+      regexp_count(col("text"), lit(pat)).cast("long").as(s"n_$name")
+    }
+    Tables(spark, dir).documents
+      .select(col("doc_id") +: counts :+
+        md5(scrubPii(col("text"))).as("scrubbed_md5"): _*)
+      .orderBy("doc_id")
+  }
+
+  val piiScrubSql: String = {
+    val counts = PiiPatterns.map { case (name, pat) =>
+      s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_$name"
+    }.mkString(",\n|  ")
+    val scrubbed = PiiPatterns.foldLeft("text") { case (acc, (name, pat)) =>
+      s"regexp_replace($acc, '$pat', '[${name.toUpperCase}]', 'g')"
+    }
+    s"""SELECT doc_id,
+       |  $counts,
+       |  md5($scrubbed) AS scrubbed_md5
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t13_pii_scrub" -> (piiScrub _),
     "t11_repetition" -> (repetition _),
     "t1_lang_id" -> (langId _),
     "t2_quality_score" -> (qualityScore _),
@@ -313,6 +367,7 @@ object TextAnalysis {
     "t9_tfidf_top_terms" -> (tfidfTopTerms _))
 
   val oracles: Map[String, String] = Map(
+    "t13_pii_scrub" -> piiScrubSql,
     "t11_repetition" -> repetitionSql,
     "t1_lang_id" -> langIdSql,
     "t2_quality_score" -> qualityScoreSql,
