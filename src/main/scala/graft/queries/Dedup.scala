@@ -387,6 +387,86 @@ object Dedup {
        |FROM w GROUP BY wh HAVING count(DISTINCT doc_id) >= 2
        |ORDER BY wh""".stripMargin
 
+  /** CONNECTED COMPONENTS over an undirected edge list (d1, d2) by
+    * iterative hash-min label propagation WITH path halving: each round
+    * every node takes the min of its own label, its neighbors' labels, and
+    * its label's label (pointer jump). The jump step compresses chains
+    * geometrically, so rounds are O(log diameter) rather than O(diameter)
+    * — the classic MapReduce CC construction, built purely from
+    * DataFrame joins/aggregations so every round is shuffle-bounded on
+    * node ids (no GraphX/RDD surface).
+    *
+    * The driver loop is COORDINATION, not data flow: per round, one
+    * count action decides convergence while all per-edge work stays
+    * distributed; `localCheckpoint` truncates the growing lineage so
+    * round N's plan doesn't re-derive rounds 1..N-1.
+    */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(edges.select(col("d2").as("src"), col("d1").as("dst")))
+      .persist()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint(true)
+    // convergence = unchanged label sum: labels only ever DECREASE (every
+    // update is a min), so an equal sum means a fixpoint — one cheap agg
+    // on the materialized checkpoint instead of a compare-join per round.
+    // decimal(38,0): exact at any node-count/id scale, no Long overflow.
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast("decimal(38,0)"))).first()
+        .getDecimal(0)
+    var prevSum = lblSum(labels)
+    var converged = false
+    while (!converged) {
+      val nbrMin = sym.join(labels, sym("dst") === labels("id"))
+        .groupBy("src").agg(min("lbl").as("nlbl"))
+      val stepped = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      // path halving: labels are always node ids, so label-of-label jumps
+      // two hops toward the component min per round
+      val next = stepped.as("x")
+        .join(stepped.select(col("id").as("jid"), col("lbl").as("jlbl")),
+          col("x.lbl") === col("jid"), "left")
+        .select(col("x.id").as("id"),
+          least(col("x.lbl"), coalesce(col("jlbl"), col("x.lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      val s = lblSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = next
+    }
+    sym.unpersist()
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
+  /** d9: near-dup CLUSTERS from the d4 simhash pair list — the step between
+    * pair generation and keep/drop decisions in a real dedup pipeline
+    * (pairs alone can't pick canonicals: doc A~B and B~C must land in ONE
+    * group even when A≁C). cluster_id = min doc_id of the component. The
+    * oracle states the same result as a recursive-CTE transitive closure,
+    * proving the iterative propagation exact, not approximate.
+    */
+  def dupClusters(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(simhashPairs(spark, dir).select("d1", "d2"))
+      .orderBy("doc_id")
+
+  val dupClustersSql: String =
+    s"""WITH RECURSIVE $simhashSigsSql,
+       |pairs AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+       |sym AS (
+       |  SELECT d1 AS src, d2 AS dst FROM pairs
+       |  UNION ALL SELECT d2, d1 FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM sym
+       |  UNION
+       |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
+       |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+
   /** Eval-set docs for decontamination: doc_id ≡ 0 (mod EvalMod) stands in
     * for "the held-out benchmark corpus" (in production: a separate table).
     */
@@ -450,6 +530,7 @@ object Dedup {
        |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d9_dup_clusters" -> (dupClusters _),
     "d8_decontaminate" -> (decontaminate _),
     "d7_substring_dups" -> (substringDups _),
     "d1_exact_dedup" -> (exactDedup _),
@@ -460,6 +541,7 @@ object Dedup {
     "d6_embedding_near_dup" -> (embeddingNearDup _))
 
   val oracles: Map[String, String] = Map(
+    "d9_dup_clusters" -> dupClustersSql,
     "d8_decontaminate" -> decontaminateSql,
     "d7_substring_dups" -> substringDupsSql,
     "d1_exact_dedup" -> exactDedupSql,
