@@ -355,7 +355,68 @@ object TextAnalysis {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Repetition rejection thresholds for curation: chosen at the fixture's
+    * ~p95 so the reason actually fires at test scale; production values are
+    * corpus-calibrated the same way.
+    */
+  val CurationTopTok = 0.15
+  val CurationDupBigram = 0.08
+
+  /** CORPUS CURATION — the capstone composition: every per-document signal
+    * family (near-dup clusters, language ID, quality score, repetition)
+    * folded into one keep/reject decision with the FIRST failing reason,
+    * in severity order: near_dup → language → quality → repetition → keep.
+    * This is the final filter a training-data pipeline materializes; each
+    * signal is the oracle-checked query it comes from (d9/t1/t2/t11), so
+    * the composition is joins on doc_id plus one CASE — nothing new to
+    * trust. quality never fires on the fixture (every doc passes t2's
+    * keep bar) but is live in the CASE and the oracle.
+    *
+    * Scale: four equi-joins on doc_id over per-doc signal frames — AQE
+    * picks broadcast vs shuffle per side; the only iterative stage is d9's
+    * component loop, already O(log diameter) rounds.
+    */
+  def corpusCuration(spark: SparkSession, dir: String): DataFrame = {
+    val lang = langId(spark, dir).select("doc_id", "pred_lang")
+    val qual = qualityScore(spark, dir).select("doc_id", "keep")
+    val rep = repetition(spark, dir)
+      .select("doc_id", "top_tok_ratio", "dup_bigram_frac")
+    val clusters = Dedup.dupClusters(spark, dir)
+      .withColumnRenamed("cluster_id", "cid")
+    Tables(spark, dir).documents.select("doc_id")
+      .join(lang, Seq("doc_id"))
+      .join(qual, Seq("doc_id"))
+      .join(rep, Seq("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("cid").isNotNull && col("cid") =!= col("doc_id"), "near_dup")
+          .when(col("pred_lang") =!= "en", "language")
+          .when(!col("keep"), "quality")
+          .when(col("top_tok_ratio") > CurationTopTok ||
+            col("dup_bigram_frac") > CurationDupBigram, "repetition")
+          .otherwise("keep").as("status"))
+      .orderBy("doc_id")
+  }
+
+  val corpusCurationSql: String =
+    s"""SELECT d.doc_id,
+       |  CASE
+       |    WHEN c.cluster_id IS NOT NULL AND c.cluster_id != d.doc_id
+       |      THEN 'near_dup'
+       |    WHEN l.pred_lang != 'en' THEN 'language'
+       |    WHEN NOT q.keep THEN 'quality'
+       |    WHEN r.top_tok_ratio > $CurationTopTok
+       |      OR r.dup_bigram_frac > $CurationDupBigram THEN 'repetition'
+       |    ELSE 'keep' END AS status
+       |FROM documents d
+       |JOIN ($langIdSql) l USING (doc_id)
+       |JOIN ($qualityScoreSql) q USING (doc_id)
+       |JOIN ($repetitionSql) r USING (doc_id)
+       |LEFT JOIN (${Dedup.dupClustersSql}) c USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t14_corpus_curation" -> (corpusCuration _),
     "t13_pii_scrub" -> (piiScrub _),
     "t11_repetition" -> (repetition _),
     "t1_lang_id" -> (langId _),
@@ -367,6 +428,7 @@ object TextAnalysis {
     "t9_tfidf_top_terms" -> (tfidfTopTerms _))
 
   val oracles: Map[String, String] = Map(
+    "t14_corpus_curation" -> corpusCurationSql,
     "t13_pii_scrub" -> piiScrubSql,
     "t11_repetition" -> repetitionSql,
     "t1_lang_id" -> langIdSql,
