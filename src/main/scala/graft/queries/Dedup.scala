@@ -412,9 +412,13 @@ object Dedup {
     // update is a min), so an equal sum means a fixpoint — one cheap agg
     // on the materialized checkpoint instead of a compare-join per round.
     // decimal(38,0): exact at any node-count/id scale, no Long overflow.
-    def lblSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lbl").cast("decimal(38,0)"))).first()
-        .getDecimal(0)
+    def lblSum(df: DataFrame): java.math.BigDecimal = {
+      // sum over zero rows is null (empty edge list: a clean corpus has no
+      // near-dup pairs at all) — normalize so the fixpoint compare works
+      // and the loop exits after one empty round
+      val s = df.agg(sum(col("lbl").cast("decimal(38,0)"))).first().getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
     var prevSum = lblSum(labels)
     var converged = false
     while (!converged) {
@@ -521,7 +525,7 @@ object Dedup {
        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        |grams AS (
        |  SELECT DISTINCT doc_id, ${hash60Sql("g")} AS h FROM (
-       |    SELECT doc_id, unnest(${TextHash.wordNgramsSql("t", 4)}) AS g
+       |    SELECT doc_id, unnest(${TextHash.wordNgramsSql("t", DecontamN)}) AS g
        |    FROM toks WHERE len(t) >= $DecontamN)),
        |ev AS (SELECT DISTINCT h FROM grams WHERE doc_id % $EvalMod = 0)
        |SELECT g.doc_id, count(*) AS n_shared

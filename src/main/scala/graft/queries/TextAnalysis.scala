@@ -278,9 +278,7 @@ object TextAnalysis {
       .withColumn("top_cnt",
         expr("array_max(transform(array_distinct(t), x -> size(filter(t, y -> y = x))))")
           .cast("long"))
-      .withColumn("bigrams",
-        expr("transform(sequence(1, greatest(size(t) - 1, 1)), " +
-          "i -> concat_ws(' ', try_element_at(t, i), try_element_at(t, i + 1)))"))
+      .withColumn("bigrams", TextHash.wordNgrams("t", 2))
       .select(
         col("doc_id"), col("n_tok"),
         round(col("top_cnt").cast("double") / col("n_tok"), 6).as("top_tok_ratio"),
@@ -306,10 +304,18 @@ object TextAnalysis {
     * lookahead-free so Java regex (Spark) and RE2 (DuckDB) agree. Order
     * matters: emails first (an email contains no phone/IP match but a
     * greedy digit-run pattern could bite into one if it ran first).
+    *
+    * Phone = 9–15 digits, each followed by at most two separator chars
+    * (space/paren/hyphen): loose enough for "+27 (0)21 555 0199" and
+    * "021-555-0199", tight enough that "pages 100 - 200" (a 3-char
+    * separator run) survives. A run of ≥3 space-separated digit groups
+    * ("2021 2022 2023") still redacts — the deliberate
+    * conservative-for-privacy end of the precision dial; production tunes
+    * the pattern per corpus, the plumbing is what this operator fixes.
     */
   val PiiPatterns: Seq[(String, String)] = Seq(
     "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
-    "phone" -> "\\+?[0-9][0-9() -]{7,}[0-9]",
+    "phone" -> "\\+?(?:[0-9][ ()-]{0,2}){8,14}[0-9]",
     "ip" -> "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b")
 
   /** Apply all [[PiiPatterns]] redactions in order: each match class is
@@ -332,26 +338,37 @@ object TextAnalysis {
     * TextAnalysisSpec proves the redaction behavior itself on synthetic
     * emails/phones/IPs.
     */
-  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
-    val counts = PiiPatterns.map { case (name, pat) =>
-      regexp_count(col("text"), lit(pat)).cast("long").as(s"n_$name")
+  /** Per-class redaction counts with [[piiScrub]]'s sequential semantics:
+    * each class counts on the text AFTER earlier classes redacted, so a
+    * span can never be billed to two classes and counts always equal the
+    * redactions the digest pins (the tags themselves can't re-match: no
+    * '@' or digits in them).
+    */
+  def piiCounts(c: Column): Seq[Column] = {
+    val stages = PiiPatterns.scanLeft(c) {
+      case (acc, (name, pat)) => regexp_replace(acc, pat, s"[${name.toUpperCase}]")
     }
-    Tables(spark, dir).documents
-      .select(col("doc_id") +: counts :+
-        md5(scrubPii(col("text"))).as("scrubbed_md5"): _*)
-      .orderBy("doc_id")
+    PiiPatterns.zip(stages).map { case ((name, pat), s) =>
+      regexp_count(s, lit(pat)).cast("long").as(s"n_$name")
+    }
   }
 
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id") +: piiCounts(col("text")) :+
+        md5(scrubPii(col("text"))).as("scrubbed_md5"): _*)
+      .orderBy("doc_id")
+
   val piiScrubSql: String = {
-    val counts = PiiPatterns.map { case (name, pat) =>
-      s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_$name"
-    }.mkString(",\n|  ")
-    val scrubbed = PiiPatterns.foldLeft("text") { case (acc, (name, pat)) =>
+    val stages = PiiPatterns.scanLeft("text") { case (acc, (name, pat)) =>
       s"regexp_replace($acc, '$pat', '[${name.toUpperCase}]', 'g')"
     }
+    val counts = PiiPatterns.zip(stages).map { case ((name, pat), c) =>
+      s"CAST(len(regexp_extract_all($c, '$pat')) AS BIGINT) AS n_$name"
+    }.mkString(",\n|  ")
     s"""SELECT doc_id,
        |  $counts,
-       |  md5($scrubbed) AS scrubbed_md5
+       |  md5(${stages.last}) AS scrubbed_md5
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 

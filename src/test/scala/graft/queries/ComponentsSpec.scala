@@ -28,6 +28,12 @@ class ComponentsSpec extends SparkTestBase {
     assert(got.size === 21)
   }
 
+  test("empty edge list yields an empty cluster frame, not a crash") {
+    // a clean corpus produces zero near-dup pairs — d9/t14 must degrade
+    // to "no clusters" (t14 then marks every doc keep-or-other-reason)
+    assert(cc(Seq.empty).isEmpty)
+  }
+
   test("bridging edge merges two components") {
     val before = cc(Seq((1L, 2L), (10L, 11L)))
     assert(before(10L) === 10L)

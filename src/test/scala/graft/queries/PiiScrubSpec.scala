@@ -37,17 +37,24 @@ class PiiScrubSpec extends SparkTestBase {
     assert(scrub("reach 0123456789@relay.example.org") === Seq("reach [EMAIL]"))
   }
 
-  test("counts match the redactions") {
+  test("benign numeric prose survives the phone pattern") {
+    val ranges = "pages 100 - 200 of the report, figure 3, 42 items"
+    assert(scrub(ranges) === Seq(ranges))
+  }
+
+  private def counts(text: String): (Long, Long, Long) = {
     import spark.implicits._
-    val row = Seq("a@b.co and c@d.org meet at 10.0.0.1")
-      .toDF("text")
-      .select(
-        TextAnalysis.PiiPatterns.map { case (name, pat) =>
-          regexp_count(col("text"), lit(pat)).as(s"n_$name")
-        }: _*)
+    val row = Seq(text).toDF("text")
+      .select(TextAnalysis.piiCounts(col("text")): _*)
       .collect()(0)
-    assert(row.getInt(0) === 2) // emails
-    assert(row.getInt(1) === 0) // phones
-    assert(row.getInt(2) === 1) // ips
+    (row.getLong(0), row.getLong(1), row.getLong(2))
+  }
+
+  test("counts match the redactions") {
+    assert(counts("a@b.co and c@d.org meet at 10.0.0.1") === ((2L, 0L, 1L)))
+    // sequential semantics: the digits inside the email are never also
+    // billed as a phone, because phone counts on the post-email text
+    assert(counts("reach 0123456789@relay.example.org") === ((1L, 0L, 0L)))
+    assert(counts("call 021-555-0199 or +27 (0)21 555 0199") === ((0L, 2L, 0L)))
   }
 }
