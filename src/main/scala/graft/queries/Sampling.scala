@@ -191,15 +191,82 @@ object Sampling {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ----------------------------------------------------------------- t15
+
+  /** Chunk width / stride in whitespace tokens. Stride < width gives the
+    * standard sliding-window overlap (here 16 tokens) so no token span falls
+    * on a hard boundary in every chunk that sees it.
+    */
+  val ChunkTokens = 64L
+  val ChunkStride = 48L
+
+  /** Intra-document CHUNKING: cut each document into fixed-width token
+    * windows at a fixed stride — the step that turns variable-length
+    * documents into bounded training units (t8/t12 select and shard whole
+    * docs; this is the within-doc counterpart).
+    *
+    * Chunk count is `(max(n-C,0) + S-1) DIV S + 1`: windows start at
+    * 0,S,2S,… until the doc is covered, the last window may be short, and
+    * no window starts inside the previous one's tail (a start beyond
+    * `n-C` would emit a suffix fully contained in its predecessor). All
+    * operands are non-negative, so truncating DIV == floor.
+    *
+    * Scale: a pure per-row fan-out — NO shuffle anywhere (the final sort
+    * is oracle-parity only); output rows ≈ n/S per doc, each carrying one
+    * chunk. The chunk text is built INSIDE `transform` so the generator
+    * emits scalar structs — exploding positions and slicing the token
+    * array per output row afterwards would carry the full array through
+    * the Generate (measured 8× slower on the gram pipeline).
+    */
+  def docChunks(spark: SparkSession, dir: String): DataFrame = {
+    val (c, s) = (ChunkTokens, ChunkStride)
+    Tables(spark, dir).documents
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .select(col("doc_id"), col("n"),
+        explode(expr(
+          s"""transform(sequence(0L, (greatest(n - $c, 0L) + ${s - 1}) DIV $s),
+             |  i -> struct(i AS chunk_id,
+             |    concat_ws(' ', slice(toks, CAST(i * $s + 1 AS INT), $c)) AS chunk_text))"""
+            .stripMargin)).as("ch"))
+      .select(col("doc_id"), col("ch.chunk_id").as("chunk_id"),
+        (col("ch.chunk_id") * s).as("start_tok"),
+        least(lit(c), col("n") - col("ch.chunk_id") * s).as("n_tok"),
+        col("ch.chunk_text").as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** DuckDB twin: 1-based inclusive list slice `toks[a:b]` clamps at the
+    * list end exactly like Spark's `slice(toks, a, len)`.
+    */
+  val docChunksSql: String = {
+    val (c, s) = (ChunkTokens, ChunkStride)
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+       |  FROM documents),
+       |ch AS (
+       |  SELECT doc_id, n, toks,
+       |    unnest(generate_series(0, (greatest(n - $c, 0) + ${s - 1}) // $s)) AS chunk_id
+       |  FROM t)
+       |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |  CAST(chunk_id * $s AS BIGINT) AS start_tok,
+       |  CAST(least($c, n - chunk_id * $s) AS BIGINT) AS n_tok,
+       |  array_to_string(toks[chunk_id * $s + 1 : chunk_id * $s + $c], ' ') AS chunk_text
+       |FROM ch ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t12_token_mix" -> (tokenMix _),
     "t7_hash_sample" -> (hashSample _),
     "t8_token_shards" -> (tokenShards _),
-    "t10_stratified_sample" -> (stratifiedSample _))
+    "t10_stratified_sample" -> (stratifiedSample _),
+    "t15_doc_chunks" -> (docChunks _))
 
   val oracles: Map[String, String] = Map(
     "t12_token_mix" -> tokenMixSql,
     "t7_hash_sample" -> hashSampleSql,
     "t8_token_shards" -> tokenShardsSql,
-    "t10_stratified_sample" -> stratifiedSampleSql)
+    "t10_stratified_sample" -> stratifiedSampleSql,
+    "t15_doc_chunks" -> docChunksSql)
 }

@@ -104,6 +104,47 @@ class TemporalSamplingSpec extends SparkTestBase {
       s"en rate $enRate not below rest ${restKept / restTotal}")
   }
 
+  test("doc chunking covers every token, overlaps by stride, and never shuffles (t15)") {
+    val c = Sampling.ChunkTokens.toInt
+    val s = Sampling.ChunkStride.toInt
+    val docs = graft.core.Tables(spark, Sf).documents
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" ", -1))
+      .toMap
+    val df = Sampling.docChunks(spark, Sf)
+    val got = df.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
+      r.getAs[Long]("start_tok"), r.getAs[Long]("n_tok"), r.getAs[String]("chunk_text")))
+    // every chunk is exactly the tokens [start, start+n_tok) of its doc
+    got.foreach { case (id, _, start, n, text) =>
+      val toks = docs(id)
+      assert(text === toks.slice(start.toInt, start.toInt + n.toInt).mkString(" "))
+      assert(n === math.min(c.toLong, toks.length - start))
+    }
+    // chunks tile the doc at the stride; union of chunks covers all tokens
+    got.groupBy(_._1).foreach { case (id, chunks) =>
+      val sorted = chunks.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === sorted.indices.map(_.toLong))
+      sorted.foreach { case (_, k, start, _, _) => assert(start === k * s) }
+      val lastEnd = sorted.last._3 + sorted.last._4
+      assert(lastEnd === docs(id).length.toLong, s"doc $id not fully covered")
+      // no degenerate tail: every chunk past the first starts before the
+      // previous chunk's end AND contributes at least one new token
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._3 < a._3 + a._4 && b._3 + b._4 > a._3 + a._4)
+        case _ => ()
+      }
+    }
+    // pure per-row fan-out: no exchange except the final oracle-parity sort
+    // (sparkPlan, not executedPlan: AQE's re-print drops the partitioning
+    // detail that distinguishes the sort's range exchange from a shuffle)
+    val plan = df.queryExecution.sparkPlan.toString
+    val exchanges = "Exchange \\w+".r.findAllIn(plan).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"chunking must not shuffle (only the final sort may):\n$plan")
+    assert(plan.contains("Generate"), "expected an explode-based fan-out")
+  }
+
   test("two-level token sharding equals the flat running sum (t8)") {
     val docs = graft.core.Tables(spark, Sf).documents
       .select("doc_id", "text").collect()
