@@ -23,7 +23,12 @@ object Verify {
     // would otherwise mask a now-crashing query as a pass.
     graft.core.FsUtil.deleteRecursively(outDir)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q1,q2 limits the dump (local iteration aid, same
+    // contract as Bench); the driver never sets it, so the gate runs all.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

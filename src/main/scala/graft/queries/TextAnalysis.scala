@@ -432,7 +432,77 @@ object TextAnalysis {
        |LEFT JOIN (${Dedup.dupClustersSql}) c USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------------------------- t16
+
+  /** A document whose perplexity exceeds this multiple of the corpus mean
+    * is flagged (gibberish / far-out-of-distribution text). Relative to the
+    * corpus, not absolute: perplexity scales with vocabulary size, so a
+    * fixed cutoff would not transfer between corpora.
+    */
+  val PplCapFactor = 1.5
+
+  /** Unigram-LM PERPLEXITY scoring — the language-model quality filter of
+    * a pre-training pipeline (production trains the LM on a trusted corpus
+    * and scores candidates; here the model is the corpus's own unigram
+    * distribution, so the mechanism — train, score, threshold — is
+    * identical and self-contained). Per document:
+    * `nll = Σ tf·(ln T − ln c(w)) / n_tok`, `ppl = exp(nll)`; flagged iff
+    * `ppl > PplCapFactor × corpus mean`.
+    *
+    * Scale: tokens aggregate to (doc, term) BEFORE the model join, so the
+    * join input is distinct doc-term pairs, not raw tokens (map-side tf
+    * collapse); the term-count model joins on the term key (vocabulary ≪
+    * corpus; broadcastable when capped, equi-join otherwise — AQE
+    * decides); the corpus total and mean join in as broadcast 1-row
+    * frames, keeping the whole plan declarative (no driver action).
+    * Ranking-free: one shuffle on term, one on doc_id.
+    *
+    * Float contract (proven by t9): `ln`+`round(·,4)` is bit-identical
+    * across the JVM and DuckDB; sums accumulate ≤1e-13 relative error,
+    * orders of magnitude inside the 4-decimal round.
+    */
+  def unigramPpl(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val tf = Tables.spread(docs.select("doc_id", "text"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val model = tf.groupBy("term").agg(sum("tf").as("c"))
+    val total = model.agg(sum("c").as("t"))
+    val scored = tf.join(model, "term")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg((sum(col("tf") * (log(col("t")) - log(col("c")))) /
+        sum("tf")).as("nll"))
+      .select(col("doc_id"), round(exp(col("nll")), 4).as("ppl"))
+    val mean = scored.agg(round(avg("ppl"), 4).as("mean_ppl"))
+    scored.crossJoin(broadcast(mean))
+      .select(col("doc_id"), col("ppl"),
+        (col("ppl") > round(lit(PplCapFactor) * col("mean_ppl"), 4))
+          .as("flagged"))
+      .orderBy("doc_id")
+  }
+
+  val unigramPplSql: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |        FROM documents)
+       |  GROUP BY doc_id, term),
+       |model AS (SELECT term, sum(tf) AS c FROM tf GROUP BY term),
+       |total AS (SELECT sum(c) AS t FROM model),
+       |scored AS (
+       |  SELECT doc_id,
+       |    round(exp(sum(tf * (ln(t) - ln(c))) / sum(tf)), 4) AS ppl
+       |  FROM tf JOIN model USING (term) CROSS JOIN total
+       |  GROUP BY doc_id),
+       |m AS (SELECT round(avg(ppl), 4) AS mean_ppl FROM scored)
+       |SELECT doc_id, ppl,
+       |  ppl > round($PplCapFactor * mean_ppl, 4) AS flagged
+       |FROM scored CROSS JOIN m
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t16_unigram_ppl" -> (unigramPpl _),
     "t14_corpus_curation" -> (corpusCuration _),
     "t13_pii_scrub" -> (piiScrub _),
     "t11_repetition" -> (repetition _),
@@ -445,6 +515,7 @@ object TextAnalysis {
     "t9_tfidf_top_terms" -> (tfidfTopTerms _))
 
   val oracles: Map[String, String] = Map(
+    "t16_unigram_ppl" -> unigramPplSql,
     "t14_corpus_curation" -> corpusCurationSql,
     "t13_pii_scrub" -> piiScrubSql,
     "t11_repetition" -> repetitionSql,
