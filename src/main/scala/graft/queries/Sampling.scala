@@ -218,9 +218,13 @@ object Sampling {
     * array per output row afterwards would carry the full array through
     * the Generate (measured 8× slower on the gram pipeline).
     */
-  def docChunks(spark: SparkSession, dir: String): DataFrame = {
+  /** The chunking transform itself, over any (doc_id, text) frame —
+    * [[docChunks]] binds it to the documents table; the property spec
+    * drives it over synthetic edge-length docs.
+    */
+  def chunkTokens(docs: DataFrame): DataFrame = {
     val (c, s) = (ChunkTokens, ChunkStride)
-    Tables(spark, dir).documents
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("n", size(col("toks")).cast("long"))
       .select(col("doc_id"), col("n"),
@@ -233,8 +237,11 @@ object Sampling {
         (col("ch.chunk_id") * s).as("start_tok"),
         least(lit(c), col("n") - col("ch.chunk_id") * s).as("n_tok"),
         col("ch.chunk_text").as("chunk_text"))
-      .orderBy("doc_id", "chunk_id")
   }
+
+  def docChunks(spark: SparkSession, dir: String): DataFrame =
+    chunkTokens(Tables(spark, dir).documents)
+      .orderBy("doc_id", "chunk_id")
 
   /** DuckDB twin: 1-based inclusive list slice `toks[a:b]` clamps at the
     * list end exactly like Spark's `slice(toks, a, len)`.

@@ -145,6 +145,41 @@ class TemporalSamplingSpec extends SparkTestBase {
     assert(plan.contains("Generate"), "expected an explode-based fan-out")
   }
 
+  test("chunk arithmetic is exact at every boundary length (t15)") {
+    val c = Sampling.ChunkTokens.toInt
+    val s = Sampling.ChunkStride.toInt
+    // every off-by-one habitat: 1 token, stride±1, width±1, width+stride±1,
+    // exact multiples, and a long doc
+    val lengths = Seq(1, s - 1, s, s + 1, c - 1, c, c + 1, c + s - 1, c + s,
+      c + s + 1, 2 * c, 3 * s, 10 * c + 7)
+    import spark.implicits._
+    val docs = lengths.zipWithIndex
+      .map { case (n, i) => (i.toLong, (1 to n).map(k => s"w$k").mkString(" ")) }
+      .toDF("doc_id", "text")
+    val got = Sampling.chunkTokens(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
+        r.getAs[Long]("start_tok"), r.getAs[Long]("n_tok"),
+        r.getAs[String]("chunk_text")))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    lengths.zipWithIndex.foreach { case (n, i) =>
+      val toks = (1 to n).map(k => s"w$k")
+      // reference: starts 0,s,2s,… covering the doc, none past n-c except
+      // the mandatory cover-completion, always ≥1 chunk
+      val starts = (0 to (math.max(n - c, 0) + s - 1) / s).map(_ * s)
+      val chunks = got(i.toLong)
+      assert(chunks.length === starts.length, s"len=$n: ${chunks.length} chunks")
+      chunks.zip(starts).foreach { case ((_, k, start, nt, text), st) =>
+        assert(start === st.toLong, s"len=$n chunk=$k")
+        assert(nt === math.min(c, n - st).toLong, s"len=$n chunk=$k n_tok")
+        assert(text === toks.slice(st, st + c).mkString(" "), s"len=$n chunk=$k text")
+      }
+      // full coverage, no redundant tail
+      assert(chunks.last._3 + chunks.last._4 === n.toLong)
+      if (chunks.length > 1)
+        assert(chunks.last._3 < chunks.init.last._3 + chunks.init.last._4)
+    }
+  }
+
   test("two-level token sharding equals the flat running sum (t8)") {
     val docs = graft.core.Tables(spark, Sf).documents
       .select("doc_id", "text").collect()
