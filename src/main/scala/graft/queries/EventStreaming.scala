@@ -104,15 +104,31 @@ object EventStreaming {
       DocumentStreams.dedupGroups(DocumentStreams.readDocuments(spark, dir)),
       s"st6_mem_${runSeq.incrementAndGet()}", OutputMode.Update()))
 
+  /** st7: streaming chunking (streaming t15). The chunker is a STATELESS
+    * per-row fan-out, so the streaming form is the strongest kind of
+    * incremental operator: Append mode, no state store, no watermark —
+    * each arriving document emits its chunks exactly once, and the
+    * replayed zone lands on exactly the batch chunk set (shared t15
+    * oracle). This is the incremental path of the corpus pipeline: new
+    * crawl files chunk as they arrive instead of re-scanning the corpus.
+    */
+  def streamChunks(spark: SparkSession, dir: String): DataFrame =
+    EventStreams.replayToTable(
+      Sampling.chunkTokens(DocumentStreams.readDocuments(spark, dir)),
+      s"st7_mem_${runSeq.incrementAndGet()}", OutputMode.Append())
+      .orderBy("doc_id", "chunk_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st2_stream_hourly" -> (streamHourly _),
     "st3_stream_sessions" -> (streamSessions _),
     "st5_stream_attribution" -> (streamAttribution _),
-    "st6_stream_dedup" -> (streamDedup _))
+    "st6_stream_dedup" -> (streamDedup _),
+    "st7_stream_chunks" -> (streamChunks _))
 
   val oracles: Map[String, String] = Map(
     "st2_stream_hourly" -> Events.hourlyRollupSql,
     "st3_stream_sessions" -> Events.userSessionsSql,
     "st5_stream_attribution" -> Temporal.asofAttributionSql,
-    "st6_stream_dedup" -> Dedup.exactDedupSql)
+    "st6_stream_dedup" -> Dedup.exactDedupSql,
+    "st7_stream_chunks" -> Sampling.docChunksSql)
 }

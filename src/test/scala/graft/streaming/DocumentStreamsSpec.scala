@@ -72,4 +72,23 @@ class DocumentStreamsSpec extends SparkTestBase {
     assert(dupeRows.nonEmpty)
     assert(dupeRows.forall(_.getLong(1) < 100000L))
   }
+
+  test("streaming chunker equals batch chunking over a 3-file replay (st7)") {
+    val dir = scratch("docstream_chunks")
+    val docs = spark.read.parquet(s"$SfDir/documents.parquet")
+    val t0 = 1700000000000L
+    (0 to 2).foreach { i =>
+      writeOne(docs.filter(pmod(col("doc_id"), lit(3)) === i),
+        s"$dir/f$i.parquet", t0 + i * 60000L)
+    }
+    val streamed = EventStreams.replayToTable(
+      graft.queries.Sampling.chunkTokens(DocumentStreams.readDocuments(
+        spark, dir, glob = "*.parquet", maxFilesPerTrigger = Some(1))),
+      "docstream_chunks_t", OutputMode.Append())
+      .orderBy("doc_id", "chunk_id").collect().toSeq
+    val batch = graft.queries.Sampling.chunkTokens(spark.read.parquet(dir))
+      .orderBy("doc_id", "chunk_id").collect().toSeq
+    assert(streamed.size === batch.size)
+    streamed.zip(batch).foreach { case (a, b) => assert(a === b) }
+  }
 }
