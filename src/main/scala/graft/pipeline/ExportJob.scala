@@ -15,23 +15,30 @@ import graft.queries.Sampling
   *  - the shard assignment is the t8 two-level prefix sum (no global
   *    single-partition window);
   *  - `partitionBy(shard_id)` writes every shard directory in one pass —
-  *    the single shuffle is the repartition on shard_id that maps each
-  *    shard to one task (without it, every task holds files for every
-  *    shard: a small-files explosion at corpus scale);
+  *    the single shuffle is the REBALANCE on shard_id that co-locates a
+  *    shard's rows (without it, every task holds files for every shard: a
+  *    small-files explosion at corpus scale). A rebalance, not a plain
+  *    repartition, because AQE's skew splitting applies only to rebalance
+  *    partitions — a pathological shard splits across tasks (still one
+  *    DIRECTORY via partitionBy) instead of serializing on one task;
   *  - `maxRecordsPerFile` bounds any one file regardless of skew, so a
-  *    pathological shard splits instead of producing a multi-GB file;
-  *  - dynamic partition overwrite (session-wide in [[graft.core
-  *    .GraftSession]], set per-write here for standalone use) makes
-  *    re-export of a re-curated corpus rewrite only the touched shards —
-  *    same idempotence contract as the clean zone (K4).
+  *    heavy task splits output files instead of producing a multi-GB one;
+  *  - re-export is a FULL overwrite of the zone, deliberately NOT the
+  *    clean zone's per-partition dynamic overwrite (K4): K4's partition
+  *    values are stable natural keys, but shard_id is a dense prefix-sum
+  *    artifact — re-curating the corpus shifts every downstream
+  *    assignment and can shrink the shard count, and a per-partition
+  *    overwrite would leave the trailing stale shard directories in
+  *    place (duplicate training data). Truncate-and-replace is the only
+  *    assignment-stable contract; it stays idempotent.
   */
 object ExportJob {
 
-  /** Cap on records per output file. The fixture corpus is tiny; the cap
-    * exists to pin the mechanism — production sets it from target file
-    * size / mean record size.
+  /** Cap on records per output file — below the fixture's largest shard
+    * (95 rows at sf0.001) so the spec actually exercises the file split;
+    * production sets it from target file size / mean record size.
     */
-  val MaxRecordsPerFile = 200L
+  val MaxRecordsPerFile = 50L
 
   /** Join the shard assignment back to the document payload and write
     * `outDir/shard_id=<k>/part-*.json.gz`. Returns the exported frame
@@ -45,12 +52,13 @@ object ExportJob {
     val export = shards.join(docs, "doc_id")
       .select("shard_id", "doc_id", "text", "lang", "source")
     export
-      // one task per shard directory; AQE splits a skewed shard's task
-      .repartition(col("shard_id"))
+      // co-locate each shard; AQE may split a skewed shard across tasks
+      .hint("rebalance", col("shard_id"))
       .sortWithinPartitions("doc_id") // deterministic record order per file
       .write
       .mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
+      // pin truncate-and-replace even under a session-wide dynamic default
+      .option("partitionOverwriteMode", "static")
       .option("maxRecordsPerFile", MaxRecordsPerFile)
       .option("compression", "gzip")
       .partitionBy("shard_id")

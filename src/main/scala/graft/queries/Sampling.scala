@@ -217,10 +217,10 @@ object Sampling {
     * emits scalar structs — exploding positions and slicing the token
     * array per output row afterwards would carry the full array through
     * the Generate (measured 8× slower on the gram pipeline).
-    */
-  /** The chunking transform itself, over any (doc_id, text) frame —
-    * [[docChunks]] binds it to the documents table; the property spec
-    * drives it over synthetic edge-length docs.
+    *
+    * Operates on any (doc_id, text) frame — [[docChunks]] binds it to the
+    * documents table; the property spec drives it over synthetic
+    * edge-length docs.
     */
   def chunkTokens(docs: DataFrame): DataFrame = {
     val (c, s) = (ChunkTokens, ChunkStride)

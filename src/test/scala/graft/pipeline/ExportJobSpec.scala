@@ -47,11 +47,40 @@ class ExportJobSpec extends SparkTestBase {
       assert(rows.length <= nFiles * ExportJob.MaxRecordsPerFile,
         s"shard $k: ${rows.length} rows in $nFiles files")
     }
+    // the record cap actually bit: some shard is over it and split files
+    assert(back.groupBy(_._1).values
+      .exists(_.length > ExportJob.MaxRecordsPerFile),
+      "fixture never exceeds MaxRecordsPerFile — the bound is untested")
+    assert(files.length > dirs.length, "no shard split into multiple files")
 
     // idempotence: a second export over the same corpus leaves the same rows
     ExportJob.writeTrainingShards(spark, Sf, out)
     val again = spark.read.json(out).agg(count(lit(1)), sum("doc_id")).collect()(0)
     val first = (sent.length.toLong, sent.map(_._2).sum)
     assert((again.getLong(0), again.getLong(1)) === first)
+  }
+
+  test("re-export of a shrunk corpus leaves no stale shard directories") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val big = scratch("export-corpus-big")
+    val small = scratch("export-corpus-small")
+    docs.write.mode("overwrite").parquet(s"$big/documents.parquet")
+    // curation dropped 60% of the corpus: every shard assignment shifts
+    // and the shard count falls
+    docs.filter(col("doc_id") % 5 < 2).write.mode("overwrite")
+      .parquet(s"$small/documents.parquet")
+    val out = scratch("export-shrink")
+    val nBig = ExportJob.writeTrainingShards(spark, big, out).collect()
+      .map(_.getAs[Long]("shard_id")).distinct.length
+    val kept = ExportJob.writeTrainingShards(spark, small, out).collect()
+    val keptShards = kept.map(_.getAs[Long]("shard_id")).distinct.sorted
+    assert(keptShards.length < nBig, "fixture must actually shrink the shard count")
+    // the export zone holds EXACTLY the new shard set — a per-partition
+    // overwrite would have left the trailing stale directories behind
+    val dirs = new File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("shard_id=")).sorted
+    assert(dirs.toSeq === keptShards.map(k => s"shard_id=$k").toSeq)
+    val total = spark.read.json(out).count()
+    assert(total === kept.length.toLong)
   }
 }

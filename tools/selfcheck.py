@@ -38,12 +38,19 @@ def canon(rows, cols):
     return out
 
 
-def main(sf_dir, out_dir):
+def connect_views(sf_dir):
+    """One DuckDB connection with a view per fixture table (shared with
+    tools/oracletime.py so the table list cannot drift between them)."""
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def main(sf_dir, out_dir):
+    con = connect_views(sf_dir)
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     names = sorted(
         d for d in os.listdir(out_dir)
