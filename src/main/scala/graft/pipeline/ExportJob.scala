@@ -30,7 +30,10 @@ import graft.queries.Sampling
   *    assignment and can shrink the shard count, and a per-partition
   *    overwrite would leave the trailing stale shard directories in
   *    place (duplicate training data). Truncate-and-replace is the only
-  *    assignment-stable contract; it stays idempotent.
+  *    assignment-stable contract; it stays idempotent. A deployment that
+  *    needs INCREMENTAL re-export should shard by a stable content key
+  *    instead (t7's salted hash mod N — assignments never shift), trading
+  *    the strict per-shard token bound for per-partition overwrite.
   */
 object ExportJob {
 
