@@ -401,7 +401,14 @@ object Dedup {
     * distributed; `localCheckpoint` truncates the growing lineage so
     * round N's plan doesn't re-derive rounds 1..N-1.
     */
-  def connectedComponents(edges: DataFrame): DataFrame = {
+  def connectedComponents(edges: DataFrame): DataFrame =
+    connectedComponentsWithRounds(edges)._1
+
+  /** As [[connectedComponents]], also reporting the ROUND COUNT so the
+    * O(log diameter) convergence claim is spec-pinned (ComponentsSpec runs
+    * a long chain and asserts rounds ≪ diameter), not just documented.
+    */
+  private[queries] def connectedComponentsWithRounds(edges: DataFrame): (DataFrame, Int) = {
     val sym = edges.select(col("d1").as("src"), col("d2").as("dst"))
       .union(edges.select(col("d2").as("src"), col("d1").as("dst")))
       .persist()
@@ -421,7 +428,9 @@ object Dedup {
     }
     var prevSum = lblSum(labels)
     var converged = false
+    var rounds = 0
     while (!converged) {
+      rounds += 1
       val nbrMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy("src").agg(min("lbl").as("nlbl"))
       val stepped = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
@@ -441,7 +450,7 @@ object Dedup {
       labels = next
     }
     sym.unpersist()
-    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+    (labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id")), rounds)
   }
 
   /** d9: near-dup CLUSTERS from the d4 simhash pair list — the step between

@@ -34,6 +34,20 @@ class ComponentsSpec extends SparkTestBase {
     assert(cc(Seq.empty).isEmpty)
   }
 
+  test("a long chain converges in O(log diameter) rounds, not O(diameter)") {
+    import spark.implicits._
+    // 128-node chain with the min at one end: plain hash-min label
+    // propagation needs ~127 rounds; path halving must land well under
+    // 2*log2(127)+slack. A regression to linear convergence (e.g. losing
+    // the pointer-jump join) blows this bound by an order of magnitude.
+    val edges = (0 until 127).map(i => (1000L + i + 1, 1000L + i))
+    val (labels, rounds) =
+      Dedup.connectedComponentsWithRounds(edges.toDF("d1", "d2"))
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1000L to 1127L).foreach(n => assert(got(n) === 1000L, s"chain node $n"))
+    assert(rounds <= 20, s"128-chain took $rounds rounds — halving regressed")
+  }
+
   test("bridging edge merges two components") {
     val before = cc(Seq((1L, 2L), (10L, 11L)))
     assert(before(10L) === 10L)
