@@ -55,6 +55,14 @@ def main(sf_dir, out_dir):
     names = sorted(
         d for d in os.listdir(out_dir)
         if os.path.isdir(os.path.join(out_dir, d)))
+    # Honor graft.Verify's SPARK_GRAFT_ONLY filter so a single-query local
+    # iteration doesn't report every other oracle as FAIL-MISSING. The
+    # driver never sets it, so the gate still checks all.
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    if only:
+        keep = set(only.split(","))
+        oracles = {k: v for k, v in oracles.items() if k in keep}
+        names = [n for n in names if n in keep]
     n_pass = n_fail = n_noora = 0
     # A query that crashed inside graft.Verify produces no output dir; count
     # every oracle key with no dir as a failure so crashes can't read as green.
