@@ -542,7 +542,66 @@ object Dedup {
        |WHERE g.doc_id % $EvalMod != 0
        |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  /** CONTAMINATION RATE — the audit twin of [[decontaminate d8]]: instead
+    * of flagging training docs, report PER EVAL DOC how much of it leaked
+    * into the training corpus (distinct-gram fraction) — the number an
+    * evaluation writeup actually cites ("x% of benchmark B appears in the
+    * training set").
+    *
+    * Scale design mirrors d8 with the join reversed: the corpus-sized
+    * training gram set is reduced to distinct hashes by ONE shuffle on the
+    * hash, then the small eval side (doc-tagged grams) broadcasts into the
+    * join — the corpus never shuffles for the join itself and is never
+    * self-joined. Totals come from the eval side alone, so the final
+    * per-doc aggregate is benchmark-sized.
+    */
+  def contaminationRate(spark: SparkSession, dir: String): DataFrame = {
+    VectorOps.register(spark) // graft_hash60
+    val docs = Tables(spark, dir).documents
+    val toks = Tables.spread(docs.select("doc_id", "text"))
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= DecontamN)
+    val window = (0 until DecontamN)
+      .map(k => s"try_element_at(t, i + $k)").mkString(", ")
+    val gramHashes =
+      s"transform(sequence(1, size(t) - ${DecontamN - 1}), " +
+        s"i -> ${TextHash.hash60Expr(s"concat_ws(' ', $window)")})"
+    val grams = toks
+      .select(col("doc_id"), explode(expr(gramHashes)).as("h"))
+      .distinct()
+    val evalGrams = grams.filter(col("doc_id") % EvalMod === 0)
+    val trainHashes = grams.filter(col("doc_id") % EvalMod =!= 0)
+      .select("h").distinct()
+    val leaked = trainHashes.join(broadcast(evalGrams), "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_leaked"))
+    evalGrams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      .join(leaked, Seq("doc_id"), "left")
+      .withColumn("n_leaked", coalesce(col("n_leaked"), lit(0L)))
+      .withColumn("rate", round(col("n_leaked") / col("n_grams"), 4))
+      .orderBy("doc_id")
+  }
+
+  val contaminationRateSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |grams AS (
+       |  SELECT DISTINCT doc_id, ${hash60Sql("g")} AS h FROM (
+       |    SELECT doc_id, unnest(${TextHash.wordNgramsSql("t", DecontamN)}) AS g
+       |    FROM toks WHERE len(t) >= $DecontamN)),
+       |ev AS (SELECT doc_id, h FROM grams WHERE doc_id % $EvalMod = 0),
+       |tr AS (SELECT DISTINCT h FROM grams WHERE doc_id % $EvalMod != 0),
+       |leaked AS (
+       |  SELECT ev.doc_id, count(*) AS n_leaked
+       |  FROM ev JOIN tr USING (h) GROUP BY 1)
+       |SELECT e.doc_id, count(*) AS n_grams,
+       |  coalesce(any_value(l.n_leaked), 0) AS n_leaked,
+       |  round(CAST(coalesce(any_value(l.n_leaked), 0) AS DOUBLE) / count(*), 4)
+       |    AS rate
+       |FROM ev e LEFT JOIN leaked l ON e.doc_id = l.doc_id
+       |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d10_contamination_rate" -> (contaminationRate _),
     "d9_dup_clusters" -> (dupClusters _),
     "d8_decontaminate" -> (decontaminate _),
     "d7_substring_dups" -> (substringDups _),
@@ -554,6 +613,7 @@ object Dedup {
     "d6_embedding_near_dup" -> (embeddingNearDup _))
 
   val oracles: Map[String, String] = Map(
+    "d10_contamination_rate" -> contaminationRateSql,
     "d9_dup_clusters" -> dupClustersSql,
     "d8_decontaminate" -> decontaminateSql,
     "d7_substring_dups" -> substringDupsSql,

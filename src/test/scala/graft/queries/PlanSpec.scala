@@ -21,7 +21,8 @@ class PlanSpec extends SparkTestBase {
     // round 1; pigeonhole banding / LSH bucketing must keep them equi-joins
     Seq("d1_exact_dedup", "d2_minhash_lsh", "d3_simhash",
       "d4_simhash_pairs", "d5_ngram_jaccard", "d6_embedding_near_dup",
-      "d7_substring_dups", "d8_decontaminate", "t14_corpus_curation")
+      "d7_substring_dups", "d8_decontaminate", "d10_contamination_rate",
+      "t14_corpus_curation")
       .foreach { q =>
         val p = plan(q)
         assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
