@@ -506,10 +506,15 @@ object Dedup {
     * sides of the oracle count distinct HASHES, so parity cannot be broken
     * by a collision.
     */
-  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+  /** Distinct (doc_id, gram-hash) pairs over the corpus — the shared front
+    * half of d8 and d10. Grams hash to 60-bit longs INSIDE the per-row
+    * transform, so the explode emits scalars and every downstream shuffle
+    * carries (doc_id, long) — text never moves past the scan.
+    */
+  private def docGramHashes(spark: SparkSession, dir: String): DataFrame = {
     VectorOps.register(spark) // graft_hash60
-    val docs = Tables(spark, dir).documents
-    val toks = Tables.spread(docs.select("doc_id", "text"))
+    val toks = Tables.spread(
+      Tables(spark, dir).documents.select("doc_id", "text"))
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= DecontamN)
     val window = (0 until DecontamN)
@@ -517,9 +522,22 @@ object Dedup {
     val gramHashes =
       s"transform(sequence(1, size(t) - ${DecontamN - 1}), " +
         s"i -> ${TextHash.hash60Expr(s"concat_ws(' ', $window)")})"
-    val grams = toks
+    toks
       .select(col("doc_id"), explode(expr(gramHashes)).as("h"))
       .distinct()
+  }
+
+  /** The SQL twin of [[docGramHashes]], shared by both oracles. */
+  private val gramsCteSql: String =
+    s"""toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |grams AS (
+       |  SELECT DISTINCT doc_id, ${hash60Sql("g")} AS h FROM (
+       |    SELECT doc_id, unnest(${TextHash.wordNgramsSql("t", DecontamN)}) AS g
+       |    FROM toks WHERE len(t) >= $DecontamN))""".stripMargin
+
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val grams = docGramHashes(spark, dir)
     val evalGrams = grams.filter(col("doc_id") % EvalMod === 0)
       .select("h").distinct()
     grams.filter(col("doc_id") % EvalMod =!= 0)
@@ -530,12 +548,7 @@ object Dedup {
   }
 
   val decontaminateSql: String =
-    s"""WITH toks AS (
-       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-       |grams AS (
-       |  SELECT DISTINCT doc_id, ${hash60Sql("g")} AS h FROM (
-       |    SELECT doc_id, unnest(${TextHash.wordNgramsSql("t", DecontamN)}) AS g
-       |    FROM toks WHERE len(t) >= $DecontamN)),
+    s"""WITH $gramsCteSql,
        |ev AS (SELECT DISTINCT h FROM grams WHERE doc_id % $EvalMod = 0)
        |SELECT g.doc_id, count(*) AS n_shared
        |FROM grams g JOIN ev USING (h)
@@ -556,19 +569,7 @@ object Dedup {
     * per-doc aggregate is benchmark-sized.
     */
   def contaminationRate(spark: SparkSession, dir: String): DataFrame = {
-    VectorOps.register(spark) // graft_hash60
-    val docs = Tables(spark, dir).documents
-    val toks = Tables.spread(docs.select("doc_id", "text"))
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= DecontamN)
-    val window = (0 until DecontamN)
-      .map(k => s"try_element_at(t, i + $k)").mkString(", ")
-    val gramHashes =
-      s"transform(sequence(1, size(t) - ${DecontamN - 1}), " +
-        s"i -> ${TextHash.hash60Expr(s"concat_ws(' ', $window)")})"
-    val grams = toks
-      .select(col("doc_id"), explode(expr(gramHashes)).as("h"))
-      .distinct()
+    val grams = docGramHashes(spark, dir)
     val evalGrams = grams.filter(col("doc_id") % EvalMod === 0)
     val trainHashes = grams.filter(col("doc_id") % EvalMod =!= 0)
       .select("h").distinct()
@@ -582,12 +583,7 @@ object Dedup {
   }
 
   val contaminationRateSql: String =
-    s"""WITH toks AS (
-       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-       |grams AS (
-       |  SELECT DISTINCT doc_id, ${hash60Sql("g")} AS h FROM (
-       |    SELECT doc_id, unnest(${TextHash.wordNgramsSql("t", DecontamN)}) AS g
-       |    FROM toks WHERE len(t) >= $DecontamN)),
+    s"""WITH $gramsCteSql,
        |ev AS (SELECT doc_id, h FROM grams WHERE doc_id % $EvalMod = 0),
        |tr AS (SELECT DISTINCT h FROM grams WHERE doc_id % $EvalMod != 0),
        |leaked AS (

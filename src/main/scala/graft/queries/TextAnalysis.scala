@@ -328,16 +328,6 @@ object TextAnalysis {
       regexp_replace(acc, pat, s"[${name.toUpperCase}]")
     }
 
-  /** PII SCRUB: per-document match counts per class plus the digest of the
-    * scrubbed text — the digest pins the full replacement pipeline (which
-    * spans all classes in order), not just the counts. Single scan, no
-    * shuffle; regex cost is per-row and embarrassingly parallel.
-    *
-    * The synthetic fixture contains no PII (every count is 0 and the
-    * digest equals md5(text)) — the oracle still binds the whole pipeline;
-    * TextAnalysisSpec proves the redaction behavior itself on synthetic
-    * emails/phones/IPs.
-    */
   /** Per-class redaction counts with [[piiScrub]]'s sequential semantics:
     * each class counts on the text AFTER earlier classes redacted, so a
     * span can never be billed to two classes and counts always equal the
@@ -353,6 +343,16 @@ object TextAnalysis {
     }
   }
 
+  /** PII SCRUB: per-document match counts per class plus the digest of the
+    * scrubbed text — the digest pins the full replacement pipeline (which
+    * spans all classes in order), not just the counts. Single scan, no
+    * shuffle; regex cost is per-row and embarrassingly parallel.
+    *
+    * The synthetic fixture contains no PII (every count is 0 and the
+    * digest equals md5(text)) — the oracle still binds the whole pipeline;
+    * PiiScrubSpec proves the redaction behavior itself on synthetic
+    * emails/phones/IPs.
+    */
   def piiScrub(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
       .select(col("doc_id") +: piiCounts(col("text")) :+

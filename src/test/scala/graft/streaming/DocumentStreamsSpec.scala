@@ -1,8 +1,5 @@
 package graft.streaming
 
-import java.io.File
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
@@ -20,18 +17,8 @@ class DocumentStreamsSpec extends SparkTestBase {
 
   private val SfDir = "/root/testdata/sf0.001"
 
-  /** Write `df` as a single parquet FILE at dst with the given mtime (the
-    * file stream source processes oldest-mtime first).
-    */
-  private def writeOne(df: DataFrame, dst: String, mtime: Long): Unit = {
-    val stage = dst + "_stage"
-    df.coalesce(1).write.parquet(stage)
-    val part = new File(stage).listFiles()
-      .find(_.getName.endsWith(".parquet")).get
-    Files.move(part.toPath, Paths.get(dst))
-    graft.core.FsUtil.deleteRecursively(stage)
-    new File(dst).setLastModified(mtime)
-  }
+  private def writeOne(df: DataFrame, dst: String, mtime: Long): Unit =
+    ReplayFixtures.writeOne(df, dst, mtime)
 
   test("streaming dedup ledger equals batch dedup over a 3-file replay with cross-file duplicates") {
     val dir = scratch("docstream_dedup")

@@ -1,8 +1,5 @@
 package graft.streaming
 
-import java.io.File
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -32,16 +29,9 @@ class OutOfOrderReplaySpec extends SparkTestBase {
     val ev = spark.read.parquet(s"$SfDir/events.parquet")
       .withColumn("third", ntile(3).over(Window.orderBy("ts", "event_id")))
     arrivalOrder.zipWithIndex.foreach { case (third, i) =>
-      val stage = s"$dir/_stage_$third"
-      ev.filter(col("third") === third).drop("third")
-        .coalesce(1).write.parquet(stage)
-      val part = new File(stage).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      val dst = Paths.get(s"$dir/f$third.parquet")
-      Files.move(part.toPath, dst)
-      graft.core.FsUtil.deleteRecursively(stage)
       // one minute apart: unambiguous source ordering at mtime resolution
-      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+      ReplayFixtures.writeOne(ev.filter(col("third") === third).drop("third"),
+        s"$dir/f$third.parquet", 1700000000000L + i * 60000L)
     }
     dir
   }
