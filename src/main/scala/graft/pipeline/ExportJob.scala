@@ -57,7 +57,9 @@ object ExportJob {
     export
       // co-locate each shard; AQE may split a skewed shard across tasks
       .hint("rebalance", col("shard_id"))
-      .sortWithinPartitions("doc_id") // deterministic record order per file
+      // shard_id first: the file writer requires its partition column sorted
+      // and would otherwise insert its own (unstable) sort, scrambling doc_id
+      .sortWithinPartitions("shard_id", "doc_id")
       .write
       .mode(SaveMode.Overwrite)
       // pin truncate-and-replace even under a session-wide dynamic default

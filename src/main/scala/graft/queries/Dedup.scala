@@ -254,24 +254,31 @@ object Dedup {
     val docs = Tables(spark, dir).documents
     val toks = Tables.spread(docs.select("doc_id", "text"))
       .select(col("doc_id"), split(col("text"), " ").as("t"))
-    // gram generation stays inside codegen: explode the position sequence
-    // and concat the window directly (same values as wordNgrams, minus the
-    // interpreted per-row array build)
-    val gram = expr(
-      "concat_ws(' ', try_element_at(t, i), try_element_at(t, i + 1), try_element_at(t, i + 2))")
-    // DF guard as a window over g: one shuffle on the gram, which the
-    // self-join below (also keyed on g) reuses instead of re-exchanging
+    // Grams are hashed to longs INSIDE the per-row transform and deduped
+    // doc-locally (array_distinct): the (doc_id, gram) dedup needs no
+    // shuffle at all — a gram can only repeat within one document's row —
+    // and only 8-byte hashes ever explode or shuffle; the token array is
+    // never carried per exploded row. Joining on the 64-bit hash instead
+    // of the gram string is the standard scale trade: a cross-doc
+    // collision needs ~2^32 distinct grams (birthday bound) to become
+    // likely and merely perturbs one intersection count by 1.
     val sh = toks
-      .select(col("doc_id"), col("t"),
-        explode(expr("sequence(1, greatest(size(t) - 2, 1))")).as("i"))
-      .select(col("doc_id"), gram.as("g"))
-      .distinct()
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """transform(sequence(1, greatest(size(t) - 2, 1)),
+          |  i -> xxhash64(concat_ws(' ', try_element_at(t, i),
+          |    try_element_at(t, i + 1), try_element_at(t, i + 2))))"""
+          .stripMargin))).as("g"))
+    // DF guard as a count-over-window on g: one exchange+sort of 8-byte
+    // longs whose output partitioning BOTH self-join sides then reuse
+    // (ReusedExchange) — measured cheaper than a groupBy(g)+semi-join
+    // guard, which forks a second exchange chain
+    val kept = sh
       .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
       .filter(col("df") <= MaxGramDf)
       .drop("df")
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
-      .join(sh.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+    val counts = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = kept.as("a")
+      .join(kept.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("inter"))
     inter

@@ -460,6 +460,15 @@ object TextAnalysis {
     * Float contract (proven by t9): `ln`+`round(·,4)` is bit-identical
     * across the JVM and DuckDB; sums accumulate ≤1e-13 relative error,
     * orders of magnitude inside the 4-decimal round.
+    *
+    * The FLAG is computed in exact integer space: the rounded ppl scales
+    * to a BIGINT (`ppl_i = round(ppl·10⁴)`), the corpus mean becomes
+    * `sum(ppl_i)/n`, and `ppl > 1.5·mean` is `ppl_i·n·10 > 15·sum(ppl_i)`
+    * — integer arithmetic with no FP summation (order-independent, so
+    * Spark's nondeterministic partial-agg order and DuckDB's sum order
+    * can never shift the threshold by an ulp and flip a boundary doc).
+    * Headroom: ppl_i·n·10 stays under 2⁶³ for n up to ~10¹² docs at
+    * ppl ≤ 10⁵.
     */
   def unigramPpl(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
@@ -473,12 +482,13 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg((sum(col("tf") * (log(col("t")) - log(col("c")))) /
         sum("tf")).as("nll"))
-      .select(col("doc_id"), round(exp(col("nll")), 4).as("ppl"))
-    val mean = scored.agg(round(avg("ppl"), 4).as("mean_ppl"))
+      .select(col("doc_id"), round(exp(col("nll")), 4).as("ppl"),
+        round(exp(col("nll")) * 10000, 0).cast("long").as("ppl_i"))
+    val mean = scored.agg(sum("ppl_i").as("s"), count(lit(1)).as("n"))
     scored.crossJoin(broadcast(mean))
       .select(col("doc_id"), col("ppl"),
-        (col("ppl") > round(lit(PplCapFactor) * col("mean_ppl"), 4))
-          .as("flagged"))
+        (col("ppl_i") * col("n") * 10 >
+          lit((PplCapFactor * 10).toLong) * col("s")).as("flagged"))
       .orderBy("doc_id")
   }
 
@@ -492,12 +502,14 @@ object TextAnalysis {
        |total AS (SELECT sum(c) AS t FROM model),
        |scored AS (
        |  SELECT doc_id,
-       |    round(exp(sum(tf * (ln(t) - ln(c))) / sum(tf)), 4) AS ppl
+       |    round(exp(sum(tf * (ln(t) - ln(c))) / sum(tf)), 4) AS ppl,
+       |    CAST(round(exp(sum(tf * (ln(t) - ln(c))) / sum(tf)) * 10000, 0)
+       |      AS BIGINT) AS ppl_i
        |  FROM tf JOIN model USING (term) CROSS JOIN total
        |  GROUP BY doc_id),
-       |m AS (SELECT round(avg(ppl), 4) AS mean_ppl FROM scored)
+       |m AS (SELECT sum(ppl_i) AS s, count(*) AS n FROM scored)
        |SELECT doc_id, ppl,
-       |  ppl > round($PplCapFactor * mean_ppl, 4) AS flagged
+       |  ppl_i * n * 10 > ${(PplCapFactor * 10).toLong} * s AS flagged
        |FROM scored CROSS JOIN m
        |ORDER BY doc_id""".stripMargin
 
