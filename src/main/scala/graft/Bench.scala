@@ -77,6 +77,14 @@ object Bench {
     val total = ok.map(_._2).sum
     val slowest = ok.sortBy(-_._2).take(20).sortBy(_._1)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // The stdout tail only reliably carries the summary line; persist the
+    // COMPLETE per-query map to a file so the fast half of the suite keeps
+    // a timing history across rounds too.
+    val detail =
+      s"""{"sf":"$sfName","n_queries":${ok.size},"total":${f3(total)},"failed":$failedJson,"queries":${qjson(ok)}}"""
+    val detailPath = java.nio.file.Paths.get("target", "bench_detail.json")
+    java.nio.file.Files.createDirectories(detailPath.getParent)
+    java.nio.file.Files.write(detailPath, detail.getBytes("UTF-8"))
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${qjson(slowest)},"n_queries":${ok.size},"failed":$failedJson,"sf":"$sfName"}""")
     spark.stop()
   }

@@ -263,17 +263,44 @@ object Sampling {
        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin
   }
 
+  // ------------------------------------------------------------------ x3
+
+  val ExportRoot = "/root/repo/target/fixtures-export/shards"
+
+  /** K7 ROUND-TRIP: run the training-shard export sink, read the
+    * JSONL-gz layout back off disk, and re-derive (doc_id, n_tokens,
+    * shard_id) from the files alone. The oracle is [[tokenShardsSql]] —
+    * t8's assignment recomputed from the source table — so the sink's
+    * on-disk contract (partition directories, JSON payload fidelity,
+    * token-count reproducibility from the exported text) is
+    * oracle-checked end-to-end, not just spec-checked.
+    *
+    * `shard_id` comes back as a partition-directory column (inferred
+    * INT — cast to long); `doc_id`/`text` come from the JSON bodies.
+    */
+  def exportRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.FsUtil.deleteRecursively(ExportRoot)
+    graft.pipeline.ExportJob.writeTrainingShards(spark, dir, ExportRoot)
+    spark.read.json(ExportRoot)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        col("shard_id").cast("long").as("shard_id"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t12_token_mix" -> (tokenMix _),
     "t7_hash_sample" -> (hashSample _),
     "t8_token_shards" -> (tokenShards _),
     "t10_stratified_sample" -> (stratifiedSample _),
-    "t15_doc_chunks" -> (docChunks _))
+    "t15_doc_chunks" -> (docChunks _),
+    "x3_export_roundtrip" -> (exportRoundtrip _))
 
   val oracles: Map[String, String] = Map(
     "t12_token_mix" -> tokenMixSql,
     "t7_hash_sample" -> hashSampleSql,
     "t8_token_shards" -> tokenShardsSql,
     "t10_stratified_sample" -> stratifiedSampleSql,
-    "t15_doc_chunks" -> docChunksSql)
+    "t15_doc_chunks" -> docChunksSql,
+    "x3_export_roundtrip" -> tokenShardsSql)
 }

@@ -372,6 +372,54 @@ object TextAnalysis {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Inline PII-bearing rows for [[piiParity]] — the synthetic corpus has
+    * no PII, so these pin the redaction path itself across engines. No
+    * apostrophes (they'd need SQL escaping); one row per pattern family
+    * plus the two deliberate edge cases (digits-heavy email local part,
+    * year-list conservative redaction).
+    */
+  val PiiParityDocs: Seq[(Long, String)] = Seq(
+    1L -> "mail me at jane.doe+spam@sub.example.co today",
+    2L -> "call +27 (0)21 555 0199 now",
+    3L -> "host 192.168.10.254 is down",
+    4L -> "bob@ex.com or 021-555-01234 or 10.0.0.1",
+    5L -> "reach 0123456789@relay.example.org",
+    6L -> "pages 100 - 200 of 1500 copies sold in 2024",
+    7L -> "totally clean prose with no identifiers at all",
+    8L -> "board minutes 2021 2022 2023 retained")
+
+  /** Cross-engine PII PARITY: t13 over the fixture corpus pins only the
+    * no-op path (no PII in the synthetic documents), so this query runs
+    * the SAME regex stages over [[PiiParityDocs]] in both engines (Spark
+    * literal frame vs DuckDB VALUES) — per-class counts AND the scrubbed
+    * text — binding Java backtracking regex vs RE2 behavior on inputs
+    * that actually redact.
+    */
+  def piiParity(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark; import s.implicits._
+    PiiParityDocs.toDF("doc_id", "text")
+      .select(col("doc_id") +: piiCounts(col("text")) :+
+        scrubPii(col("text")).as("scrubbed"): _*)
+      .orderBy("doc_id")
+  }
+
+  val piiParitySql: String = {
+    val vals = PiiParityDocs
+      .map { case (id, t) => s"($id, '$t')" }.mkString(",\n|    ")
+    val stages = PiiPatterns.scanLeft("text") { case (acc, (name, pat)) =>
+      s"regexp_replace($acc, '$pat', '[${name.toUpperCase}]', 'g')"
+    }
+    val counts = PiiPatterns.zip(stages).map { case ((name, pat), c) =>
+      s"CAST(len(regexp_extract_all($c, '$pat')) AS BIGINT) AS n_$name"
+    }.mkString(",\n|  ")
+    s"""WITH v(doc_id, text) AS (VALUES
+       |    $vals)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  $counts,
+       |  ${stages.last} AS scrubbed
+       |FROM v ORDER BY doc_id""".stripMargin
+  }
+
   /** Repetition rejection thresholds for curation: chosen at the fixture's
     * ~p95 so the reason actually fires at test scale; production values are
     * corpus-calibrated the same way.
@@ -517,6 +565,7 @@ object TextAnalysis {
     "t16_unigram_ppl" -> (unigramPpl _),
     "t14_corpus_curation" -> (corpusCuration _),
     "t13_pii_scrub" -> (piiScrub _),
+    "t17_pii_parity" -> (piiParity _),
     "t11_repetition" -> (repetition _),
     "t1_lang_id" -> (langId _),
     "t2_quality_score" -> (qualityScore _),
@@ -530,6 +579,7 @@ object TextAnalysis {
     "t16_unigram_ppl" -> unigramPplSql,
     "t14_corpus_curation" -> corpusCurationSql,
     "t13_pii_scrub" -> piiScrubSql,
+    "t17_pii_parity" -> piiParitySql,
     "t11_repetition" -> repetitionSql,
     "t1_lang_id" -> langIdSql,
     "t2_quality_score" -> qualityScoreSql,
