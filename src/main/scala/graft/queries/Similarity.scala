@@ -184,7 +184,14 @@ object Similarity {
     * Assignment/probe ranking uses ROUNDED cosines (4 dp) with a cell-id
     * tie-break, the same cross-engine determinism contract as n1/n2/d6.
     */
-  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame =
+    ivfTopK(spark, dir, NumProbe)
+
+  /** nprobe is the recall/cost dial: each extra probed cell adds ~n/K
+    * candidates per query. The oracle-checked entry runs [[NumProbe]];
+    * AnnRecallSpec measures recall@k at several settings.
+    */
+  def ivfTopK(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
     VectorOps.register(spark)
     val e = Tables(spark, dir).embeddings
       .select(col("vec_id"), asDouble("embedding").as("v"))
@@ -209,7 +216,7 @@ object Similarity {
       .withColumn("pcos",
         round(expr("graft_dot(v1, cv)") / (col("n1") * col("cnorm")), 4))
       .withColumn("prn", row_number().over(wProbe))
-      .filter(col("prn") <= NumProbe)
+      .filter(col("prn") <= nprobe)
       .select(col("query_id"), col("cid").as("cell"))
 
     val scored = assign.join(broadcast(probe), Seq("cell"))
@@ -321,6 +328,20 @@ object Similarity {
        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
        |  round(list_sum(errs) / $Dim, 8) AS mse
        |FROM q ORDER BY vec_id""".stripMargin
+
+  /** Mean recall@[[TopK]] of an approximate ANN result against the exact
+    * baseline: |approx ∩ exact|/|exact| over all queries. A real ANN
+    * surface reports recall next to latency — n2/n4 hash-matching their
+    * own definitions says nothing about how much of the TRUE top-k the
+    * bucketing keeps; AnnRecallSpec asserts floors on this number.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame): Double = {
+    val key = Seq("query_id", "neighbor_id")
+    val hits = exact.select(key.map(col): _*)
+      .join(approx.select(key.map(col): _*), key, "left_semi")
+      .count().toDouble
+    hits / exact.count().toDouble
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n5_quantize" -> (quantize _),

@@ -1,0 +1,45 @@
+package graft.queries
+
+import graft.SparkTestBase
+
+/** ANN quality harness: recall@k of the two approximate paths (n2 LSH
+  * buckets, n4 IVF probes) against n1's exact brute-force top-k on the
+  * same embeddings. The floors are set from measurement at sf0.01 with
+  * margin; a bucketing regression (bad hyperplanes, wrong probe order)
+  * shows up here long before anyone eyeballs search quality.
+  *
+  * Expected shape of the numbers: IVF at nprobe=2 searches ~2/8 of the
+  * corpus chosen by centroid proximity and lands high recall; single-table
+  * sign-LSH at this bucket width is the cheap-and-coarse end (its job at
+  * scale is candidate pruning for DEDUP, where d6 pairs it with a verify
+  * step — n2's recall records that trade honestly).
+  */
+class AnnRecallSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("n4 IVF and n2 LSH recall@5 vs n1 exact, floors hold") {
+    val exact = Similarity.bruteForceTopK(spark, sf)
+    val lsh = Similarity.lshBucketTopK(spark, sf)
+    val ivf2 = Similarity.ivfTopK(spark, sf, nprobe = 2)
+    val ivf4 = Similarity.ivfTopK(spark, sf, nprobe = 4)
+
+    val rLsh = Similarity.recallAtK(exact, lsh)
+    val rIvf2 = Similarity.recallAtK(exact, ivf2)
+    val rIvf4 = Similarity.recallAtK(exact, ivf4)
+    info(f"recall@5: n2_lsh=$rLsh%.3f n4_ivf(np2)=$rIvf2%.3f n4_ivf(np4)=$rIvf4%.3f (sf0.01)")
+
+    // floors from measurement minus margin (np2=0.64, np4 higher; the
+    // synthetic embeddings are iid-random in 64d — near-orthogonal, the
+    // hostile case for any ANN bucketing — so these are conservative
+    // lower bounds for clustered real-world embeddings)
+    assert(rIvf2 >= 0.55, f"n4 IVF nprobe=2 recall@5 regressed: $rIvf2%.3f < 0.55")
+    assert(rIvf4 >= rIvf2, "nprobe dial must not reduce recall")
+    assert(rIvf4 >= 0.75, f"n4 IVF nprobe=4 recall@5 regressed: $rIvf4%.3f < 0.75")
+    // single-table sign-LSH is the coarse candidate pruner (d6 pairs it
+    // with an exact verify); its recall records that trade honestly
+    assert(rLsh >= 0.03, f"n2 LSH recall@5 regressed: $rLsh%.3f < 0.03")
+    // and the approximate paths return full result sets for every query
+    assert(ivf2.count() === exact.count())
+  }
+}
