@@ -43,6 +43,45 @@ object DocumentStreams {
     r.parquet(dir)
   }
 
+  /** [[docSchema]] plus an `event_ts` ingest-time column — the shape the
+    * bounded dedup variant consumes (global dedup needs no clock).
+    */
+  val docSchemaWithTs: StructType =
+    StructType(docSchema.fields :+ StructField("event_ts", TimestampType))
+
+  /** Replay a timestamped documents zone as a stream (bounded-dedup input). */
+  def readDocumentsWithTs(spark: SparkSession, dir: String,
+      glob: String = "documents.parquet",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(docSchemaWithTs)
+      .option("pathGlobFilter", glob)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.parquet(dir)
+  }
+
+  /** BOUNDED-STATE twin of [[dedupGroups]]: `dropDuplicatesWithinWatermark`
+    * on the same digest, deduping only within a time horizon. Append mode
+    * emits each digest's FIRST-SEEN row; a duplicate whose event time falls
+    * inside the kept row's `delay` horizon is dropped, and a digest's state
+    * is EVICTED once the watermark passes that horizon — so the state store
+    * holds arrival-rate × delay entries instead of one per distinct
+    * document ever seen (the global variant's unbounded ledger).
+    *
+    * When to use which: [[dedupGroups]] is the training-corpus ledger —
+    * exact d1 semantics forever, state grows with the distinct corpus,
+    * correct where the ledger IS the product. This variant is the
+    * crawl-frontier shape — re-fetches cluster in time, and a re-crawl
+    * arriving after the horizon SHOULD re-emit (the document may have
+    * changed); in exchange, state stays bounded no matter how long the
+    * stream runs. BoundedDedupSpec proves both halves (in-horizon collapse,
+    * post-horizon re-emit + eviction) under multi-batch file replay.
+    */
+  def dedupWithinWatermark(docs: DataFrame, delay: String): DataFrame =
+    docs
+      .select(md5(col("text")).as("text_md5"), col("doc_id"), col("event_ts"))
+      .withWatermark("event_ts", delay)
+      .dropDuplicatesWithinWatermark("text_md5")
+
   /** Streaming twin of d1: running (keep_doc_id, n_copies) per content
     * digest. Update mode emits a group's refreshed row each micro-batch that
     * touches it; both outputs are MONOTONE (min only falls, count only
