@@ -47,12 +47,18 @@ object PipelineStreams {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        CleanJob.mergeWriteClean(CleanJob.clean(batch), cleanRoot)
-        val q = CleanJob.quarantined(batch)
-        if (!q.isEmpty)
-          // append-only diagnostics; a retried batch may append twice,
-          // which is acceptable for a quarantine log
-          q.write.mode("append").parquet(s"${cleanRoot}_quarantine")
+        // three downstream actions consume this batch (merge-key collect,
+        // merged write, quarantine probe); without a cache each one
+        // re-parses the batch's multiLine JSON files from scratch
+        batch.persist()
+        try {
+          CleanJob.mergeWriteClean(CleanJob.clean(batch), cleanRoot)
+          val q = CleanJob.quarantined(batch)
+          if (!q.isEmpty)
+            // append-only diagnostics; a retried batch may append twice,
+            // which is acceptable for a quarantine log
+            q.write.mode("append").parquet(s"${cleanRoot}_quarantine")
+        } finally batch.unpersist()
       }
       .start()
   }
@@ -158,9 +164,14 @@ object PipelineStreams {
     convertStream(spark, zones.raw, zones.interim, ck.convert).awaitTermination()
     extractStream(spark, zones.interim, zones.silver, extractor, ck.extract)
       .awaitTermination()
-    cleanStream(spark, zones.silverGlob, zones.clean, ck.clean,
-      Trigger.AvailableNow()).awaitTermination()
-    cropStream(spark, zones.silverGlob, zones.interim, zones.shr, ck.crop)
-      .awaitTermination()
+    // clean and crop both fan out FROM silver with independent sinks and
+    // checkpoints — exactly the reference's two parallel S3-event edges
+    // (`main.tf:251-263`) — so they drain concurrently
+    val cleanQ = cleanStream(spark, zones.silverGlob, zones.clean, ck.clean,
+      Trigger.AvailableNow())
+    val cropQ =
+      cropStream(spark, zones.silverGlob, zones.interim, zones.shr, ck.crop)
+    cleanQ.awaitTermination()
+    cropQ.awaitTermination()
   }
 }
