@@ -205,6 +205,17 @@ object Dedup {
     */
   private val pairMemo =
     new scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]
+
+  /** Drop the signature/pair memos (benchmark hook: ScaleStress times every
+    * query COLD so a scaling curve measures end-to-end cost, not whichever
+    * query happened to run first and warm the memo for the rest).
+    */
+  private[graft] def clearMemos(): Unit = {
+    sigMemo.values.foreach(df => df.unpersist(false))
+    pairMemo.values.foreach(df => df.unpersist(false))
+    sigMemo.clear()
+    pairMemo.clear()
+  }
   private def pairsFor(spark: SparkSession, dir: String): DataFrame =
     pairMemo.getOrElseUpdate((spark, dir), {
       val sims = sigsFor(spark, dir)
