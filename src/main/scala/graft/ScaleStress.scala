@@ -13,17 +13,25 @@ import graft.queries.Dedup
   * superlinear bend long before a cluster would reveal it.
   *
   * Corpus construction (deterministic, seeded by structure not RNG): the
-  * base sf0.1 documents table is replicated k times; replica r suffixes
-  * every whitespace token with "·r" so
+  * base sf0.1 documents table is replicated k times; replica r rewrites
+  * its text through a BIJECTIVE character permutation (a distinct affine
+  * map over [a-zA-Z0-9] per replica; replica 0 is the identity) so
   *  - WITHIN a replica the duplicate/near-dup structure of the base corpus
-  *    is preserved EXACTLY (two texts that matched still match — the same
-  *    rewrite is applied to both), and
-  *  - ACROSS replicas no shingle/gram/token is ever shared (disjoint
-  *    vocabularies), so no cross-replica candidate pairs exist.
+  *    is preserved EXACTLY — lengths, token boundaries, shingle/gram
+  *    overlap and Jaccard values are all isomorphic under a char bijection
+  *    (two texts that matched still match, with identical similarity), and
+  *  - ACROSS replicas no token/shingle/gram is shared (a common word maps
+  *    to a different string in every replica), so no cross-replica
+  *    candidate pairs exist.
   * Output sizes (dup groups, near-dup pairs, clusters) therefore scale
   * exactly linearly with k, which makes TIME-vs-k directly interpretable:
   * a correct shuffle-bounded plan should track the input growth, and any
-  * all-pairs mistake would blow up as k².
+  * all-pairs mistake would blow up as k². (An earlier variant suffixed
+  * every token with "·r" instead — that puts the same 3-char pattern into
+  * most 8-char shingles of every document, inflates cross-doc MinHash
+  * collisions, and blew the d2 candidate set up superlinearly: the
+  * generator itself was distorting the similarity structure it was meant
+  * to replicate. A char bijection has no such artifact.)
   *
   * Embeddings replicate with vec_id offset by 1M per replica (the n1/n2
   * query set is pinned at vec_id < 20, so |Q| stays constant while the
@@ -39,6 +47,22 @@ object ScaleStress {
   /** doc_id/vec_id replica offset; far above any base id (max 4999). */
   private val IdOffset = 1000000L
 
+  /** The permuted character set. 62 = 2 x 31, so any odd multiplier not
+    * divisible by 31 is coprime to 62 and i -> (a*i + b) mod 62 is a
+    * bijection; distinct (a, b) give distinct permutations, and
+    * (a, b) = (1, 0) — replica 0 — is the identity.
+    */
+  private val Alphabet =
+    (('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9')).mkString
+  private val Mults = (1 until 62 by 2).filterNot(_ % 31 == 0).toIndexedSeq
+
+  private def permFor(rep: Int): String = {
+    val a = Mults(rep % Mults.size)
+    val b = rep / Mults.size
+    require(b < 62, s"replica $rep exceeds the ${Mults.size * 62} distinct maps")
+    (0 until 62).map(i => Alphabet((a * i + b) % 62)).mkString
+  }
+
   private val Queries = Seq(
     "d1_exact_dedup", "d2_minhash_lsh", "d5_ngram_jaccard",
     "d9_dup_clusters", "t14_corpus_curation", "n2_lsh_bucket_topk")
@@ -49,23 +73,31 @@ object ScaleStress {
     * the marker of a completed generation exists).
     */
   private def generate(spark: SparkSession, baseDir: String, outDir: String,
-      k: Int): Unit = {
+      k: Int, boilerplate: Boolean = false): Unit = {
     val done = new java.io.File(s"$outDir/_GENERATED")
     if (done.exists()) return
     val reps = spark.range(0, k).select(col("id").as("rep"))
 
-    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
-      .crossJoin(broadcast(reps))
-      // per-replica token suffix: disjoint vocabularies across replicas,
-      // identical rewrite within one (see scaladoc). The lambda captures
-      // the outer `rep` column.
-      .withColumn("text",
-        concat_ws(" ", expr(
-          "transform(split(text, ' '), t -> concat(t, '·', CAST(rep AS STRING)))")))
-      .select(
-        (col("doc_id") + col("rep") * IdOffset).as("doc_id"),
-        col("text"), col("lang"), col("source"),
-        length(col("text")).cast("long").as("n_chars"))
+    val base0 = spark.read.parquet(s"$baseDir/documents.parquet")
+    // skew variant: every doc ends with the same 8-token sentence, so each
+    // of its word-3-grams lands in EVERY doc of the replica (df = |docs|/k
+    // ≫ MaxGramDf) — the boilerplate-gram hot-bucket case the d5 DF guard
+    // exists for. Appended BEFORE the permutation, so it is replica-local
+    // boilerplate like everything else.
+    val base =
+      if (boilerplate) base0.withColumn("text", concat(col("text"), lit(
+        " common footer boilerplate sentence repeated on every single page")))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      else base0
+    // one branch per replica (translate needs literal from/to): a k-way
+    // union of the same 1.5 MB scan — generation-time only, never on the
+    // query path
+    val docs = (0 until k).map { r =>
+      base.select(
+        (col("doc_id") + lit(r * IdOffset)).as("doc_id"),
+        translate(col("text"), Alphabet, permFor(r)).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionAll _)
     docs.repartition(spark.sparkContext.defaultParallelism)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
 
@@ -105,6 +137,23 @@ object ScaleStress {
       try materialize(fn(spark, baseDir)) catch { case _: Throwable => () }
     }
 
+    // Skew experiment (SPARK_GRAFT_SKEW=<k>): a corpus where one 8-token
+    // boilerplate sentence appears in EVERY document, so each of its
+    // word-3-grams has df = 5000k/k per replica — far over MaxGramDf. Run
+    // d5 on it; pair with SPARK_GRAFT_MAX_GRAM_DF=10000000 in a second
+    // invocation to measure the unguarded hot-bucket blow-up.
+    sys.env.get("SPARK_GRAFT_SKEW").map(_.toInt).foreach { k =>
+      val dir = s"target/scale/x${k}skew"
+      generate(spark, baseDir, dir, k, boilerplate = true)
+      Dedup.clearMemos(); spark.catalog.clearCache(); System.gc()
+      val q0 = System.nanoTime()
+      val rows = materialize(SparkEntry.queries("d5_ngram_jaccard")(spark, dir))
+      val sec = (System.nanoTime() - q0) / 1e9
+      println(s"""{"scale":$k,"variant":"skew","query":"d5_ngram_jaccard","max_gram_df":${Dedup.MaxGramDf},"sec":${f2(sec)},"rows":$rows}""")
+      spark.stop()
+      return
+    }
+
     val results = scala.collection.mutable.ArrayBuffer.empty[String]
     scales.foreach { k =>
       val dir = s"target/scale/x$k"
@@ -112,23 +161,32 @@ object ScaleStress {
       generate(spark, baseDir, dir, k)
       val genSec = (System.nanoTime() - t0) / 1e9
       println(s"""{"scale":$k,"event":"generated","sec":${f2(genSec)}}""")
+      // min-of-2 at the small scales, where a single shot is dominated by
+      // JIT/codegen compilation of that query's pipeline (measured: d2 at
+      // x1 single-shot reads 1.7x its x10 time); at x100 the JVM is fully
+      // warm and one shot is the honest number
+      val reps = sys.env.get("SPARK_GRAFT_SCALE_REPS").map(_.toInt)
+        .getOrElse(if (k <= 10) 2 else 1)
       Queries.filter(q => only.forall(_.contains(q))).foreach { name =>
         val fn = SparkEntry.queries(name)
-        // cold per query: no memoized signatures, no cached frames, fresh
-        // GC baseline — the curve must measure end-to-end per-query cost
-        Dedup.clearMemos()
-        spark.catalog.clearCache()
-        System.gc()
-        val q0 = System.nanoTime()
-        val rows =
-          try materialize(fn(spark, dir))
-          catch { case e: Throwable =>
+        var best = Double.MaxValue
+        var rows = -1L
+        (1 to reps).foreach { _ =>
+          // cold per rep: no memoized signatures, no cached frames, fresh
+          // GC baseline — the curve must measure end-to-end per-query cost
+          Dedup.clearMemos()
+          spark.catalog.clearCache()
+          System.gc()
+          val q0 = System.nanoTime()
+          try {
+            rows = materialize(fn(spark, dir))
+            best = math.min(best, (System.nanoTime() - q0) / 1e9)
+          } catch { case e: Throwable =>
             System.err.println(s"[scale] x$k $name failed: ${e.getMessage}")
-            -1L
           }
-        val sec = (System.nanoTime() - q0) / 1e9
+        }
         val line =
-          s"""{"scale":$k,"query":"$name","sec":${f2(sec)},"rows":$rows}"""
+          s"""{"scale":$k,"query":"$name","sec":${f2(best)},"rows":$rows}"""
         println(line)
         results += line
       }

@@ -17,7 +17,7 @@ import graft.functions.TextHash.{hash60, hash60Sql, P}
   *  - exact dedup shuffles once on the content hash (never the content);
   *  - MinHash/LSH turns the O(n²) pair problem into an equi-join on
   *    (band, band_hash) buckets, so only genuine candidates meet;
-  *  - SimHash reduces each doc to one 32-bit integer before any pairing;
+  *  - SimHash reduces each doc to one 60-bit integer before any pairing;
   *  - n-gram Jaccard joins on shingle values, so cost is proportional to
   *    shared-shingle pairs, not all pairs.
   * Candidate/pair sets are tiny relative to the corpus and are broadcast.
@@ -150,29 +150,44 @@ object Dedup {
        |ORDER BY d1, d2""".stripMargin
   }
 
-  /** Per-document 32-bit SimHash over whitespace tokens (with repetition —
+  /** Signature width and pigeonhole chunking. 60 bits (the full hash60
+    * output) in 4 chunks of 15: any pair within hamming 3 shares ≥1
+    * identical chunk (3 flips touch ≤3 of the 4), and the candidate join
+    * buckets on 15-bit chunk values — 4 x 32768 = 131072 buckets. The
+    * earlier 32-bit/8-bit-chunk variant had only 1024 buckets, a hard
+    * cardinality cap that ScaleStress caught as quadratic: at 500k docs
+    * every bucket held ~2000 docs and the candidate join intermediate hit
+    * ~4B rows. Wide signatures + k=3 is also the canonical web-dedup
+    * configuration (Manku/Jain/Sarma, WWW'07, 64-bit simhash, hamming ≤3,
+    * block pigeonhole).
+    */
+  private val SimhashBits = 60
+  private val ChunkBits = 15 // 4 chunks
+  private val ChunkMask = (1L << ChunkBits) - 1
+
+  /** Per-document 60-bit SimHash over whitespace tokens (with repetition —
     * frequency-weighted, the standard formulation).
     */
   private def simhashSigs(docs: DataFrame): DataFrame = {
     val toks = Tables.spread(docs.select("doc_id", "text"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val h = toks.select(col("doc_id"), hash60(col("tok")).as("h"))
-    val bitAggs = (0 until 32).map { j =>
+    val bitAggs = (0 until SimhashBits).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
         .as(s"bs_$j")
     }
     val bs = h.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
-    val sim = (0 until 32)
+    val sim = (0 until SimhashBits)
       .map(j => when(col(s"bs_$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
     bs.select(col("doc_id"), sim.as("simhash"))
   }
 
   private val simhashSigsSql: String = {
-    val bitSelect = (0 until 32)
+    val bitSelect = (0 until SimhashBits)
       .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS bs_$j")
       .mkString(",\n    ")
-    val simExpr = (0 until 32)
+    val simExpr = (0 until SimhashBits)
       .map(j => s"(CASE WHEN bs_$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
       .mkString(" + ")
     s"""toks AS (
@@ -221,7 +236,8 @@ object Dedup {
       val sims = sigsFor(spark, dir)
       val chunkStructs = (0 until 4).map { c =>
         struct(lit(c).as("ci"),
-          shiftright(col("simhash"), 8 * c).bitwiseAND(lit(255L)).as("cv"))
+          shiftright(col("simhash"), ChunkBits * c)
+            .bitwiseAND(lit(ChunkMask)).as("cv"))
       }
       val chunks = sims
         .select(col("doc_id"), col("simhash"), explode(array(chunkStructs: _*)).as("x"))
@@ -251,11 +267,12 @@ object Dedup {
 
   /** SimHash near-dup pairs: hamming distance ≤ 3 between signatures,
     * found WITHOUT an all-pairs join via pigeonhole banding: split the
-    * 32-bit signature into 4 8-bit chunks — any pair within hamming 3 has
+    * 60-bit signature into 4 15-bit chunks — any pair within hamming 3 has
     * ≥1 identical chunk (3 differing bits touch at most 3 chunks) — and
     * equi-join on (chunk_idx, chunk_val). Candidates are then verified
     * exactly. Same output as the quadratic formulation, but the join
-    * shuffles on a small integer key, so it survives a 100x corpus.
+    * shuffles on a small integer key over a 131k-bucket space, so it
+    * survives a 100x corpus (measured: ScaleStress x100).
     */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     VectorOps.register(spark) // graft_hash60
@@ -279,7 +296,11 @@ object Dedup {
     * production scale it redefines jaccard over the sub-boilerplate gram
     * vocabulary, which is the standard near-dup practice.
     */
-  val MaxGramDf = 1000L
+  val MaxGramDf: Long =
+    // experiment override (ScaleStress skew run measures the guardless
+    // blow-up by raising the cap); the oracle SQL interpolates the SAME
+    // value, so Spark/DuckDB parity holds at any setting
+    sys.env.get("SPARK_GRAFT_MAX_GRAM_DF").map(_.toLong).getOrElse(1000L)
 
   /** Word-3-gram Jaccard near-dup pairs ≥ 0.5, candidates = any shared gram.
     * No LSH — this is the exact (more expensive) variant; the join on gram
