@@ -19,6 +19,22 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // oversize the pre-coalesce partition count: big shuffles (26M-row
+      // gram explodes at ScaleStress x100) sort/aggregate in right-sized
+      // chunks instead of spilling 32 oversized partitions, and AQE
+      // coalesces small stages back down so tiny queries pay nothing.
+      // This is the standard AQE sizing posture at scale (partition count
+      // tracks data volume, not core count).
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cores * 16).toString)
+      // Spark's 10 MB broadcast default is sized for ~1 GB executors; on
+      // realistic memory a ~100 MB dimension/count frame broadcasts far
+      // cheaper than re-shuffling a corpus-sized fact side. Measured at
+      // ScaleStress x100: d5's two per-doc-count joins (500k rows, ~12 MB)
+      // fell off broadcast and cost 2.2x — raising the ceiling restored
+      // the linear curve. AQE still makes the per-join choice, so frames
+      // that outgrow even this stay on the shuffle path.
+      .config("spark.sql.autoBroadcastJoinThreshold", (128 * 1024 * 1024).toString)
       // runtime skew-join splitting: oversized partitions of a shuffle join
       // are split into subtasks (salting's join-side sibling; aggregation
       // skew is handled explicitly via graft.functions.Skew)
@@ -34,10 +50,14 @@ object GraftSession {
   def defaultCores: Int =
     math.min(Runtime.getRuntime.availableProcessors(), 32)
 
-  /** Tune an externally-provided session (driver-owned in Verify/Bench). */
+  /** Tune an externally-provided session (driver-owned in Verify/Bench).
+    * Runtime-settable subset of [[local]]'s posture.
+    */
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+      (128 * 1024 * 1024).toString)
     spark
   }
 }

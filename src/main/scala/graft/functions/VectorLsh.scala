@@ -16,7 +16,17 @@ import graft.functions.TextHash.hash60Sql
 object VectorLsh {
 
   val Dim = 64       // embedding dimensionality (TESTDATA embeddings table)
-  val NumPlanes = 4  // 16 buckets — sized for the synthetic corpus
+
+  /** Hyperplane count = log2(bucket count) — the recall/cost dial. 4 (16
+    * buckets) is sized for the synthetic corpus (~125 vectors/bucket); the
+    * within-bucket self-join in d6 is quadratic PER BUCKET, so production
+    * sizing is planes ≈ log2(n / target_bucket_size) — e.g. 1B vectors at
+    * ~1k/bucket wants ~20 planes. Env-overridable so ScaleStress can
+    * measure the dial; the DuckDB oracle interpolates the same value, so
+    * parity holds at any setting.
+    */
+  val NumPlanes: Int =
+    sys.env.get("SPARK_GRAFT_LSH_PLANES").map(_.toInt).getOrElse(4)
 
   /** Deterministic pseudo-random hyperplane coefficient array for plane p:
     * coef[d] = (hash60("p_d") mod 2001 - 1000) / 1000 ∈ [-1, 1].
