@@ -483,14 +483,42 @@ object Dedup {
     // materialize the symmetric edge list (and the lazy pair-generation DAG
     // behind it) BEFORE the toggle, so the skew-prone candidate join still
     // runs adaptively; only the loop's label propagation runs fixed-plan
-    val sym = edges.select(col("d1").as("src"), col("d2").as("dst"))
+    val symRaw = edges.select(col("d1").as("src"), col("d2").as("dst"))
       .union(edges.select(col("d2").as("src"), col("d1").as("dst")))
       .persist()
-    sym.count()
+    val edgeCount = symRaw.count()
     val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    val partsBefore = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // With AQE off, the loop's shuffles all use the static shuffle partition
+    // count — size it from the MEASURED edge count (the count() above
+    // already paid for it) instead of the session default. Edges are two
+    // longs and label frames ≤1 row/node, so 100k rows/partition is
+    // comfortably in-memory; capped at 4096 for the billion-edge end. At
+    // fixture scale this collapses every loop stage to 1 task, and at
+    // 100 TB it GROWS the loop's parallelism past a too-small session
+    // default rather than inheriting it.
+    val loopParts = math.max(1L, math.min(4096L, edgeCount / 100000L)).toInt
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    // Pre-partition AND pre-sort the edge list by the per-round join key
+    // ONCE: InMemoryRelation preserves outputPartitioning/outputOrdering,
+    // so every round's sort-merge join reads sym's cached partitions with
+    // its exchange AND sort both elided — without this, each round
+    // re-shuffled and re-sorted the full edge list from scratch (at
+    // fixture scale that was ~70 task launches/round of pure overhead;
+    // on a cluster it is a full edge shuffle per round). The same
+    // one-partitioning-reused-across-iterations layout is what a real
+    // multi-node deployment wants.
+    val sym = symRaw.repartition(loopParts, col("dst"))
+      .sortWithinPartitions("dst")
+      .persist()
+    sym.count()
+    symRaw.unpersist(false)
     try connectedComponentsLoop(sym)
-    finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+    finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      spark.conf.set("spark.sql.shuffle.partitions", partsBefore)
+    }
   }
 
   private def connectedComponentsLoop(sym: DataFrame): (DataFrame, Int) = {
@@ -513,18 +541,26 @@ object Dedup {
     var rounds = 0
     while (!converged) {
       rounds += 1
-      val nbrMin = sym.join(labels, sym("dst") === labels("id"))
-        .groupBy("src").agg(min("lbl").as("nlbl"))
-      val stepped = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(col("id"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-      // path halving: labels are always node ids, so label-of-label jumps
-      // two hops toward the component min per round
-      val next = stepped.as("x")
-        .join(stepped.select(col("id").as("jid"), col("lbl").as("jlbl")),
-          col("x.lbl") === col("jid"), "left")
-        .select(col("x.id").as("id"),
-          least(col("x.lbl"), coalesce(col("jlbl"), col("x.lbl"))).as("lbl"))
+      // One aggregation per round: next(i) = min over {own label} ∪
+      // {neighbors' labels} ∪ {label-of-label} (path halving — labels are
+      // always node ids, so label-of-label jumps two hops toward the
+      // component min). Stated as a 3-way UNION feeding one min-aggregate
+      // rather than chained left-joins: an earlier formulation self-joined
+      // a derived `stepped` frame for the halving jump, which re-computed
+      // the whole neighbor-min chain on BOTH sides of that join every
+      // round (derived frames aren't materialized) — 2x the work per
+      // round for identical output. The pointer join is INNER because
+      // every label is some node's id, so a matching row always exists;
+      // isolated nodes survive via the own-label branch.
+      val viaEdges = sym.join(labels, sym("dst") === labels("id"))
+        .select(sym("src").as("id"), col("lbl"))
+      val viaPtr = labels.as("x")
+        .join(labels.select(col("id").as("jid"), col("lbl").as("jlbl")),
+          col("x.lbl") === col("jid"))
+        .select(col("x.id").as("id"), col("jlbl").as("lbl"))
+      val next = labels.select(col("id"), col("lbl"))
+        .union(viaEdges).union(viaPtr)
+        .groupBy("id").agg(min("lbl").as("lbl"))
         .localCheckpoint(true)
       val s = lblSum(next)
       converged = s.compareTo(prevSum) == 0
