@@ -230,6 +230,7 @@ object Dedup {
     pairMemo.values.foreach(df => df.unpersist(false))
     sigMemo.clear()
     pairMemo.clear()
+    clusterMemo.clear() // checkpoint-backed, nothing to unpersist
   }
   private def pairsFor(spark: SparkSession, dir: String): DataFrame =
     pairMemo.getOrElseUpdate((spark, dir), {
@@ -580,9 +581,26 @@ object Dedup {
     */
   def dupClusters(spark: SparkSession, dir: String): DataFrame = {
     VectorOps.register(spark) // graft_hash60
-    connectedComponents(pairsFor(spark, dir).select("d1", "d2"))
-      .orderBy("doc_id")
+    val labels = connectedComponents(pairsFor(spark, dir).select("d1", "d2"))
+    // populate the composition memo as a side effect: a session that runs
+    // d9 hands its fixpoint to downstream consumers (t14) for free
+    clusterMemo.putIfAbsent((spark, dir), labels)
+    labels.orderBy("doc_id")
   }
+
+  /** Memoized cluster labels per session+dir for COMPOSING queries (t14's
+    * curation join), in the spirit of [[sigsFor]]/[[pairsFor]]: a derived
+    * artifact downstream consumers share instead of re-running the
+    * iterative loop. [[dupClusters]] itself always computes — its reported
+    * cost must stay the true cost of clustering, not a memo read. The
+    * loop's output is already materialized (localCheckpoint), so the memo
+    * stores the final frame as-is.
+    */
+  private val clusterMemo =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]
+  private[queries] def clustersFor(spark: SparkSession, dir: String): DataFrame =
+    clusterMemo.getOrElseUpdate((spark, dir),
+      connectedComponents(pairsFor(spark, dir).select("d1", "d2")))
 
   val dupClustersSql: String =
     s"""WITH RECURSIVE $simhashSigsSql,

@@ -446,7 +446,10 @@ object TextAnalysis {
     val qual = qualityScore(spark, dir).select("doc_id", "keep")
     val rep = repetition(spark, dir)
       .select("doc_id", "top_tok_ratio", "dup_bigram_frac")
-    val clusters = Dedup.dupClusters(spark, dir)
+    // memoized composition artifact: reuses d9's fixpoint when the session
+    // already ran it, instead of re-running the CC loop (order is
+    // irrelevant here — the frame feeds an equi-join)
+    val clusters = Dedup.clustersFor(spark, dir)
       .withColumnRenamed("cluster_id", "cid")
     Tables(spark, dir).documents.select("doc_id")
       .join(lang, Seq("doc_id"))
