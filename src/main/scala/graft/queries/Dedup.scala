@@ -475,12 +475,12 @@ object Dedup {
     */
   private[queries] def connectedComponentsWithRounds(edges: DataFrame): (DataFrame, Int) = {
     val spark = edges.sparkSession
-    // AQE off for the loop only: every round re-runs the same three
-    // fixed-shape equi-joins over label-sized frames, and AQE's per-stage
-    // re-planning charges driver latency to each — measured 2x on the whole
-    // query at fixture scale (8.8s vs 16.6s). The pair-generation ahead of
-    // the loop still runs under AQE (it owns the skew risk); per-round skew
-    // is bounded because label frames hold one row per node.
+    // AQE off for the loop only: every round re-runs the same fixed-shape
+    // equi-joins over label-sized frames, and AQE's per-stage re-planning
+    // charges driver latency to each — measured 2x on the whole query at
+    // fixture scale (8.8s vs 16.6s). The pair-generation ahead of the loop
+    // still runs under AQE (it owns the skew risk); per-round skew is
+    // bounded because label frames hold one row per node.
     // materialize the symmetric edge list (and the lazy pair-generation DAG
     // behind it) BEFORE the toggle, so the skew-prone candidate join still
     // runs adaptively; only the loop's label propagation runs fixed-plan
