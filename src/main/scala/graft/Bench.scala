@@ -45,7 +45,7 @@ object Bench {
       // actual cost, not whichever pause landed on it. A run that throws
       // contributes NO time — a broken query must read as failed, not as
       // a fast time-to-exception.
-      val times = (1 to 2).flatMap { _ =>
+      val times = (1 to 2).flatMap { rep =>
         // clean slate between queries: prior queries' garbage (shuffle
         // buffers, codegen classes) otherwise bills GC pauses to whoever
         // runs next — measured up to 8x inflation on trivial projections
@@ -53,7 +53,10 @@ object Bench {
         val t0 = System.nanoTime()
         try {
           materialize(fn(spark, sfDir))
-          Some((System.nanoTime() - t0) / 1e9)
+          val sec = (System.nanoTime() - t0) / 1e9
+          if (sys.env.contains("SPARK_GRAFT_VERBOSE"))
+            System.err.println(f"[bench] $name rep$rep: $sec%.3f s")
+          Some(sec)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           None

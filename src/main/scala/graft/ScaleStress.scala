@@ -65,7 +65,8 @@ object ScaleStress {
 
   private val Queries = Seq(
     "d1_exact_dedup", "d2_minhash_lsh", "d5_ngram_jaccard",
-    "d9_dup_clusters", "t14_corpus_curation", "n2_lsh_bucket_topk")
+    "d9_dup_clusters", "d10_contamination_rate", "t14_corpus_curation",
+    "n2_lsh_bucket_topk")
 
   private def materialize(df: DataFrame): Long = df.queryExecution.toRdd.count()
 
