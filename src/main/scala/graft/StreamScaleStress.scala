@@ -1,0 +1,276 @@
+package graft
+
+import java.io.File
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.core.{FsUtil, GraftSession}
+import graft.queries.{Dedup, Events, EventStreaming, Temporal}
+import graft.streaming.{DocumentStreams, EventStreams, StreamMetrics}
+
+/** Scale-stress harness for the STATEFUL STREAMING family (the batch
+  * dedup/graph/ANN family has graft.ScaleStress) — the round-5 verdict's
+  * open question: SCALING.md proved the batch plans sublinear, but nothing
+  * measured how the stateful streams' cost and STATE grow with data.
+  *
+  * Corpus construction mirrors ScaleStress: the base sf0.1 events table is
+  * replicated k times with per-replica user_id/event_id offsets and
+  * UNCHANGED timestamps — each replica's users are disjoint, so per-user
+  * session/attribution structure is preserved exactly and output sizes
+  * scale linearly with k. The replicated corpus is then written as
+  * TIME-RANGE SLICES (single-file parquets with staggered mtimes, the
+  * ReplayFixtures protocol), so `maxFilesPerTrigger=1` forces a
+  * deterministic multi-batch replay in event-time order — watermarks
+  * advance between batches exactly as they would on a live source, which
+  * is what makes the state-eviction numbers meaningful.
+  *
+  * Every streamed result is equality-checked against its BATCH twin on the
+  * same corpus (same oracle pairing as Verify, minus DuckDB — the batch
+  * twins are themselves oracle-checked at the gate), so the curves can't
+  * silently trade correctness for speed. Per-batch durations and state
+  * rows/bytes come from [[StreamMetrics]] and are persisted to
+  * target/stream_scaling_detail.jsonl; the per-(scale, query) summary goes
+  * to target/stream_scaling.json.
+  *
+  * Run: SPARK_GRAFT_STREAM_SCALES=1,10 sbt "runMain graft.StreamScaleStress"
+  */
+object StreamScaleStress {
+
+  private val Slices = 10
+  private val UserOffset = 10000L   // base user_id < 1500
+  private val EventOffset = 10000000L // base event_id < 100k
+  private val DocOffset = 1000000L  // base doc_id < 5000 (matches ScaleStress)
+
+  /** Write `df` as a single parquet FILE at dst with the given mtime —
+    * ReplayFixtures.writeOne, reachable from a main (specs can't be).
+    */
+  private def writeOne(df: DataFrame, dst: String, mtime: Long): Unit = {
+    val stage = dst + "_stage"
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.move(part.toPath, Paths.get(dst))
+    FsUtil.deleteRecursively(stage)
+    new File(dst).setLastModified(mtime)
+  }
+
+  /** Replicate events k-fold and write as [[Slices]] event-time slices
+    * under outDir/events.parquet/ (a directory both the batch Tables
+    * reader and the file-stream source consume). Idempotent per (k).
+    */
+  private def generateEvents(spark: SparkSession, baseDir: String,
+      outDir: String, k: Int): Unit = {
+    val done = new File(s"$outDir/_GENERATED")
+    if (done.exists()) return
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val base = spark.read.parquet(s"$baseDir/events.parquet")
+    val reps = spark.range(0, k).select(col("id").as("rep"))
+    val all = base.crossJoin(broadcast(reps))
+      .select(
+        (col("event_id") + col("rep") * EventOffset).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("rep") * UserOffset).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    // percentile slice bounds on ts → contiguous, gap-free event-time
+    // ranges; each slice lands in one file so mtime order == time order
+    val bounds = all.stat.approxQuantile("ts",
+      (1 until Slices).map(_.toDouble / Slices).toArray, 0.001)
+    val dir = s"$outDir/events.parquet"
+    FsUtil.deleteRecursively(dir)
+    Files.createDirectories(Paths.get(dir))
+    val t0 = System.currentTimeMillis() - Slices * 60000L
+    (0 until Slices).foreach { i =>
+      val lo = if (i == 0) Long.MinValue else bounds(i - 1).toLong
+      val hi = if (i == Slices - 1) Long.MaxValue else bounds(i).toLong
+      writeOne(all.filter(col("ts") >= lo && col("ts") < hi),
+        f"$dir/slice_$i%02d.parquet", t0 + i * 60000L)
+    }
+    Files.write(done.toPath, Array.emptyByteArray)
+  }
+
+  /** Slice an (already replicated, ScaleStress-generated) documents corpus
+    * into doc_id-ordered single-file slices for multi-batch dedup replay.
+    */
+  private def generateDocs(spark: SparkSession, scaleDir: String,
+      outDir: String): Unit = {
+    val done = new File(s"$outDir/_DOCS_GENERATED")
+    if (done.exists()) return
+    require(new File(s"$scaleDir/documents.parquet").exists(),
+      s"$scaleDir/documents.parquet missing - run graft.ScaleStress first " +
+        "(it generates the replicated documents corpora)")
+    val docs = spark.read.parquet(s"$scaleDir/documents.parquet")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    // slice on the BASE doc id (ids repeat per replica modulo DocOffset),
+    // so every slice holds one id-range of EVERY replica — the span is the
+    // base-id domain, not the row count (at x10 a count-based width put
+    // the whole corpus in slice 0)
+    val span = docs.agg(max(col("doc_id") % DocOffset)).first().getLong(0) + 1
+    val per = math.max(1L, (span + Slices - 1) / Slices)
+    val dir = s"$outDir/documents.parquet"
+    FsUtil.deleteRecursively(dir)
+    Files.createDirectories(Paths.get(dir))
+    val t0 = System.currentTimeMillis() - Slices * 60000L
+    (0 until Slices).foreach { i =>
+      writeOne(
+        docs.filter(col("doc_id") % DocOffset >= i * per &&
+          col("doc_id") % DocOffset < (i + 1) * per),
+        f"$dir/slice_$i%02d.parquet", t0 + i * 60000L)
+    }
+    Files.write(done.toPath, Array.emptyByteArray)
+  }
+
+  /** Timestamped twin of [[generateDocs]] for the bounded-dedup stream:
+    * every doc in slice i carries event_ts = epoch + i hours, so a 2-hour
+    * dedup horizon spans ~2 slices and watermark eviction is forced to
+    * happen DURING the replay (visible as state_rows_removed > 0 and a
+    * state_rows_max plateau well under the distinct-doc count).
+    */
+  private def generateDocsTs(spark: SparkSession, scaleDir: String,
+      outDir: String): Unit = {
+    val done = new File(s"$outDir/_DOCSTS_GENERATED")
+    if (done.exists()) return
+    val docs = spark.read.parquet(s"$scaleDir/documents.parquet")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    // base-id slicing as in generateDocs (see the span comment there)
+    val span = docs.agg(max(col("doc_id") % DocOffset)).first().getLong(0) + 1
+    val per = math.max(1L, (span + Slices - 1) / Slices)
+    val dir = s"$outDir/documents.parquet_ts"
+    FsUtil.deleteRecursively(dir)
+    Files.createDirectories(Paths.get(dir))
+    val t0 = System.currentTimeMillis() - Slices * 60000L
+    val epoch = lit("2024-01-01 00:00:00").cast("timestamp")
+    (0 until Slices).foreach { i =>
+      writeOne(
+        docs.filter(col("doc_id") % DocOffset >= i * per &&
+          col("doc_id") % DocOffset < (i + 1) * per)
+          .withColumn("event_ts", epoch + expr(s"INTERVAL $i HOURS")),
+        f"$dir/slice_$i%02d.parquet", t0 + i * 60000L)
+    }
+    Files.write(done.toPath, Array.emptyByteArray)
+  }
+
+  /** True when the two frames hold identical row multisets. */
+  private def matches(a: DataFrame, b: DataFrame): Boolean =
+    a.count() == b.count() && a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val scales = sys.env.getOrElse("SPARK_GRAFT_STREAM_SCALES", "1,10")
+      .split(",").map(_.trim.toInt).toSeq
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val spark = GraftSession.local("graft-stream-scale")
+    spark.sparkContext.setLogLevel("WARN")
+    def f2(v: Double): String =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(2, java.math.RoundingMode.HALF_UP).toPlainString()
+
+    val summary = scala.collection.mutable.ArrayBuffer.empty[String]
+    val detail = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    scales.foreach { k =>
+      val dir = s"target/scale/streams/x$k"
+      generateEvents(spark, baseDir, dir, k)
+      generateDocs(spark, s"target/scale/x$k", dir)
+      generateDocsTs(spark, s"target/scale/x$k", dir)
+      val evZone = s"$dir/events.parquet"
+      val docZone = s"$dir/documents.parquet"
+
+      /** Run one streaming query: build the stream, replay it to a memory
+        * sink batch-by-batch, collapse, compare against the batch twin
+        * (None = semantics pinned elsewhere; the row count is still
+        * recorded).
+        */
+      def run(name: String, stream: => DataFrame, mode: OutputMode,
+          collapse: DataFrame => DataFrame, twin: => Option[DataFrame]): Unit = {
+        if (!only.forall(_.contains(name))) return
+        val m = StreamMetrics.attach(spark)
+        val t0 = System.nanoTime()
+        val updates = EventStreams.replayToTable(stream, s"sss_${name}_x$k", mode)
+        val result = collapse(updates)
+        val rows = result.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        m.detach()
+        val ok = twin.map(t => matches(result, t))
+        val bs = m.batchesFor(s"sss_${name}_x$k")
+        val stateMax = if (bs.isEmpty) 0L else bs.map(_.stateRowsTotal).max
+        val bytesMax = if (bs.isEmpty) 0L else bs.map(_.stateBytes).max
+        val removed = bs.map(_.stateRowsRemoved).sum
+        val line =
+          s"""{"scale":$k,"query":"$name","sec":${f2(sec)},"rows":$rows,""" +
+            s""""match":${ok.map(_.toString).getOrElse("null")},"batches":${bs.size},""" +
+            s""""state_rows_max":$stateMax,""" +
+            s""""state_mb_max":${f2(bytesMax / 1e6)},"state_rows_removed":$removed}"""
+        println(line)
+        summary += line
+        detail ++= m.jsonLines
+      }
+
+      run("st2_hourly",
+        EventStreams.hourlyRollup(EventStreams.readEvents(
+          spark, evZone, glob = "*.parquet", maxFilesPerTrigger = Some(1))),
+        OutputMode.Complete(),
+        df => df,
+        Some(Events.hourlyRollup(spark, dir)))
+
+      run("st3_sessions", {
+          import spark.implicits._
+          EventStreams.userSessions(
+            EventStreams.readEvents(spark, evZone, glob = "*.parquet",
+              maxFilesPerTrigger = Some(1))
+              .select("event_id", "user_id", "ts").as[EventStreams.Ev]).toDF()
+        },
+        OutputMode.Update(),
+        EventStreaming.collapseSessions,
+        Some(Events.userSessions(spark, dir)))
+
+      run("st5_attribution", {
+          import spark.implicits._
+          EventStreams.attribution(
+            EventStreams.readEvents(spark, evZone, glob = "*.parquet",
+              maxFilesPerTrigger = Some(1))
+              .filter(col("event_type").isin("view", "click", "purchase"))
+              .select("event_id", "user_id", "ts", "event_type")
+              .as[EventStreams.AttrEv]).toDF()
+        },
+        OutputMode.Update(),
+        EventStreaming.collapseAttribution,
+        Some(Temporal.asofAttribution(spark, dir)))
+
+      run("st6_dedup",
+        DocumentStreams.dedupGroups(DocumentStreams.readDocuments(
+          spark, docZone, glob = "*.parquet", maxFilesPerTrigger = Some(1))),
+        OutputMode.Update(),
+        EventStreaming.collapseDedup,
+        Some(Dedup.exactDedup(spark, dir)))
+
+      // bounded-state twin: same digest dedup, state evicted past the
+      // watermark horizon. event_ts advances one hour per doc-id slice, so
+      // a 2h horizon holds ~2 slices of state — the eviction (removed>0,
+      // state_rows_max ≪ distinct docs) is the number this exists to show.
+      // Semantics are spec-pinned (BoundedDedupSpec); here the streamed
+      // row count is recorded but not twin-compared (first-seen-in-horizon
+      // has no order-free batch twin).
+      run("st6b_bounded_dedup", {
+          DocumentStreams.dedupWithinWatermark(
+            DocumentStreams.readDocumentsWithTs(
+              spark, docZone + "_ts", glob = "*.parquet",
+              maxFilesPerTrigger = Some(1)),
+            "2 hours")
+        },
+        OutputMode.Append(),
+        df => df,
+        None)
+    }
+
+    val out = summary.mkString("[\n  ", ",\n  ", "\n]")
+    Files.createDirectories(Paths.get("target"))
+    Files.write(Paths.get("target", "stream_scaling.json"), out.getBytes("UTF-8"))
+    Files.write(Paths.get("target", "stream_scaling_detail.jsonl"),
+      detail.mkString("", "\n", "\n").getBytes("UTF-8"))
+    println(s"""{"event":"done","n":${summary.size}}""")
+    spark.stop()
+  }
+}

@@ -228,10 +228,8 @@ object Dedup {
   private[graft] def clearMemos(): Unit = {
     sigMemo.values.foreach(df => df.unpersist(false))
     pairMemo.values.foreach(df => df.unpersist(false))
-    gramMemo.values.foreach(df => df.unpersist(false))
     sigMemo.clear()
     pairMemo.clear()
-    gramMemo.clear()
     clusterMemo.clear() // checkpoint-backed, nothing to unpersist
   }
   private def pairsFor(spark: SparkSession, dir: String): DataFrame =
@@ -692,8 +690,17 @@ object Dedup {
     * formulation spent 29 s of the 51 s cold query inside the explode;
     * xxhash64 removes that hot spot. Collision risk at the sf0.01 gate is
     * ~25k distinct grams over a 64-bit space (p ≈ 2e-11).
+    *
+    * DELIBERATELY NOT MEMOIZED/CACHED (a sigsFor-style memo was built and
+    * measured first): caching this frame materializes the full corpus gram
+    * set into the block store, and at ScaleStress x100 that encode stage
+    * cost ~3x the xxhash64 explode it would save on a re-derive — the memo
+    * made the cold query SLOWER, and the consumers below are each
+    * single-pass over it anyway (d10 aggregates it once; d8's eval branch
+    * prunes to the 1-in-97 eval docs AT THE SCAN via the pushed doc_id
+    * filter, so its "second derivation" reads ~1% of the corpus).
     */
-  private def docGramHashesUncached(spark: SparkSession, dir: String): DataFrame = {
+  private def docGramHashes(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.spread(
       Tables(spark, dir).documents.select("doc_id", "text"))
       .select(col("doc_id"), split(col("text"), " ").as("t"))
@@ -705,19 +712,6 @@ object Dedup {
         s"i -> xxhash64($window)))"
     toks.select(col("doc_id"), explode(expr(gramHashes)).as("h"))
   }
-
-  /** [[docGramHashesUncached]] memoized per (session, dir) exactly like
-    * [[sigsFor]]: d8 derives the frame twice (train + eval branch) and d10
-    * twice more, so without the memo one Verify/Bench run pays the
-    * full-corpus token explode + gram-hash + distinct shuffle FOUR times.
-    * The cached frame is (doc_id, long) — two longs per distinct gram,
-    * orders of magnitude smaller than the text it came from.
-    */
-  private val gramMemo =
-    new scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]
-  private def docGramHashes(spark: SparkSession, dir: String): DataFrame =
-    gramMemo.getOrElseUpdate((spark, dir),
-      docGramHashesUncached(spark, dir).cache())
 
   /** The SQL twin of [[docGramHashes]], shared by both oracles. */
   private val gramsCteSql: String =
@@ -753,32 +747,37 @@ object Dedup {
     * evaluation writeup actually cites ("x% of benchmark B appears in the
     * training set").
     *
-    * Scale design mirrors d8 with the join reversed: the corpus-sized
-    * training gram set is reduced to distinct hashes by ONE shuffle on the
-    * hash, and the benchmark-sized eval side left-joins against it — both
-    * totals (grams and leaked) then come from ONE aggregate over the join
-    * output, so the whole query is a single corpus shuffle plus
-    * benchmark-sized follow-up stages. The corpus is never self-joined.
-    * (An earlier shape computed n_grams and n_leaked as two separate
-    * aggregates stitched by a final join — same answer, two more
-    * exchanges; the fused form halves the stage count at fixture scale
-    * and drops an eval-side reshuffle at any scale. The join keys on h,
-    * the exact partitioning the distinct just produced, so the train side
-    * enters the join exchange-free; at fixture scale AQE instead
-    * broadcasts the MB-sized distinct-hash frame.)
+    * Scale design: ONE corpus shuffle total. A single groupBy on the gram
+    * hash simultaneously (a) dedups the training side (distinct grams =
+    * distinct groups), (b) "joins" eval and train occurrences of the same
+    * gram (they land in the same group), and (c) reduces the training side
+    * to one boolean per gram — where the earlier shape needed a distinct
+    * exchange PLUS a join, this needs neither. Per-gram state is bounded:
+    * the collected eval-doc list is benchmark-sized by definition (the
+    * eval corpus is thousands of docs, not billions — the same bound that
+    * justified d8's broadcast), and the training side folds to a flag via
+    * max(), never a list. The exploded eval pairs after the filter are
+    * eval-corpus-sized, so the final per-doc aggregate is tiny. The corpus
+    * is never self-joined. (Two earlier shapes were measured and replaced:
+    * separate n_grams/n_leaked aggregates stitched by a join — two extra
+    * exchanges — and a distinct-then-left-join form whose train-side
+    * distinct was a second full-corpus exchange.)
     */
   def contaminationRate(spark: SparkSession, dir: String): DataFrame = {
     val grams = docGramHashes(spark, dir)
-    val evalGrams = grams.filter(col("doc_id") % EvalMod === 0)
-    val trainHits = grams.filter(col("doc_id") % EvalMod =!= 0)
-      .select("h").distinct()
-      .withColumn("hit", lit(1))
-    evalGrams.join(trainHits, Seq("h"), "left")
+    val isEval = col("doc_id") % EvalMod === 0
+    grams
+      .groupBy("h")
+      .agg(
+        collect_list(when(isEval, col("doc_id"))).as("eval_docs"),
+        max(when(!isEval, 1).otherwise(0)).as("in_train"))
+      .filter(size(col("eval_docs")) > 0)
+      .select(explode(col("eval_docs")).as("doc_id"), col("in_train"))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_grams"),
-        count(col("hit")).as("n_leaked"),
-        round(count(col("hit")) / count(lit(1)), 4).as("rate"))
+        sum(col("in_train")).cast("long").as("n_leaked"),
+        round(sum(col("in_train")) / count(lit(1)), 4).as("rate"))
       .orderBy("doc_id")
   }
 
