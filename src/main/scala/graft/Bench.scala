@@ -35,17 +35,48 @@ object Bench {
     SparkEntry.queries.get("q6_revenue_forecast").foreach { fn =>
       try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
+    // CALIBRATION CANARY: the round-5 driver bench read 20% hot purely from
+    // box load, which nearly booked as a code regression. A fixed query
+    // (q6: one scan + one agg, warm plan) re-timed at the start, middle and
+    // end of the run makes load-inflated runs SELF-IDENTIFYING — the canary
+    // has no code-change axis, so its spread across the run is pure
+    // environment. Three start shots also pick the rep protocol: a noisy
+    // box (>15% spread) switches every query from min-of-2 to
+    // median-of-3, trading ~40% more bench time for order statistics that
+    // a single GC pause or scheduler stall can't swing.
+    val canaryFn = SparkEntry.queries("q6_revenue_forecast")
+    val canaryTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def canary(): Unit = {
+      System.gc()
+      val t0 = System.nanoTime()
+      try {
+        materialize(canaryFn(spark, sfDir))
+        canaryTimes += (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => () }
+    }
+    (1 to 3).foreach(_ => canary())
+    val startSpread =
+      if (canaryTimes.isEmpty || canaryTimes.min == 0) 0.0
+      else (canaryTimes.max - canaryTimes.min) / canaryTimes.min
+    // both a relative AND an absolute bar: q6 runs ~0.25 s, where ±50 ms of
+    // scheduler jitter is intrinsic (measured on an idle box) — only a
+    // spread that is big in seconds AND in ratio indicates actual load
+    val noisy = startSpread > 0.15 &&
+      canaryTimes.nonEmpty && (canaryTimes.max - canaryTimes.min) > 0.1
+    val reps = if (noisy) 3 else 2
     // SPARK_GRAFT_ONLY=q1,q2 limits the run (local iteration aid)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = selected.map { case (name, fn) =>
+    val mid = selected.size / 2
+    val results = selected.zipWithIndex.map { case ((name, fn), qi) =>
+      if (qi == mid) canary()
       // best of two runs: single-shot numbers swing ±15% from GC/JIT noise
       // (measured across identical runs); min-of-2 reports the query's
       // actual cost, not whichever pause landed on it. A run that throws
       // contributes NO time — a broken query must read as failed, not as
       // a fast time-to-exception.
-      val times = (1 to 2).flatMap { rep =>
+      val times = (1 to reps).flatMap { rep =>
         // clean slate between queries: prior queries' garbage (shuffle
         // buffers, codegen classes) otherwise bills GC pauses to whoever
         // runs next — measured up to 8x inflation on trivial projections
@@ -62,8 +93,16 @@ object Bench {
           None
         }
       }
-      name -> times.minOption
+      // min-of-2 on a calm box (a rep's actual cost); median-of-3 on a
+      // noisy one (min would still pick up a lucky gap, median can't be
+      // swung by one stall)
+      val t =
+        if (times.isEmpty) None
+        else if (noisy && times.size >= 3) Some(times.sorted.apply(times.size / 2))
+        else Some(times.min)
+      name -> t
     }
+    canary()
     // 2-decimal (10 ms) precision, trailing zeros stripped, sf as basename:
     // keeps every line compact for consumers that retain a bounded tail
     def f3(v: Double): String =
@@ -86,15 +125,27 @@ object Bench {
     val total = ok.map(_._2).sum
     val slowest = ok.sortBy(-_._2).take(20).sortBy(_._1)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Canary record: all shots (3 at start, 1 mid-run, 1 at end), their
+    // full-run spread, and which rep protocol the start spread selected.
+    // A reader comparing this bench line against another round's divides
+    // out the canary ratio before calling anything a regression.
+    val runSpread =
+      if (canaryTimes.isEmpty || canaryTimes.min == 0) 0.0
+      else (canaryTimes.max - canaryTimes.min) / canaryTimes.min
+    val canaryJson =
+      s"""{"times":${canaryTimes.map(f3).mkString("[", ",", "]")},""" +
+        s""""start_spread":${f3(startSpread)},"run_spread":${f3(runSpread)},""" +
+        s""""noisy":$noisy,""" +
+        s""""protocol":"${if (noisy) "median-of-3" else "min-of-2"}"}"""
     // The stdout tail only reliably carries the summary line; persist the
     // COMPLETE per-query map to a file so the fast half of the suite keeps
     // a timing history across rounds too.
     val detail =
-      s"""{"sf":"$sfName","n_queries":${ok.size},"total":${f3(total)},"failed":$failedJson,"queries":${qjson(ok)}}"""
+      s"""{"sf":"$sfName","n_queries":${ok.size},"total":${f3(total)},"failed":$failedJson,"canary":$canaryJson,"queries":${qjson(ok)}}"""
     val detailPath = java.nio.file.Paths.get("target", "bench_detail.json")
     java.nio.file.Files.createDirectories(detailPath.getParent)
     java.nio.file.Files.write(detailPath, detail.getBytes("UTF-8"))
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${qjson(slowest)},"n_queries":${ok.size},"failed":$failedJson,"sf":"$sfName"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${qjson(slowest)},"n_queries":${ok.size},"failed":$failedJson,"canary":$canaryJson,"sf":"$sfName"}""")
     spark.stop()
   }
 }
