@@ -42,4 +42,41 @@ class AnnRecallSpec extends SparkTestBase {
     // and the approximate paths return full result sets for every query
     assert(ivf2.count() === exact.count())
   }
+
+  test("Lloyd refinement beats raw seed centroids on a clustered fixture") {
+    // The realistic embedding shape: 8 well-separated blobs (block-axis
+    // centers + gaussian noise). Adversarial to the seed initialization by
+    // construction — all 8 seed vectors (vec_id < NumCells) come from blob
+    // 0, so the raw quantizer's centroids are near-duplicates and the
+    // other blobs split across cells on noise alone; the Lloyd rounds must
+    // pull the centroids apart toward the actual cluster means. (On the
+    // iid sf fixture above the same refinement is a no-op by design — no
+    // structure to recover — which is why THIS fixture exists.)
+    import spark.implicits._
+    val dim = graft.functions.VectorLsh.Dim
+    val blobs = 8
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 500).map { id =>
+      val b = if (id < 8) 0 else id % blobs
+      val emb = Array.tabulate(dim) { d =>
+        val c = if (d / (dim / blobs) == b) 5.0f else 0.0f
+        c + (rnd.nextGaussian() * 0.5).toFloat
+      }
+      (id.toLong, emb, b)
+    }
+    val dir = "target/ann_clustered"
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val exact = Similarity.bruteForceTopK(spark, dir)
+    val raw = Similarity.recallAtK(exact,
+      Similarity.ivfTopK(spark, dir, nprobe = 2, lloydIters = 0))
+    val refined = Similarity.recallAtK(exact,
+      Similarity.ivfTopK(spark, dir, nprobe = 2))
+    info(f"clustered recall@5 (nprobe=2): raw_seeds=$raw%.3f lloyd=$refined%.3f")
+    assert(refined > raw + 0.1,
+      f"Lloyd refinement should beat raw seeds by a margin: $refined%.3f vs $raw%.3f")
+    assert(refined >= 0.9,
+      f"refined quantizer must recover the cluster structure: $refined%.3f < 0.9")
+  }
 }
