@@ -263,6 +263,54 @@ object StreamScaleStress {
         OutputMode.Append(),
         df => df,
         None)
+
+      // st4 DAG at kx: the full 4-hop checkpointed pipeline (convert →
+      // extract → clean ∥ crop) cold-started over a k-fold replicated
+      // fixture zone — PDFs under per-replica province keys, each with its
+      // replicated silver replay fixture so EVERY replica extracts real
+      // products. The DAG queries are stateless file streams, so the claim
+      // under test is pure: hop latency is checkpoint/trigger machinery,
+      // not O(data). rows must scale exactly linearly (13 clean rows per
+      // replica pair of catalogues).
+      if (only.forall(_.contains("st4_dag"))) {
+        val root = s"$dir/dag"
+        FsUtil.deleteRecursively(root)
+        val zones = graft.pipeline.Pipeline.Zones(root)
+        val fixRoot = s"$root/fixtures/PnP"
+        val srcFix = "/root/repo/fixtures/silver/PnP"
+        val keys = Seq(
+          "Gauteng/13_February_-_15_February_2026",
+          "Eastern_Cape/20_February_-_22_February_2026")
+        (0 until k).foreach { r =>
+          keys.foreach { key =>
+            val Array(prov, dr) = key.split("/")
+            val provR = if (r == 0) prov else s"${prov}_r$r"
+            val pdf = Paths.get(s"${zones.raw}/PnP/$provR/$dr.pdf")
+            Files.createDirectories(pdf.getParent)
+            Files.write(pdf, graft.pipeline.FixtureBinaries.minimalPdf(2))
+            (1 to 2).foreach { pg =>
+              val dst = Paths.get(s"$fixRoot/$provR/$dr/page_$pg.json")
+              Files.createDirectories(dst.getParent)
+              Files.copy(Paths.get(s"$srcFix/$prov/$dr/page_$pg.json"), dst)
+            }
+          }
+        }
+        val m = StreamMetrics.attach(spark)
+        val t0 = System.nanoTime()
+        graft.streaming.PipelineStreams.runDag(spark, zones,
+          new graft.pipeline.FixtureExtractor(fixRoot))
+        val rows = spark.read.parquet(zones.clean).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        m.detach()
+        val bs = m.batches
+        val line =
+          s"""{"scale":$k,"query":"st4_dag","sec":${f2(sec)},"rows":$rows,""" +
+            s""""match":null,"batches":${bs.size},"state_rows_max":0,""" +
+            s""""state_mb_max":0,"state_rows_removed":0}"""
+        println(line)
+        summary += line
+        detail ++= m.jsonLines
+      }
     }
 
     val out = summary.mkString("[\n  ", ",\n  ", "\n]")
