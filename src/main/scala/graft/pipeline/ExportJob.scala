@@ -1,8 +1,14 @@
 package graft.pipeline
 
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextHash.hash60
+import graft.functions.VectorOps
 import graft.queries.Sampling
 
 /** Training-shard EXPORT — the terminal sink of the corpus pipeline: the
@@ -69,5 +75,107 @@ object ExportJob {
       .partitionBy("shard_id")
       .json(outDir)
     export
+  }
+
+  /** Shard count in incremental mode. Fixed and content-independent: the
+    * stable assignment contract below only holds while this never changes
+    * for a given export zone (changing it is a full re-shard — use the
+    * truncate-and-replace mode for that).
+    */
+  val IncrementalShards = 16
+
+  /** INCREMENTAL re-export — the opt-in alternative mode the
+    * [[writeTrainingShards]] contract note points at: shard by a STABLE
+    * salted content-key hash (t7's mechanism — `hash60(salt||doc_id) mod
+    * N`) instead of the t8 dense prefix sum, so adding/dropping/editing a
+    * doc moves only that doc's own shard. Re-export then rewrites ONLY the
+    * shards whose content changed:
+    *
+    *  - a per-shard order-independent fingerprint (`bit_xor` of a row
+    *    content hash, plus the row count — xor alone cancels on paired
+    *    rows) is computed in the same single pass that stages the export;
+    *    the fingerprint aggregate collects N rows (shard count, not data);
+    *  - fingerprints are compared against `_graft_manifest.tsv` from the
+    *    previous export (underscore-prefixed: Spark's file index ignores
+    *    it, so readers of the zone never see it as data);
+    *  - only changed shards are written, under per-partition DYNAMIC
+    *    overwrite — untouched shard directories are never listed, read, or
+    *    rewritten (their files keep their mtimes: the spec pins this);
+    *  - shards that became EMPTY (every doc dropped) write no rows, so
+    *    dynamic overwrite cannot clear them — their directories are
+    *    deleted explicitly from the old-manifest diff.
+    *
+    * Trade-off vs the default mode, per the contract note: per-shard token
+    * mass is now only ~uniform in expectation (hash balance), not bounded
+    * by construction. `maxRecordsPerFile` still bounds individual files.
+    * Idempotent: re-export of an unchanged corpus rewrites zero shards.
+    */
+  def writeTrainingShardsIncremental(spark: SparkSession, dir: String,
+      outDir: String): DataFrame = {
+    VectorOps.register(spark) // graft_hash60
+    val docs = graft.core.Tables(spark, dir).documents
+      .select("doc_id", "text", "lang", "source")
+    val assigned = docs.withColumn("shard_id",
+      pmod(hash60(concat(lit("graft-export|"), col("doc_id").cast("string"))),
+        lit(IncrementalShards.toLong)))
+    // stage once: fingerprint pass + (filtered) write pass share the scan
+    assigned.persist()
+    try {
+      val fps = assigned
+        .withColumn("row_fp", hash60(concat_ws("\u0001",
+          col("doc_id").cast("string"), col("text"), col("lang"), col("source"))))
+        .groupBy("shard_id")
+        .agg(expr("bit_xor(row_fp)").as("fp"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => r.getAs[Long]("shard_id") ->
+          (r.getAs[Long]("fp"), r.getAs[Long]("n"))).toMap
+      val prev = readManifest(outDir)
+      val changed = fps.keys.filter(k => !prev.get(k).contains(fps(k))).toSeq.sorted
+      if (changed.nonEmpty) {
+        assigned.filter(col("shard_id").isin(changed: _*))
+          .hint("rebalance", col("shard_id"))
+          .sortWithinPartitions("shard_id", "doc_id")
+          .write
+          .mode(SaveMode.Overwrite)
+          // replace ONLY the partitions present in the written frame
+          .option("partitionOverwriteMode", "dynamic")
+          .option("maxRecordsPerFile", MaxRecordsPerFile)
+          .option("compression", "gzip")
+          .partitionBy("shard_id")
+          .json(outDir)
+      }
+      // shards the previous export had that now hold zero rows: dynamic
+      // overwrite never saw them — drop their directories
+      for (gone <- prev.keySet -- fps.keySet) {
+        val d = new File(outDir, s"shard_id=$gone")
+        if (d.isDirectory) { d.listFiles().foreach(_.delete()); d.delete() }
+      }
+      writeManifest(outDir, fps)
+    } finally assigned.unpersist()
+    assigned
+  }
+
+  /** Manifest name; the leading underscore keeps it invisible to Spark's
+    * file listing, so `spark.read.json(outDir)` sees only shard data.
+    */
+  private val ManifestName = "_graft_manifest.tsv"
+
+  private def readManifest(outDir: String): Map[Long, (Long, Long)] = {
+    val p = Paths.get(outDir, ManifestName)
+    if (!Files.exists(p)) Map.empty
+    else new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .linesIterator.filter(_.nonEmpty).map { line =>
+        val Array(k, fp, n) = line.split("\t")
+        k.toLong -> (fp.toLong, n.toLong)
+      }.toMap
+  }
+
+  private def writeManifest(outDir: String,
+      fps: Map[Long, (Long, Long)]): Unit = {
+    val body = fps.toSeq.sortBy(_._1)
+      .map { case (k, (fp, n)) => s"$k\t$fp\t$n" }.mkString("", "\n", "\n")
+    Files.createDirectories(Paths.get(outDir))
+    Files.write(Paths.get(outDir, ManifestName),
+      body.getBytes(StandardCharsets.UTF_8))
   }
 }

@@ -83,4 +83,77 @@ class ExportJobSpec extends SparkTestBase {
     val total = spark.read.json(out).count()
     assert(total === kept.length.toLong)
   }
+
+  /** Latest data-file mtime per shard directory — the witness that a shard
+    * was (or was not) rewritten.
+    */
+  private def shardMtimes(out: String): Map[String, Long] =
+    new File(out).listFiles().filter(_.isDirectory)
+      .filter(_.getName.startsWith("shard_id="))
+      .map(d => d.getName -> d.listFiles()
+        .filter(_.getName.endsWith(".json.gz")).map(_.lastModified).max)
+      .toMap
+
+  test("incremental export rewrites only changed shards; untouched dirs keep mtimes") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val corpusA = scratch("inc-corpus-a")
+    docs.write.mode("overwrite").parquet(s"$corpusA/documents.parquet")
+    val out = scratch("inc-export")
+    val first = ExportJob.writeTrainingShardsIncremental(spark, corpusA, out).collect()
+    assert(first.map(_.getAs[Long]("shard_id")).distinct.length > 2)
+    val t0 = shardMtimes(out)
+
+    // idempotence: unchanged corpus → ZERO shards rewritten
+    Thread.sleep(1100)
+    ExportJob.writeTrainingShardsIncremental(spark, corpusA, out)
+    assert(shardMtimes(out) === t0, "unchanged corpus rewrote a shard")
+
+    // edit ONE doc's text: only that doc's shard may rewrite
+    val editedId = first.head.getAs[Long]("doc_id")
+    val editedShard = first.head.getAs[Long]("shard_id")
+    val corpusB = scratch("inc-corpus-b")
+    docs.withColumn("text",
+        when(col("doc_id") === editedId, concat(col("text"), lit(" EDITED")))
+          .otherwise(col("text")))
+      .write.mode("overwrite").parquet(s"$corpusB/documents.parquet")
+    Thread.sleep(1100)
+    ExportJob.writeTrainingShardsIncremental(spark, corpusB, out)
+    val t1 = shardMtimes(out)
+    assert(t1(s"shard_id=$editedShard") > t0(s"shard_id=$editedShard"),
+      "the edited doc's shard was not rewritten")
+    for ((d, m) <- t0 if d != s"shard_id=$editedShard")
+      assert(t1(d) === m, s"untouched shard $d was rewritten")
+
+    // the zone reads back as the FULL corpus-B export, not a partial one
+    val back = spark.read.json(out)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(back.size === first.length)
+    assert(back(editedId).endsWith(" EDITED"))
+    assert(first.filter(_.getAs[Long]("doc_id") != editedId)
+      .forall(r => back(r.getAs[Long]("doc_id")) === r.getAs[String]("text")))
+  }
+
+  test("incremental export drops shard directories that became empty") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val corpusA = scratch("inc-empty-a")
+    docs.write.mode("overwrite").parquet(s"$corpusA/documents.parquet")
+    val out = scratch("inc-empty-export")
+    val first = ExportJob.writeTrainingShardsIncremental(spark, corpusA, out).collect()
+    // empty out one whole shard: dynamic overwrite alone would strand it
+    val victim = first.head.getAs[Long]("shard_id")
+    val victimIds = first.filter(_.getAs[Long]("shard_id") == victim)
+      .map(_.getAs[Long]("doc_id")).toSet
+    val corpusB = scratch("inc-empty-b")
+    docs.filter(!col("doc_id").isin(victimIds.toSeq: _*))
+      .write.mode("overwrite").parquet(s"$corpusB/documents.parquet")
+    Thread.sleep(1100)
+    val t0 = shardMtimes(out)
+    ExportJob.writeTrainingShardsIncremental(spark, corpusB, out)
+    assert(!new File(out, s"shard_id=$victim").exists(),
+      "emptied shard directory left behind")
+    for ((d, m) <- shardMtimes(out))
+      assert(t0(d) === m, s"shard $d rewrote on an unrelated drop")
+    assert(spark.read.json(out).count() === (first.length - victimIds.size).toLong)
+  }
 }
