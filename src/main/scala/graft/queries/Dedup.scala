@@ -414,6 +414,71 @@ object Dedup {
        |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        |ORDER BY cos DESC, id1, id2 LIMIT 20""".stripMargin
 
+  // ----------------------------------------------------------------- d11
+
+  /** Same-cell cosine floor for a semantic drop. On the iid-random fixture
+    * the densest same-cell cosines sit just above it (2/9/55 drops at
+    * sf0.001/0.01/0.1); a production corpus with real semantic structure
+    * runs this at ~0.95+.
+    */
+  private val SemDedupThreshold = 0.45
+
+  /** d11: SEMANTIC dedup, SemDeDup-style (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-partition the embedding space, then drop
+    * any vector with a smaller-id same-cell neighbor at cosine ≥
+    * [[SemDedupThreshold]] — the embedding-space analogue of d1's
+    * keep-min-id rule. The cells come from [[Similarity.semanticCells]],
+    * the SAME Lloyd-refined coarse quantizer n4's IVF index uses: one
+    * clustering feeds both the ANN index and the dedup pass, exactly how
+    * a production pipeline amortizes the quantizer.
+    *
+    * Scale shape: the quadratic step runs only WITHIN a cell (SemDeDup's
+    * core bargain) — cells hold ~n/K vectors and K grows with the corpus,
+    * so per-cell work stays bounded while the global all-pairs join never
+    * exists. One shuffle keys vectors by cell; the centroid refinement is
+    * broadcast joins against an 8-row table plus (cell, dim)-keyed
+    * aggregates. Output is the DROP LIST (vec_id, its cell, and the
+    * strongest witness cosine) — the frame a curation pass anti-joins.
+    *
+    * The rule is the simple single-pass variant: a drop's witness may
+    * itself be dropped (1 evicts 2 and 2 evicts 3 even when 1≁3). The
+    * spec pins the resulting invariant — no two SURVIVORS in the same
+    * cell are within the threshold.
+    */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    VectorOps.register(spark)
+    val e = Tables(spark, dir).embeddings
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
+    val m = e.join(Similarity.semanticCells(spark, dir), Seq("vec_id"))
+    val a = m.select(col("vec_id").as("id1"), col("v").as("v1"),
+      col("norm").as("n1"), col("cell"))
+    val b = m.select(col("vec_id").as("id2"), col("v").as("v2"),
+      col("norm").as("n2"), col("cell"))
+    a.join(b, Seq("cell"))
+      .filter(col("id2") < col("id1"))
+      .withColumn("cos",
+        round(expr("graft_dot(v1, v2)") / (col("n1") * col("n2")), 4))
+      .filter(col("cos") >= SemDedupThreshold)
+      .groupBy(col("id1"), col("cell"))
+      .agg(max("cos").as("max_cos"))
+      .select(col("id1").as("vec_id"), col("cell"), col("max_cos"))
+      .orderBy("vec_id")
+  }
+
+  val semanticDedupSql: String =
+    s"""${Similarity.cellsCteSql},
+       |m AS (
+       |  SELECT n.vec_id, n.v, n.norm, a.cell
+       |  FROM n JOIN assign a USING (vec_id))
+       |SELECT a.vec_id, a.cell,
+       |  max(round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4)) AS max_cos
+       |FROM m a JOIN m b ON a.cell = b.cell AND b.vec_id < a.vec_id
+       |  AND round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4)
+       |    >= $SemDedupThreshold
+       |GROUP BY a.vec_id, a.cell
+       |ORDER BY a.vec_id""".stripMargin
+
   /** Cross-document repeated substrings (the boilerplate/substring-dedup
     * pass): hash every 64-char window at stride 32 and report windows seen
     * in ≥2 distinct documents. Stride-32 detects repeats whose offsets
@@ -805,7 +870,8 @@ object Dedup {
     "d3_simhash" -> (simhash _),
     "d4_simhash_pairs" -> (simhashPairs _),
     "d5_ngram_jaccard" -> (ngramJaccard _),
-    "d6_embedding_near_dup" -> (embeddingNearDup _))
+    "d6_embedding_near_dup" -> (embeddingNearDup _),
+    "d11_semantic_dedup" -> (semanticDedup _))
 
   val oracles: Map[String, String] = Map(
     "d10_contamination_rate" -> contaminationRateSql,
@@ -817,5 +883,6 @@ object Dedup {
     "d3_simhash" -> simhashSql,
     "d4_simhash_pairs" -> simhashPairsSql,
     "d5_ngram_jaccard" -> ngramJaccardSql,
-    "d6_embedding_near_dup" -> embeddingNearDupSql)
+    "d6_embedding_near_dup" -> embeddingNearDupSql,
+    "d11_semantic_dedup" -> semanticDedupSql)
 }

@@ -319,7 +319,27 @@ object Similarity {
        |  FROM (SELECT p.cid, coalesce(m.ncv, p.cv) AS cv
        |        FROM cent${r - 1} p LEFT JOIN means$r m ON m.cell = p.cid))""".stripMargin
 
-  val ivfTopKSql: String =
+  /** Lloyd-refined cell assignment (vec_id, cell) — the coarse-quantizer
+    * product n4's inverted lists are built from, exposed so d11's semantic
+    * dedup shares the SAME quantizer (one clustering, two consumers, and
+    * the two operators partition the corpus identically).
+    */
+  private[queries] def semanticCells(spark: SparkSession, dir: String): DataFrame = {
+    VectorOps.register(spark)
+    val e = Tables(spark, dir).embeddings
+      .select(col("vec_id"), asDouble("embedding").as("v"))
+      .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
+    val seeds = e.filter(col("vec_id") < NumCells)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cnorm"))
+    val cent = (1 to LloydIters).foldLeft(seeds)((c, _) => lloydRound(e, c))
+    assignCells(e, cent)
+  }
+
+  /** Shared oracle CTE chain `e → n → cent0..centL → assign` — the SQL twin
+    * of [[semanticCells]]; [[ivfTopKSql]] and d11's oracle both build on it
+    * so the quantizer can never drift between the two queries' oracles.
+    */
+  private[queries] val cellsCteSql: String =
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
@@ -330,7 +350,10 @@ object Similarity {
        |  SELECT vec_id AS cid, v AS cv, norm AS cnorm FROM n
        |  WHERE vec_id < $NumCells),
        |${(1 to LloydIters).map(lloydCtesSql).mkString(",\n")},
-       |${assignCteSql("assign", s"cent$LloydIters")},
+       |${assignCteSql("assign", s"cent$LloydIters")}""".stripMargin
+
+  val ivfTopKSql: String =
+    s"""$cellsCteSql,
        |q AS (
        |  SELECT vec_id AS query_id, v AS v1, norm AS n1 FROM n
        |  WHERE vec_id < $NumQueries),

@@ -86,6 +86,16 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("semantic dedup (d11): within-cell pairing is a hash join on cell; nested-loop only against the centroid table") {
+    val p = plan("d11_semantic_dedup")
+    assert(!p.contains("CartesianProduct"))
+    // like n4: the Lloyd assignment cross-joins the constant-size broadcast
+    // centroid table (legal at any corpus size); the quadratic-within-cell
+    // pairing itself must be an equi-join on the cell key
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "within-cell pairing lost its equi-join shape")
+  }
+
   test("relational joins broadcast the dimension side") {
     // q5: region/nation/supplier dims against orders/lineitem facts
     assert(plan("q5_local_supplier_volume").contains("BroadcastHashJoin"))
