@@ -66,9 +66,42 @@ object ScaleStress {
   private val Queries = Seq(
     "d1_exact_dedup", "d2_minhash_lsh", "d5_ngram_jaccard",
     "d9_dup_clusters", "d10_contamination_rate", "t14_corpus_curation",
-    "n2_lsh_bucket_topk")
+    "n2_lsh_bucket_topk", "d11_semantic_dedup")
+
+  /** SemDeDup's K schedule. Total cost = centroid assignment (n·K dot
+    * products — the coarse quantizer is brute-force nearest-centroid) plus
+    * within-cell pairing (n²/2K): minimized at K ≈ √(n/2), where both
+    * terms are Θ(n^1.5). K ∝ n — the tempting "keep cells constant-size"
+    * schedule — makes the ASSIGNMENT quadratic instead (measured: 58.5 s
+    * at x100 vs ~15 s under √n). So: K = 8·√scale, anchored at the oracle
+    * entry's K=8 at x1.
+    */
+  private def d11Cells(k: Int): Int =
+    math.max(8, math.round(8 * math.sqrt(k.toDouble)).toInt)
+
+  /** Scale-adapted runner for queries whose tuning parameter is a function
+    * of corpus size; everything else runs the SparkEntry registration
+    * verbatim.
+    */
+  private def fnFor(name: String, k: Int): (SparkSession, String) => DataFrame =
+    name match {
+      case "d11_semantic_dedup" =>
+        (s, d) => Dedup.semanticDedup(s, d, numCells = d11Cells(k))
+      case _ => SparkEntry.queries(name)
+    }
 
   private def materialize(df: DataFrame): Long = df.queryExecution.toRdd.count()
+
+  /** Minimal JSON string escaping for the dumped oracle SQL. */
+  private def ujsonEscape(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
 
   /** Replicate the base corpus k-fold into outDir (idempotent: skipped when
     * the marker of a completed generation exists).
@@ -168,8 +201,14 @@ object ScaleStress {
       // warm and one shot is the honest number
       val reps = sys.env.get("SPARK_GRAFT_SCALE_REPS").map(_.toInt)
         .getOrElse(if (k <= 10) 2 else 1)
+      // DuckDB twin of the scale-adapted d11 (same K schedule), for
+      // tools/scaleoracle.py — written next to the corpus it belongs to
+      val d11Oracle = java.nio.file.Paths.get(dir, "oracle_d11.json")
+      java.nio.file.Files.write(d11Oracle,
+        s"""{"d11_semantic_dedup": ${ujsonEscape(
+          Dedup.semanticDedupSqlFor(d11Cells(k)))}}""".getBytes("UTF-8"))
       Queries.filter(q => only.forall(_.contains(q))).foreach { name =>
-        val fn = SparkEntry.queries(name)
+        val fn = fnFor(name, k)
         var best = Double.MaxValue
         var rows = -1L
         (1 to reps).foreach { _ =>

@@ -445,12 +445,25 @@ object Dedup {
     * spec pins the resulting invariant — no two SURVIVORS in the same
     * cell are within the threshold.
     */
-  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
+    semanticDedup(spark, dir, numCells = 8)
+
+  /** The K-parameterized form ScaleStress exercises. SemDeDup's cost is
+    * assignment (n·K dot products against the centroid table) plus
+    * within-cell pairing (n²/2K); the sum is minimized at K ≈ √(n/2),
+    * where BOTH terms are Θ(n^1.5) — the operator's true growth rate
+    * without an ANN-accelerated quantizer. A fixed K makes the pairing
+    * quadratic; K ∝ n makes the assignment quadratic (ScaleStress
+    * measured both bends). The oracle-checked entry pins K=8 on the
+    * 500-vector fixture; the harness runs the √n schedule and SCALING.md
+    * records the curve.
+    */
+  def semanticDedup(spark: SparkSession, dir: String, numCells: Int): DataFrame = {
     VectorOps.register(spark)
     val e = Tables(spark, dir).embeddings
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
-    val m = e.join(Similarity.semanticCells(spark, dir), Seq("vec_id"))
+    val m = e.join(Similarity.semanticCells(spark, dir, numCells), Seq("vec_id"))
     val a = m.select(col("vec_id").as("id1"), col("v").as("v1"),
       col("norm").as("n1"), col("cell"))
     val b = m.select(col("vec_id").as("id2"), col("v").as("v2"),
@@ -466,8 +479,11 @@ object Dedup {
       .orderBy("vec_id")
   }
 
-  val semanticDedupSql: String =
-    s"""${Similarity.cellsCteSql},
+  /** DuckDB twin at any K — ScaleStress dumps this per scale so the
+    * engine-to-engine curve comparison runs the identical K schedule.
+    */
+  def semanticDedupSqlFor(numCells: Int): String =
+    s"""${Similarity.cellsCteSqlFor(numCells)},
        |m AS (
        |  SELECT n.vec_id, n.v, n.norm, a.cell
        |  FROM n JOIN assign a USING (vec_id))
@@ -478,6 +494,8 @@ object Dedup {
        |    >= $SemDedupThreshold
        |GROUP BY a.vec_id, a.cell
        |ORDER BY a.vec_id""".stripMargin
+
+  val semanticDedupSql: String = semanticDedupSqlFor(8)
 
   /** Cross-document repeated substrings (the boilerplate/substring-dedup
     * pass): hash every 64-char window at stride 32 and report windows seen
@@ -871,7 +889,7 @@ object Dedup {
     "d4_simhash_pairs" -> (simhashPairs _),
     "d5_ngram_jaccard" -> (ngramJaccard _),
     "d6_embedding_near_dup" -> (embeddingNearDup _),
-    "d11_semantic_dedup" -> (semanticDedup _))
+    "d11_semantic_dedup" -> ((s: SparkSession, d: String) => semanticDedup(s, d)))
 
   val oracles: Map[String, String] = Map(
     "d10_contamination_rate" -> contaminationRateSql,

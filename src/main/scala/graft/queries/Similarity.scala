@@ -206,13 +206,17 @@ object Similarity {
     * of the Lloyd rounds and the final inverted-list build.
     */
   private def assignCells(e: DataFrame, cent: DataFrame): DataFrame = {
-    val wAssign = Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cid"))
+    // argmax as ONE partial-aggregable max_by instead of a row_number
+    // window: the window form shuffles and sorts all n·K scored rows by
+    // vec_id; max_by combines map-side, so only K-way-reduced rows move.
+    // Tie-break parity with the oracle's (ccos DESC, cid ASC): struct
+    // comparison is lexicographic, so max of (ccos, -cid) picks the
+    // highest cosine and the LOWEST cid within a cosine tie.
     e.crossJoin(broadcast(cent))
       .withColumn("ccos",
         round(expr("graft_dot(v, cv)") / (col("norm") * col("cnorm")), 4))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("cid").as("cell"))
+      .groupBy("vec_id")
+      .agg(expr("max_by(cid, struct(ccos, -cid))").as("cell"))
   }
 
   /** One Lloyd round: integer-exact per-cell means of the assigned
@@ -324,14 +328,15 @@ object Similarity {
     * dedup shares the SAME quantizer (one clustering, two consumers, and
     * the two operators partition the corpus identically).
     */
-  private[queries] def semanticCells(spark: SparkSession, dir: String): DataFrame = {
+  private[queries] def semanticCells(spark: SparkSession, dir: String,
+      numCells: Int = NumCells, lloydIters: Int = LloydIters): DataFrame = {
     VectorOps.register(spark)
     val e = Tables(spark, dir).embeddings
       .select(col("vec_id"), asDouble("embedding").as("v"))
       .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
-    val seeds = e.filter(col("vec_id") < NumCells)
+    val seeds = e.filter(col("vec_id") < numCells)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cnorm"))
-    val cent = (1 to LloydIters).foldLeft(seeds)((c, _) => lloydRound(e, c))
+    val cent = (1 to lloydIters).foldLeft(seeds)((c, _) => lloydRound(e, c))
     assignCells(e, cent)
   }
 
@@ -339,7 +344,7 @@ object Similarity {
     * of [[semanticCells]]; [[ivfTopKSql]] and d11's oracle both build on it
     * so the quantizer can never drift between the two queries' oracles.
     */
-  private[queries] val cellsCteSql: String =
+  private[queries] def cellsCteSqlFor(numCells: Int): String =
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
@@ -348,9 +353,11 @@ object Similarity {
        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e),
        |cent0 AS (
        |  SELECT vec_id AS cid, v AS cv, norm AS cnorm FROM n
-       |  WHERE vec_id < $NumCells),
+       |  WHERE vec_id < $numCells),
        |${(1 to LloydIters).map(lloydCtesSql).mkString(",\n")},
        |${assignCteSql("assign", s"cent$LloydIters")}""".stripMargin
+
+  private[queries] val cellsCteSql: String = cellsCteSqlFor(NumCells)
 
   val ivfTopKSql: String =
     s"""$cellsCteSql,
