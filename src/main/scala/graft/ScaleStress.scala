@@ -66,7 +66,7 @@ object ScaleStress {
   private val Queries = Seq(
     "d1_exact_dedup", "d2_minhash_lsh", "d5_ngram_jaccard",
     "d9_dup_clusters", "d10_contamination_rate", "t14_corpus_curation",
-    "n2_lsh_bucket_topk", "d11_semantic_dedup")
+    "n2_lsh_bucket_topk", "d11_semantic_dedup", "d6_embedding_near_dup")
 
   /** SemDeDup's K schedule. Total cost = centroid assignment (n·K dot
     * products — the coarse quantizer is brute-force nearest-centroid) plus
@@ -79,6 +79,19 @@ object ScaleStress {
   private def d11Cells(k: Int): Int =
     math.max(8, math.round(8 * math.sqrt(k.toDouble)).toInt)
 
+  /** d6's LSH plane schedule: +log2(scale) planes keeps bucket occupancy
+    * constant as the corpus grows (the production sizing rule documented
+    * on [[graft.functions.VectorLsh.NumPlanes]]), so the within-bucket
+    * pairing stays linear-per-bucket instead of bending quadratic the way
+    * a fixed bucket count must. This is the LSH-cell counterpart of d11's
+    * √n k-means schedule — and the measured form of SCALING.md's claim
+    * that LSH cells are SemDeDup's escape hatch past Θ(n^1.5): bucket
+    * assignment is n·planes dots (planes grows as log n, not √n).
+    */
+  private def d6Planes(k: Int): Int =
+    graft.functions.VectorLsh.NumPlanes +
+      math.round(math.log(k.toDouble) / math.log(2.0)).toInt
+
   /** Scale-adapted runner for queries whose tuning parameter is a function
     * of corpus size; everything else runs the SparkEntry registration
     * verbatim.
@@ -87,6 +100,8 @@ object ScaleStress {
     name match {
       case "d11_semantic_dedup" =>
         (s, d) => Dedup.semanticDedup(s, d, numCells = d11Cells(k))
+      case "d6_embedding_near_dup" =>
+        (s, d) => Dedup.embeddingNearDup(s, d, planes = d6Planes(k))
       case _ => SparkEntry.queries(name)
     }
 
@@ -201,12 +216,16 @@ object ScaleStress {
       // warm and one shot is the honest number
       val reps = sys.env.get("SPARK_GRAFT_SCALE_REPS").map(_.toInt)
         .getOrElse(if (k <= 10) 2 else 1)
-      // DuckDB twin of the scale-adapted d11 (same K schedule), for
-      // tools/scaleoracle.py — written next to the corpus it belongs to
-      val d11Oracle = java.nio.file.Paths.get(dir, "oracle_d11.json")
-      java.nio.file.Files.write(d11Oracle,
+      // DuckDB twins of the scale-adapted queries (same K / plane
+      // schedules), for tools/scaleoracle.py — written next to the corpus
+      // they belong to
+      val scaleOracle = java.nio.file.Paths.get(dir, "oracle_scale.json")
+      java.nio.file.Files.write(scaleOracle,
         s"""{"d11_semantic_dedup": ${ujsonEscape(
-          Dedup.semanticDedupSqlFor(d11Cells(k)))}}""".getBytes("UTF-8"))
+          Dedup.semanticDedupSqlFor(d11Cells(k)))},
+           |"d6_embedding_near_dup": ${ujsonEscape(
+          Dedup.embeddingNearDupSqlFor(d6Planes(k)))}}""".stripMargin
+          .getBytes("UTF-8"))
       Queries.filter(q => only.forall(_.contains(q))).foreach { name =>
         val fn = fnFor(name, k)
         var best = Double.MaxValue

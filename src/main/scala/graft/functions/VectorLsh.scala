@@ -46,19 +46,26 @@ object VectorLsh {
   /** Bucket id = sign bits of the dot products against the fixed planes,
     * over a double-array column named `v`. Uses the native graft_dot against
     * literal coefficient arrays (callers register VectorOps first).
+    * The plane-count parameter is the production sizing dial documented on
+    * [[NumPlanes]]; ScaleStress drives it as planes ≈ NumPlanes + log2(k)
+    * so bucket occupancy stays constant while the corpus grows.
     */
-  def bucketCol: Column =
-    (0 until NumPlanes).map { p =>
+  def bucketColFor(planes: Int): Column =
+    (0 until planes).map { p =>
       val coefs = array(planeCoefs(p).map(lit(_)): _*)
       val dot = call_function("graft_dot", col("v"), coefs)
       when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** DuckDB twin of [[bucketCol]] (expects a list column named `v`). */
-  def bucketSql: String =
-    (0 until NumPlanes).map { p =>
+  def bucketCol: Column = bucketColFor(NumPlanes)
+
+  /** DuckDB twin of [[bucketColFor]] (expects a list column named `v`). */
+  def bucketSqlFor(planes: Int): String =
+    (0 until planes).map { p =>
       s"(CASE WHEN list_sum(list_transform(generate_series(1, $Dim), " +
         s"i -> v[i] * (${planeCoefsSql(p)})[i])) >= 0 " +
         s"THEN CAST(${1L << p} AS BIGINT) ELSE 0 END)"
     }.mkString(" + ")
+
+  def bucketSql: String = bucketSqlFor(NumPlanes)
 }

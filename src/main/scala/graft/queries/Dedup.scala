@@ -381,12 +381,21 @@ object Dedup {
     * left-to-right exactly like a sequential fold, so the DuckDB oracle
     * (list_dot_product) agrees after 4-decimal rounding.
     */
-  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame =
+    embeddingNearDup(spark, dir, VectorLsh.NumPlanes)
+
+  /** The plane-parameterized form ScaleStress exercises: planes is LSH's
+    * bucket-occupancy dial (production sizing ≈ log2(n / target bucket
+    * size), per the [[VectorLsh.NumPlanes]] doc). Like d11's K it moves
+    * recall/cost, not correctness — each plane count gets its own DuckDB
+    * twin via [[embeddingNearDupSqlFor]].
+    */
+  def embeddingNearDup(spark: SparkSession, dir: String, planes: Int): DataFrame = {
     VectorOps.register(spark)
     val e = Tables(spark, dir).embeddings
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
-      .withColumn("bucket", VectorLsh.bucketCol)
+      .withColumn("bucket", VectorLsh.bucketColFor(planes))
     val a = e.select(col("vec_id").as("id1"), col("v").as("v1"),
       col("norm").as("n1"), col("bucket"))
     val b = e.select(col("vec_id").as("id2"), col("v").as("v2"),
@@ -400,19 +409,22 @@ object Dedup {
       .limit(20)
   }
 
-  val embeddingNearDupSql: String =
+  def embeddingNearDupSqlFor(planes: Int): String =
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
        |n AS (
        |  SELECT vec_id, v,
        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS norm,
-       |    ${VectorLsh.bucketSql} AS bucket
+       |    ${VectorLsh.bucketSqlFor(planes)} AS bucket
        |  FROM e)
        |SELECT a.vec_id AS id1, b.vec_id AS id2,
        |  round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) AS cos
        |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        |ORDER BY cos DESC, id1, id2 LIMIT 20""".stripMargin
+
+  val embeddingNearDupSql: String =
+    embeddingNearDupSqlFor(VectorLsh.NumPlanes)
 
   // ----------------------------------------------------------------- d11
 
@@ -888,7 +900,7 @@ object Dedup {
     "d3_simhash" -> (simhash _),
     "d4_simhash_pairs" -> (simhashPairs _),
     "d5_ngram_jaccard" -> (ngramJaccard _),
-    "d6_embedding_near_dup" -> (embeddingNearDup _),
+    "d6_embedding_near_dup" -> ((s: SparkSession, d: String) => embeddingNearDup(s, d)),
     "d11_semantic_dedup" -> ((s: SparkSession, d: String) => semanticDedup(s, d)))
 
   val oracles: Map[String, String] = Map(
