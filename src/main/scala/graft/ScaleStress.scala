@@ -66,7 +66,8 @@ object ScaleStress {
   private val Queries = Seq(
     "d1_exact_dedup", "d2_minhash_lsh", "d5_ngram_jaccard",
     "d9_dup_clusters", "d10_contamination_rate", "t14_corpus_curation",
-    "n2_lsh_bucket_topk", "d11_semantic_dedup", "d6_embedding_near_dup")
+    "n2_lsh_bucket_topk", "d11_semantic_dedup", "d6_embedding_near_dup",
+    "j1_asof_attribution", "j2_range_correlation", "e2_user_sessions")
 
   /** SemDeDup's K schedule. Total cost = centroid assignment (n·K dot
     * products — the coarse quantizer is brute-force nearest-centroid) plus
@@ -170,6 +171,33 @@ object ScaleStress {
     java.nio.file.Files.write(done.toPath, Array.emptyByteArray)
   }
 
+  /** Replicate the events table k-fold (separate marker: scale dirs
+    * predating the temporal-family study lack events and regenerate only
+    * this table). Replica r shifts user_id/event_id by r·IdOffset and ts
+    * by r·365 days: within-replica time deltas are preserved exactly (j1
+    * attribution lags, j2 bucket membership, e2 session gaps are all
+    * delta-functions), while cross-replica deltas are ≥1 year ≫ any
+    * window, so no cross-replica pair qualifies anywhere and every
+    * output scales exactly linearly with k — the same interpretability
+    * contract as the document corpus's character bijection.
+    */
+  private def generateEvents(spark: SparkSession, baseDir: String,
+      outDir: String, k: Int): Unit = {
+    val done = new java.io.File(s"$outDir/_EVENTS_GENERATED")
+    if (done.exists()) return
+    val reps = spark.range(0, k).select(col("id").as("rep"))
+    val ev = graft.core.Tables(spark, baseDir).events
+      .crossJoin(broadcast(reps))
+      .select(
+        (col("event_id") + col("rep") * IdOffset).as("event_id"),
+        expr("timestampadd(DAY, CAST(rep * 365 AS INT), ts)").as("ts"),
+        (col("user_id") + col("rep") * IdOffset).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    ev.repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    java.nio.file.Files.write(done.toPath, Array.emptyByteArray)
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,10,100")
@@ -208,6 +236,7 @@ object ScaleStress {
       val dir = s"target/scale/x$k"
       val t0 = System.nanoTime()
       generate(spark, baseDir, dir, k)
+      generateEvents(spark, baseDir, dir, k)
       val genSec = (System.nanoTime() - t0) / 1e9
       println(s"""{"scale":$k,"event":"generated","sec":${f2(genSec)}}""")
       // min-of-2 at the small scales, where a single shot is dominated by

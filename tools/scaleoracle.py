@@ -9,6 +9,7 @@ engine-to-engine. Spark writes each table as a directory of parquet parts,
 hence the glob views. Best-of-two, mirroring the bench protocol.
 """
 import json
+import os
 import sys
 import time
 
@@ -22,10 +23,12 @@ def main() -> None:
         oracles = json.load(f)
     con = duckdb.connect()
     con.execute(f"SET threads TO {threads}")
-    for t in ("documents", "embeddings"):
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{scale_dir}/{t}.parquet/*.parquet')")
+    for entry in sorted(os.listdir(scale_dir)):
+        if entry.endswith(".parquet"):
+            t = entry[: -len(".parquet")]
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{scale_dir}/{entry}/*.parquet')")
     for name in names.split(","):
         best = None
         rows = None
