@@ -67,7 +67,9 @@ object ScaleStress {
     "d1_exact_dedup", "d2_minhash_lsh", "d5_ngram_jaccard",
     "d9_dup_clusters", "d10_contamination_rate", "t14_corpus_curation",
     "n2_lsh_bucket_topk", "d11_semantic_dedup", "d6_embedding_near_dup",
-    "j1_asof_attribution", "j2_range_correlation", "e2_user_sessions")
+    "j1_asof_attribution", "j2_range_correlation", "e2_user_sessions",
+    "q1_pricing_summary", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q9_product_profit")
 
   /** SemDeDup's K schedule. Total cost = centroid assignment (n·K dot
     * products — the coarse quantizer is brute-force nearest-centroid) plus
@@ -198,6 +200,37 @@ object ScaleStress {
     java.nio.file.Files.write(done.toPath, Array.emptyByteArray)
   }
 
+  /** Replicate the TPC-H fact tables k-fold and copy the dimensions
+    * verbatim: orders/lineitem get `orderkey += r·IdOffset` while every
+    * other key is untouched, so each replica's facts join the SAME
+    * dimension rows. Fact volume scales exactly ×k, group-by domains stay
+    * fixed (grouped results keep their row counts with values ×k), and
+    * top-k outputs stay deterministic — replicas tie on every measure, and
+    * the id tie-break picks replica 0's keys. Separate marker: scale dirs
+    * predating the relational-family study regenerate only these tables.
+    */
+  private def generateTpch(spark: SparkSession, baseDir: String,
+      outDir: String, k: Int): Unit = {
+    val done = new java.io.File(s"$outDir/_TPCH_GENERATED")
+    if (done.exists()) return
+    val reps = spark.range(0, k).select(col("id").as("rep"))
+    val par = spark.sparkContext.defaultParallelism
+    Seq("orders" -> "o_orderkey", "lineitem" -> "l_orderkey").foreach {
+      case (t, key) =>
+        spark.read.parquet(s"$baseDir/$t.parquet")
+          .crossJoin(broadcast(reps))
+          .withColumn(key, col(key) + col("rep") * IdOffset)
+          .drop("rep")
+          .repartition(par)
+          .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+    Seq("customer", "supplier", "nation", "region", "part").foreach { t =>
+      spark.read.parquet(s"$baseDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+    java.nio.file.Files.write(done.toPath, Array.emptyByteArray)
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,10,100")
@@ -237,6 +270,7 @@ object ScaleStress {
       val t0 = System.nanoTime()
       generate(spark, baseDir, dir, k)
       generateEvents(spark, baseDir, dir, k)
+      generateTpch(spark, baseDir, dir, k)
       val genSec = (System.nanoTime() - t0) / 1e9
       println(s"""{"scale":$k,"event":"generated","sec":${f2(genSec)}}""")
       // min-of-2 at the small scales, where a single shot is dominated by
