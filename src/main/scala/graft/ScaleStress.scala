@@ -79,7 +79,7 @@ object ScaleStress {
     * at x100 vs ~15 s under √n). So: K = 8·√scale, anchored at the oracle
     * entry's K=8 at x1.
     */
-  private def d11Cells(k: Int): Int =
+  private[graft] def d11Cells(k: Int): Int =
     math.max(8, math.round(8 * math.sqrt(k.toDouble)).toInt)
 
   /** d6's LSH plane schedule: +log2(scale) planes keeps bucket occupancy
@@ -91,7 +91,7 @@ object ScaleStress {
     * that LSH cells are SemDeDup's escape hatch past Θ(n^1.5): bucket
     * assignment is n·planes dots (planes grows as log n, not √n).
     */
-  private def d6Planes(k: Int): Int =
+  private[graft] def d6Planes(k: Int): Int =
     graft.functions.VectorLsh.NumPlanes +
       math.round(math.log(k.toDouble) / math.log(2.0)).toInt
 
@@ -124,7 +124,7 @@ object ScaleStress {
   /** Replicate the base corpus k-fold into outDir (idempotent: skipped when
     * the marker of a completed generation exists).
     */
-  private def generate(spark: SparkSession, baseDir: String, outDir: String,
+  private[graft] def generate(spark: SparkSession, baseDir: String, outDir: String,
       k: Int, boilerplate: Boolean = false): Unit = {
     val done = new java.io.File(s"$outDir/_GENERATED")
     if (done.exists()) return
@@ -183,7 +183,7 @@ object ScaleStress {
     * output scales exactly linearly with k — the same interpretability
     * contract as the document corpus's character bijection.
     */
-  private def generateEvents(spark: SparkSession, baseDir: String,
+  private[graft] def generateEvents(spark: SparkSession, baseDir: String,
       outDir: String, k: Int): Unit = {
     val done = new java.io.File(s"$outDir/_EVENTS_GENERATED")
     if (done.exists()) return
@@ -209,7 +209,7 @@ object ScaleStress {
     * the id tie-break picks replica 0's keys. Separate marker: scale dirs
     * predating the relational-family study regenerate only these tables.
     */
-  private def generateTpch(spark: SparkSession, baseDir: String,
+  private[graft] def generateTpch(spark: SparkSession, baseDir: String,
       outDir: String, k: Int): Unit = {
     val done = new java.io.File(s"$outDir/_TPCH_GENERATED")
     if (done.exists()) return
