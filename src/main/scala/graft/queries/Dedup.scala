@@ -472,10 +472,11 @@ object Dedup {
     */
   def semanticDedup(spark: SparkSession, dir: String, numCells: Int): DataFrame = {
     VectorOps.register(spark)
-    val e = Tables(spark, dir).embeddings
-      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
-    val m = e.join(Similarity.semanticCells(spark, dir, numCells), Seq("vec_id"))
+    // cells + vectors off one scan (semanticCellsFull): the previous
+    // e ⋈ cells join re-shuffled the whole corpus by vec_id just to pair
+    // each vector with its own cell id — assignment is an inline
+    // projection now, so the only shuffle left is the by-cell pairing join
+    val m = Similarity.semanticCellsFull(spark, dir, numCells)
     val a = m.select(col("vec_id").as("id1"), col("v").as("v1"),
       col("norm").as("n1"), col("cell"))
     val b = m.select(col("vec_id").as("id2"), col("v").as("v2"),

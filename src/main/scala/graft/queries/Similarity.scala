@@ -191,56 +191,110 @@ object Similarity {
     * floating-point aggregation is the one operation order can perturb, so
     * it is the one operation the plan refuses to do in floats.
     *
-    * Per round, every vector joins only the tiny broadcast centroid table
-    * (8 rows) to find its Voronoi cell, and the per-dim sums are one
-    * (cell, dim)-keyed aggregate — K*Dim rows out; a query then searches
-    * just its NumProbe nearest cells. The corpus is scanned once per
-    * round plus once per probe — never self-joined; candidate sets shrink
-    * by ~n/K per cell, and at scale K grows with sqrt(n) while the
-    * probe-side joins stay broadcast.
+    * Centroids live as driver-side LITERALS between rounds (K·Dim doubles
+    * — metadata, not data): assignment is an inline codegen'd argmax in
+    * the corpus scan's own projection, so a round costs one (cell,
+    * dim)-keyed aggregate (K·Dim rows out after map-side combine, then
+    * collected and divided back with the oracle's exact double ops) and
+    * ZERO per-vector shuffles. The earlier distributed formulation ran a
+    * crossJoin-assign + unique-key groupBy + corpus re-join per round —
+    * ~10 sub-second stages whose floors dominated at fixture scale and two
+    * full n-row shuffles per round at any scale. The corpus is scanned
+    * once per round plus once for the inverted-list build — never
+    * self-joined; candidate sets shrink by ~n/K per cell, and at scale K
+    * grows with sqrt(n) while the probe-side joins stay broadcast.
     */
   def ivfTopK(spark: SparkSession, dir: String): DataFrame =
     ivfTopK(spark, dir, NumProbe)
 
-  /** Nearest-centroid cell per vector in `e`, the shared assignment step
-    * of the Lloyd rounds and the final inverted-list build.
+  /** Driver-side centroid snapshot between Lloyd rounds: cid, vector, norm.
+    * The whole table is ≤K rows of K·Dim doubles (8·64 here; a √n schedule
+    * at x100 is 80·64) — metadata-scale, the same class as CleanJob's
+    * partition-key gather, NOT a data collect.
     */
-  private def assignCells(e: DataFrame, cent: DataFrame): DataFrame = {
-    // argmax as ONE partial-aggregable max_by instead of a row_number
-    // window: the window form shuffles and sorts all n·K scored rows by
-    // vec_id; max_by combines map-side, so only K-way-reduced rows move.
-    // Tie-break parity with the oracle's (ccos DESC, cid ASC): struct
-    // comparison is lexicographic, so max of (ccos, -cid) picks the
-    // highest cosine and the LOWEST cid within a cosine tie.
-    e.crossJoin(broadcast(cent))
-      .withColumn("ccos",
-        round(expr("graft_dot(v, cv)") / (col("norm") * col("cnorm")), 4))
-      .groupBy("vec_id")
-      .agg(expr("max_by(cid, struct(ccos, -cid))").as("cell"))
+  private final case class Centroid(cid: Long, cv: Array[Double], cnorm: Double)
+
+  /** Left-to-right sequential dot — the same summation order as the
+    * graft_dot codegen loop, so driver-side norms are bit-identical to the
+    * executor-computed ones the previous distributed formulation produced.
+    */
+  private def seqDot(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
   }
 
-  /** One Lloyd round: integer-exact per-cell means of the assigned
-    * vectors; a cell that lost every member keeps its previous centroid
-    * (deterministic in both engines via the same LEFT JOIN + coalesce).
+  /** Nearest-centroid cell as ONE inline codegen'd projection against
+    * LITERAL centroids — no broadcast join, no per-vector aggregate. The
+    * previous distributed shape (crossJoin + max_by groupBy) shuffled all n
+    * rows per round because vec_id is a unique grouping key (no map-side
+    * reduction is possible); with the centroids inlined the argmax runs
+    * entirely inside the row's projection, so assignment costs zero
+    * shuffles at ANY scale. Tie-break parity with the oracle's (ccos DESC,
+    * cid ASC): struct comparison is lexicographic, so greatest of
+    * (ccos, -cid) picks the highest cosine and the LOWEST cid within a
+    * cosine tie — exactly the old max_by ordering.
     */
-  private def lloydRound(e: DataFrame, cent: DataFrame): DataFrame = {
-    val sums = assignCells(e, cent)
-      .join(e.select(col("vec_id"), col("v")), Seq("vec_id"))
-      .select(col("cell"), posexplode(col("v")))
+  private def cellExpr(cents: Seq[Centroid], v: Column, norm: Column): Column = {
+    val scored = cents.map { c =>
+      struct(
+        round(call_function("graft_dot", v, typedlit(c.cv.toSeq)) /
+          (norm * lit(c.cnorm)), 4).as("ccos"),
+        lit(-c.cid).as("ncid"))
+    }
+    -greatest(scored: _*).getField("ncid")
+  }
+
+  /** Seed centroids: the vec_id < numCells vectors, collected with their
+    * executor-computed norms (bit-exact — no recomputation).
+    */
+  private def seedCentroids(e: DataFrame, numCells: Int): Seq[Centroid] =
+    e.filter(col("vec_id") < numCells)
+      .select(col("vec_id"), col("v"), col("norm"))
+      .collect()
+      .toSeq
+      .map(r => Centroid(r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_.cid)
+
+  /** One Lloyd round: integer-exact per-cell means of the assigned
+    * vectors. Distributed work is a single (cell, dim)-keyed aggregate —
+    * K·Dim rows out after map-side combine — collected and divided back on
+    * the driver with the IDENTICAL double ops the SQL twin runs
+    * (sx.toDouble / (cnt.toDouble · scale)), so the refined centroids stay
+    * bit-identical to the oracle's. A cell that lost every member keeps
+    * its previous centroid.
+    */
+  private def lloydRoundLiteral(e: DataFrame, cents: Seq[Centroid]): Seq[Centroid] = {
+    val sums = e
+      .select(cellExpr(cents, col("v"), col("norm")).as("cell"),
+        posexplode(col("v")))
       .groupBy("cell", "pos")
       .agg(
         sum(expr(s"CAST(round(col * $QuantScale) AS BIGINT)")).as("sx"),
         count(lit(1)).as("cnt"))
-    val means = sums.groupBy("cell")
-      .agg(expr(
-        "transform(array_sort(collect_list(struct(pos, sx, cnt))), " +
-          s"s -> CAST(s.sx AS DOUBLE) / (s.cnt * $QuantScale.0D))").as("ncv"))
-      .select(col("cell").as("cid"), col("ncv"))
-    cent.select(col("cid"), col("cv").as("ocv"))
-      .join(means, Seq("cid"), "left")
-      .select(col("cid"), coalesce(col("ncv"), col("ocv")).as("cv"))
-      .withColumn("cnorm", sqrt(expr("graft_dot(cv, cv)")))
+      .collect()
+    val byCell = sums.groupBy(_.getLong(0))
+    cents.map { c =>
+      byCell.get(c.cid) match {
+        case Some(rows) =>
+          val cv = rows.sortBy(_.getInt(1))
+            .map(r => r.getLong(2).toDouble / (r.getLong(3) * QuantScale.toDouble))
+          Centroid(c.cid, cv, math.sqrt(seqDot(cv, cv)))
+        case None => c
+      }
+    }
   }
+
+  /** The [[LloydIters]]-refined quantizer as a driver-side centroid list:
+    * seeds, then assign→mean rounds, each one distributed aggregate + one
+    * K·Dim-row collect.
+    */
+  private def refinedCentroids(e: DataFrame, numCells: Int,
+      lloydIters: Int): Seq[Centroid] =
+    (1 to lloydIters).foldLeft(seedCentroids(e, numCells))(
+      (c, _) => lloydRoundLiteral(e, c))
 
   /** nprobe is the recall/cost dial: each extra probed cell adds ~n/K
     * candidates per query. The oracle-checked entry runs [[NumProbe]] with
@@ -256,28 +310,32 @@ object Similarity {
     val e = Tables(spark, dir).embeddings
       .select(col("vec_id"), asDouble("embedding").as("v"))
       .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
-    val seeds = e.filter(col("vec_id") < NumCells)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cnorm"))
-    val cent = (1 to lloydIters).foldLeft(seeds)((c, _) => lloydRound(e, c))
+    val cents = refinedCentroids(e, NumCells, lloydIters)
 
-    // inverted lists: each vector's nearest refined centroid
-    val assign = assignCells(e, cent)
+    // inverted lists: each vector's nearest refined centroid, inline — the
+    // corpus scan CARRIES v/norm through, so the old re-join with e (a full
+    // n-row shuffle) is gone too
+    val assign = e
+      .withColumn("cell", cellExpr(cents, col("v"), col("norm")))
+      .select(col("vec_id"), col("v").as("v2"), col("norm").as("n2"), col("cell"))
 
-    // probe plan: each query's NumProbe nearest cells
+    // probe plan: each query's nprobe nearest cells, also inline — sort an
+    // in-row K-array of (−pcos, cid) structs instead of a window shuffle;
+    // ascending struct order == (pcos DESC, cid ASC), the old window order
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("v1"), col("norm").as("n1"))
-    val wProbe = Window.partitionBy("query_id").orderBy(desc("pcos"), asc("cid"))
-    val probe = q.crossJoin(broadcast(cent))
-      .withColumn("pcos",
-        round(expr("graft_dot(v1, cv)") / (col("n1") * col("cnorm")), 4))
-      .withColumn("prn", row_number().over(wProbe))
-      .filter(col("prn") <= nprobe)
-      .select(col("query_id"), col("cid").as("cell"))
+    val probeStructs = cents.map { c =>
+      struct(
+        (-round(call_function("graft_dot", col("v1"), typedlit(c.cv.toSeq)) /
+          (col("n1") * lit(c.cnorm)), 4)).as("npcos"),
+        lit(c.cid).as("cid"))
+    }
+    val probe = q.select(col("query_id"),
+        explode(slice(array_sort(array(probeStructs: _*)), 1, nprobe)).as("pc"))
+      .select(col("query_id"), col("pc.cid").as("cell"))
 
     val scored = assign.join(broadcast(probe), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
-      .join(e.select(col("vec_id"), col("v").as("v2"), col("norm").as("n2")),
-        Seq("vec_id"))
       .join(broadcast(q), Seq("query_id"))
       .withColumn("cos", round(expr(dotExpr) / (col("n1") * col("n2")), 4))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))
@@ -329,15 +387,23 @@ object Similarity {
     * the two operators partition the corpus identically).
     */
   private[queries] def semanticCells(spark: SparkSession, dir: String,
+      numCells: Int = NumCells, lloydIters: Int = LloydIters): DataFrame =
+    semanticCellsFull(spark, dir, numCells, lloydIters)
+      .select("vec_id", "cell")
+
+  /** As [[semanticCells]] but carrying (v, norm) through the inline
+    * assignment projection — a consumer that needs the vectors next to the
+    * cells (d11's within-cell pairing) reads them off the SAME scan instead
+    * of re-joining the corpus by vec_id (which was a full n-row shuffle).
+    */
+  private[queries] def semanticCellsFull(spark: SparkSession, dir: String,
       numCells: Int = NumCells, lloydIters: Int = LloydIters): DataFrame = {
     VectorOps.register(spark)
     val e = Tables(spark, dir).embeddings
       .select(col("vec_id"), asDouble("embedding").as("v"))
       .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
-    val seeds = e.filter(col("vec_id") < numCells)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cnorm"))
-    val cent = (1 to lloydIters).foldLeft(seeds)((c, _) => lloydRound(e, c))
-    assignCells(e, cent)
+    val cents = refinedCentroids(e, numCells, lloydIters)
+    e.withColumn("cell", cellExpr(cents, col("v"), col("norm")))
   }
 
   /** Shared oracle CTE chain `e → n → cent0..centL → assign` — the SQL twin
