@@ -66,7 +66,8 @@ object ScaleStress {
   private val Queries = Seq(
     "d1_exact_dedup", "d2_minhash_lsh", "d5_ngram_jaccard",
     "d9_dup_clusters", "d10_contamination_rate", "t14_corpus_curation",
-    "n2_lsh_bucket_topk", "d11_semantic_dedup", "d6_embedding_near_dup",
+    "n2_lsh_bucket_topk", "n4_ivf_topk", "d11_semantic_dedup",
+    "d6_embedding_near_dup",
     "j1_asof_attribution", "j2_range_correlation", "e2_user_sessions",
     "q1_pricing_summary", "q3_shipping_priority",
     "q5_local_supplier_volume", "q9_product_profit")
@@ -105,6 +106,12 @@ object ScaleStress {
         (s, d) => Dedup.semanticDedup(s, d, numCells = d11Cells(k))
       case "d6_embedding_near_dup" =>
         (s, d) => Dedup.embeddingNearDup(s, d, planes = d6Planes(k))
+      case "n4_ivf_topk" =>
+        // same √n quantizer schedule as d11 (shared coarse quantizer),
+        // nprobe pinned at the oracle entry's 2: the curve isolates
+        // corpus-side cost — |Q| and per-query probed fraction both fixed
+        (s, d) => graft.queries.Similarity.ivfTopK(s, d, nprobe = 2,
+          numCells = d11Cells(k))
       case _ => SparkEntry.queries(name)
     }
 
@@ -287,7 +294,9 @@ object ScaleStress {
         s"""{"d11_semantic_dedup": ${ujsonEscape(
           Dedup.semanticDedupSqlFor(d11Cells(k)))},
            |"d6_embedding_near_dup": ${ujsonEscape(
-          Dedup.embeddingNearDupSqlFor(d6Planes(k)))}}""".stripMargin
+          Dedup.embeddingNearDupSqlFor(d6Planes(k)))},
+           |"n4_ivf_topk": ${ujsonEscape(
+          graft.queries.Similarity.ivfTopKSqlFor(d11Cells(k)))}}""".stripMargin
           .getBytes("UTF-8"))
       Queries.filter(q => only.forall(_.contains(q))).foreach { name =>
         val fn = fnFor(name, k)

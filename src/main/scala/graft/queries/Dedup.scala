@@ -584,18 +584,23 @@ object Dedup {
       .union(edges.select(col("d2").as("src"), col("d1").as("dst")))
       .persist()
     val edgeCount = symRaw.count()
-    // The two conf mutations below are SESSION-GLOBAL: a query planned
-    // concurrently in this session while the loop runs would inherit
-    // loopParts (1 at fixture scale) and no AQE. The harness runs queries
-    // sequentially per session (Verify/Bench/tests all do), which is the
-    // assumption this toggle rides on; a concurrent deployment should give
-    // the clustering job its own session (cheap — `spark.newSession()`
-    // shares the ExecutionContext but isolates conf).
-    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
-    val partsBefore = spark.conf.get("spark.sql.shuffle.partitions")
+    // The conf mutations below (AQE off, loop-sized shuffle.partitions) are
+    // session-scoped, so the loop runs in its OWN child session
+    // (`spark.newSession()` — same SparkContext, executors, and cache, but
+    // isolated conf): a query planned concurrently on the caller's session
+    // can never inherit loopParts (1 at fixture scale) or no-AQE, no matter
+    // when it races the loop. CcIsolationSpec pins this by planning parent-
+    // session queries mid-loop. Frames cross the session boundary through
+    // global temp views — the view re-resolves the SAME analyzed plan in
+    // the child, and the shared CacheManager serves symRaw's persisted
+    // partitions to both sessions, so nothing recomputes or re-shuffles.
+    val loop = spark.newSession()
+    val tag = java.util.UUID.randomUUID.toString.replace("-", "")
+    val symView = s"graft_cc_sym_$tag"
+    val outView = s"graft_cc_out_$tag"
     var sym: DataFrame = null
     try {
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      loop.conf.set("spark.sql.adaptive.enabled", "false")
       // With AQE off, the loop's shuffles all use the static shuffle partition
       // count — size it from the MEASURED edge count (the count() above
       // already paid for it) instead of the session default. Edges are two
@@ -605,7 +610,8 @@ object Dedup {
       // 100 TB it GROWS the loop's parallelism past a too-small session
       // default rather than inheriting it.
       val loopParts = math.max(1L, math.min(4096L, edgeCount / 100000L)).toInt
-      spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+      loop.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+      symRaw.createOrReplaceGlobalTempView(symView)
       // Pre-partition AND pre-sort the edge list by the per-round join key
       // ONCE: InMemoryRelation preserves outputPartitioning/outputOrdering,
       // so every round's sort-merge join reads sym's cached partitions with
@@ -615,22 +621,32 @@ object Dedup {
       // on a cluster it is a full edge shuffle per round). The same
       // one-partitioning-reused-across-iterations layout is what a real
       // multi-node deployment wants.
-      sym = symRaw.repartition(loopParts, col("dst"))
+      sym = loop.table(s"global_temp.$symView")
+        .repartition(loopParts, col("dst"))
         .sortWithinPartitions("dst")
         .persist()
       sym.count()
       symRaw.unpersist(false)
-      connectedComponentsLoop(sym)
+      val (labels, rounds) = connectedComponentsLoop(sym)
+      // Re-bind the result to the CALLER's session (labels is already
+      // materialized by the loop's final localCheckpoint, so the parent
+      // re-resolution just reads that RDD — no recompute): callers compose
+      // it with parent-session frames (t14's curation join), which must not
+      // mix sessions.
+      labels.createOrReplaceGlobalTempView(outView)
+      (spark.table(s"global_temp.$outView"), rounds)
     } finally {
-      // Restore conf and release caches on EVERY exit path — a failure mid
-      // loop must not leave the session with AQE off / fixture-sized
-      // shuffle.partitions, nor the edge frames pinned. unpersist is
-      // idempotent, so the success-path releases (symRaw above, sym inside
-      // the loop) make these no-ops when nothing went wrong.
-      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
-      spark.conf.set("spark.sql.shuffle.partitions", partsBefore)
+      // Release caches and the cross-session views on EVERY exit path — a
+      // failure mid-loop must not leave the edge frames pinned. The child
+      // session's conf dies with it; there is nothing to restore. unpersist
+      // is idempotent, so the success-path releases (symRaw above, sym
+      // inside the loop) make these no-ops when nothing went wrong. The out
+      // view is dropped too: the returned frame's plan is already resolved,
+      // so the name doesn't need to outlive this call.
       symRaw.unpersist(false)
       if (sym != null) sym.unpersist(false)
+      spark.catalog.dropGlobalTempView(symView)
+      spark.catalog.dropGlobalTempView(outView)
     }
   }
 

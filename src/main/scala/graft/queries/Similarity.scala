@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.functions.{VectorLsh, VectorOps}
+import graft.functions.{TopCells, VectorLsh, VectorOps}
 
 /** Approximate-nearest-neighbor search over the embedding column
   * (training-data-pipeline extension; `Array[Float]` embeddings as a
@@ -212,7 +212,7 @@ object Similarity {
     * at x100 is 80·64) — metadata-scale, the same class as CleanJob's
     * partition-key gather, NOT a data collect.
     */
-  private final case class Centroid(cid: Long, cv: Array[Double], cnorm: Double)
+  private[queries] final case class Centroid(cid: Long, cv: Array[Double], cnorm: Double)
 
   /** Left-to-right sequential dot — the same summation order as the
     * graft_dot codegen loop, so driver-side norms are bit-identical to the
@@ -226,31 +226,45 @@ object Similarity {
     s
   }
 
-  /** Nearest-centroid cell as ONE inline codegen'd projection against
-    * LITERAL centroids — no broadcast join, no per-vector aggregate. The
-    * previous distributed shape (crossJoin + max_by groupBy) shuffled all n
-    * rows per round because vec_id is a unique grouping key (no map-side
-    * reduction is possible); with the centroids inlined the argmax runs
+  /** Nearest-centroid cell as ONE inline codegen'd projection against the
+    * driver-held centroid snapshot — no broadcast join, no per-vector
+    * aggregate. The previous distributed shape (crossJoin + max_by
+    * groupBy) shuffled all n rows per round because vec_id is a unique
+    * grouping key (no map-side reduction is possible); the argmax runs
     * entirely inside the row's projection, so assignment costs zero
-    * shuffles at ANY scale. Tie-break parity with the oracle's (ccos DESC,
-    * cid ASC): struct comparison is lexicographic, so greatest of
-    * (ccos, -cid) picks the highest cosine and the LOWEST cid within a
-    * cosine tie — exactly the old max_by ordering.
+    * shuffles at ANY scale. The centroids ride on [[TopCells]] as plain
+    * expression data, NOT as inlined literals: an unrolled
+    * greatest-of-structs over K literal arrays generated O(K·Dim) Java
+    * and at the √n quantizer schedule (K=25 at x10) Janino compile +
+    * interpreted fallback took 206 s for ~32M multiply-adds. TopCells
+    * keeps the generated method one call wide at any K, with the same
+    * score (round-4 cosine, Spark Round-on-double semantics) and the
+    * same (ccos DESC, cid ASC) tie-break the oracle's row_number uses.
     */
-  private def cellExpr(cents: Seq[Centroid], v: Column, norm: Column): Column = {
-    val scored = cents.map { c =>
-      struct(
-        round(call_function("graft_dot", v, typedlit(c.cv.toSeq)) /
-          (norm * lit(c.cnorm)), 4).as("ccos"),
-        lit(-c.cid).as("ncid"))
-    }
-    -greatest(scored: _*).getField("ncid")
+  private[queries] def cellExpr(cents: Seq[Centroid], v: Column, norm: Column): Column =
+    TopCells.cellsCol(cents.map(c => (c.cid, c.cv, c.cnorm)), 1, v, norm)
+      .getItem(0)
+
+  /** Right-size the corpus frame's parallelism for CPU-bound per-row
+    * kernels: the TopCells assignment is n·K·Dim multiply-adds riding the
+    * SCAN's partitioning, and parquet split packing (4 MB open-cost per
+    * file) can pack a small-file fixture corpus into 1-2 splits — at x100
+    * that serialized ~50 G multiply-adds onto two cores (measured: n4
+    * 51.5 s, d11 66 s; both ~3-4× worse than their distributed-join
+    * predecessors whose shuffles spread the same work 32 ways). One
+    * round-robin repartition fixes it, SKIPPED whenever the scan already
+    * has enough splits — i.e. on any real cluster corpus, where 100 TB
+    * arrives as ~800k native splits and this guard is a no-op.
+    */
+  private def widen(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
 
   /** Seed centroids: the vec_id < numCells vectors, collected with their
     * executor-computed norms (bit-exact — no recomputation).
     */
-  private def seedCentroids(e: DataFrame, numCells: Int): Seq[Centroid] =
+  private[queries] def seedCentroids(e: DataFrame, numCells: Int): Seq[Centroid] =
     e.filter(col("vec_id") < numCells)
       .select(col("vec_id"), col("v"), col("norm"))
       .collect()
@@ -266,10 +280,16 @@ object Similarity {
     * bit-identical to the oracle's. A cell that lost every member keeps
     * its previous centroid.
     */
-  private def lloydRoundLiteral(e: DataFrame, cents: Seq[Centroid]): Seq[Centroid] = {
+  private[queries] def lloydRoundLiteral(e: DataFrame, cents: Seq[Centroid]): Seq[Centroid] = {
+    // TWO selects, deliberately: a generator alongside a computed column in
+    // ONE select list makes ExtractGenerator evaluate that column in the
+    // projection ABOVE the Generate — i.e. the full K·Dim assignment kernel
+    // re-runs per EXPLODED ELEMENT, a silent Dim× (64×) blow-up that
+    // profiled at 30 s/round at x100 (vs 1.7 s for the assignment itself).
+    // Projecting `cell` first pins it below the Generate: once per vector.
     val sums = e
-      .select(cellExpr(cents, col("v"), col("norm")).as("cell"),
-        posexplode(col("v")))
+      .select(cellExpr(cents, col("v"), col("norm")).as("cell"), col("v"))
+      .select(col("cell"), posexplode(col("v")))
       .groupBy("cell", "pos")
       .agg(
         sum(expr(s"CAST(round(col * $QuantScale) AS BIGINT)")).as("sx"),
@@ -305,12 +325,15 @@ object Similarity {
     * recover), a large margin once the data has cluster structure.
     */
   def ivfTopK(spark: SparkSession, dir: String, nprobe: Int,
-      lloydIters: Int = LloydIters): DataFrame = {
+      lloydIters: Int = LloydIters, numCells: Int = NumCells): DataFrame = {
     VectorOps.register(spark)
-    val e = Tables(spark, dir).embeddings
+    val e0 = Tables(spark, dir).embeddings
       .select(col("vec_id"), asDouble("embedding").as("v"))
       .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
-    val cents = refinedCentroids(e, NumCells, lloydIters)
+    // corpus-side work (Lloyd rounds, inverted-list assignment) is widened;
+    // the query side stays on the raw scan so its vec_id filter pushes down
+    val e = widen(e0)
+    val cents = refinedCentroids(e, numCells, lloydIters)
 
     // inverted lists: each vector's nearest refined centroid, inline — the
     // corpus scan CARRIES v/norm through, so the old re-join with e (a full
@@ -319,20 +342,16 @@ object Similarity {
       .withColumn("cell", cellExpr(cents, col("v"), col("norm")))
       .select(col("vec_id"), col("v").as("v2"), col("norm").as("n2"), col("cell"))
 
-    // probe plan: each query's nprobe nearest cells, also inline — sort an
-    // in-row K-array of (−pcos, cid) structs instead of a window shuffle;
-    // ascending struct order == (pcos DESC, cid ASC), the old window order
-    val q = e.filter(col("vec_id") < NumQueries)
+    // probe plan: each query's nprobe nearest cells, the same in-row
+    // TopCells kernel with take = nprobe — (pcos DESC, cid ASC), the old
+    // window order, no per-query window shuffle
+    val q = e0.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("v1"), col("norm").as("n1"))
-    val probeStructs = cents.map { c =>
-      struct(
-        (-round(call_function("graft_dot", col("v1"), typedlit(c.cv.toSeq)) /
-          (col("n1") * lit(c.cnorm)), 4)).as("npcos"),
-        lit(c.cid).as("cid"))
-    }
     val probe = q.select(col("query_id"),
-        explode(slice(array_sort(array(probeStructs: _*)), 1, nprobe)).as("pc"))
-      .select(col("query_id"), col("pc.cid").as("cell"))
+        explode(TopCells.cellsCol(
+          cents.map(c => (c.cid, c.cv, c.cnorm)), nprobe,
+          col("v1"), col("n1"))).as("cell"))
+      .select(col("query_id"), col("cell"))
 
     val scored = assign.join(broadcast(probe), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -399,9 +418,9 @@ object Similarity {
   private[queries] def semanticCellsFull(spark: SparkSession, dir: String,
       numCells: Int = NumCells, lloydIters: Int = LloydIters): DataFrame = {
     VectorOps.register(spark)
-    val e = Tables(spark, dir).embeddings
+    val e = widen(Tables(spark, dir).embeddings
       .select(col("vec_id"), asDouble("embedding").as("v"))
-      .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
+      .withColumn("norm", sqrt(expr("graft_dot(v, v)"))))
     val cents = refinedCentroids(e, numCells, lloydIters)
     e.withColumn("cell", cellExpr(cents, col("v"), col("norm")))
   }
@@ -425,8 +444,11 @@ object Similarity {
 
   private[queries] val cellsCteSql: String = cellsCteSqlFor(NumCells)
 
-  val ivfTopKSql: String =
-    s"""$cellsCteSql,
+  /** n4's SQL twin at an arbitrary quantizer size — the scale study runs
+    * the same √n K schedule as d11's, so the oracle must too.
+    */
+  def ivfTopKSqlFor(numCells: Int): String =
+    s"""${cellsCteSqlFor(numCells)},
        |q AS (
        |  SELECT vec_id AS query_id, v AS v1, norm AS n1 FROM n
        |  WHERE vec_id < $NumQueries),
@@ -452,6 +474,8 @@ object Similarity {
        |      FROM scored)
        |WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
+
+  val ivfTopKSql: String = ivfTopKSqlFor(NumCells)
 
   /** Symmetric per-vector INT8 quantization + reconstruction fidelity —
     * the memory-bound scale path for ANN: a 64-float vector (256 B) drops
