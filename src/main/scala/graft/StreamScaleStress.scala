@@ -65,8 +65,10 @@ object StreamScaleStress {
       outDir: String, k: Int): Unit = {
     val done = new File(s"$outDir/_GENERATED")
     if (done.exists()) return
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val base = spark.read.parquet(s"$baseDir/events.parquet")
+    // normalize through the batch loader (nanos-as-Long or native micros,
+    // whatever this testdata generation wrote) so slicing always sees
+    // TimestampType; the quantile/range math runs on a long micros twin
+    val base = graft.core.Tables(spark, baseDir).events
     val reps = spark.range(0, k).select(col("id").as("rep"))
     val all = base.crossJoin(broadcast(reps))
       .select(
@@ -74,9 +76,10 @@ object StreamScaleStress {
         col("ts"),
         (col("user_id") + col("rep") * UserOffset).as("user_id"),
         col("event_type"), col("value"), col("props"))
+      .withColumn("ts_us", unix_micros(col("ts")))
     // percentile slice bounds on ts → contiguous, gap-free event-time
     // ranges; each slice lands in one file so mtime order == time order
-    val bounds = all.stat.approxQuantile("ts",
+    val bounds = all.stat.approxQuantile("ts_us",
       (1 until Slices).map(_.toDouble / Slices).toArray, 0.001)
     val dir = s"$outDir/events.parquet"
     FsUtil.deleteRecursively(dir)
@@ -85,7 +88,7 @@ object StreamScaleStress {
     (0 until Slices).foreach { i =>
       val lo = if (i == 0) Long.MinValue else bounds(i - 1).toLong
       val hi = if (i == Slices - 1) Long.MaxValue else bounds(i).toLong
-      writeOne(all.filter(col("ts") >= lo && col("ts") < hi),
+      writeOne(all.filter(col("ts_us") >= lo && col("ts_us") < hi).drop("ts_us"),
         f"$dir/slice_$i%02d.parquet", t0 + i * 60000L)
     }
     Files.write(done.toPath, Array.emptyByteArray)

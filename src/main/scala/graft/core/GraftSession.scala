@@ -40,6 +40,14 @@ object GraftSession {
       // skew is handled explicitly via graft.functions.Skew)
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Parquet timestamps arrive both UTC-adjusted (isAdjustedToUTC=true)
+      // and naive; Spark 4 infers the latter as TIMESTAMP_NTZ by default,
+      // which silently changes event-time semantics (watermarks, unix_micros,
+      // window boundaries) depending on how the writer flagged the column.
+      // This engine's contract is wall-clock-as-UTC everywhere (session tz
+      // above), matching how the DuckDB oracle reads the same files — so pin
+      // every parquet timestamp to the session-tz TIMESTAMP type.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -55,6 +63,9 @@ object GraftSession {
     */
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // see [[local]]: naive-vs-UTC parquet writer flags must not change
+    // event-time semantics; reads always produce session-tz TIMESTAMP
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
       (128 * 1024 * 1024).toString)

@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver's synthetic star schema (TESTDATA.md).
   *
@@ -32,6 +32,13 @@ final case class Tables(spark: SparkSession, dir: String) {
   // depend on accessor call order: the events parquet carries
   // TIMESTAMP(NANOS), readable in Spark 4 only via this legacy conf.
   spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  // Naive (isAdjustedToUTC=false) parquet timestamps must read as the same
+  // session-tz TIMESTAMP as UTC-adjusted ones — not TIMESTAMP_NTZ — or the
+  // writer's flag would silently change event-time semantics (and diverge
+  // from how the DuckDB oracle reads the identical files). Set here, not
+  // only in GraftSession, because harness-owned sessions (Verify/Bench)
+  // build their own builder and still route every read through Tables.
+  spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
   def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
 
@@ -42,15 +49,23 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame = table("part")
   def orders: DataFrame = table("orders")
   def lineitem: DataFrame = table("lineitem")
-  /** The events table carries TIMESTAMP(NANOS) parquet (read as Long via the
-    * constructor-set legacy conf); normalize back to TimestampType
-    * (microsecond precision) so downstream time logic is uniform.
+  /** The events table's `ts` arrives in whatever parquet encoding the
+    * producer chose — TIMESTAMP(NANOS) (read as Long via the constructor-set
+    * legacy conf), naive TIMESTAMP(MICROS) (TIMESTAMP_NTZ when the writer
+    * embedded a Spark schema, which overrides the inference conf above), or
+    * UTC-adjusted TIMESTAMP(MICROS). Normalize all three to session-tz
+    * TimestampType so downstream time logic is uniform; with the session tz
+    * pinned to UTC the NTZ→LTZ cast is instant-preserving.
     */
   def events: DataFrame = {
     val raw = table("events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents: DataFrame = table("documents")
   def embeddings: DataFrame = table("embeddings")

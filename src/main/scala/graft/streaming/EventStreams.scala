@@ -16,17 +16,21 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** Events read schema for streaming replay: ts arrives as TIMESTAMP(NANOS)
-    * parquet, readable only as Long via the legacy conf (see
-    * graft.core.Tables), then normalized to microsecond TimestampType.
+  /** Events read schema for streaming replay. `ts` physical encoding varies
+    * by writer — TIMESTAMP(NANOS) (readable only as Long via the legacy
+    * conf, see graft.core.Tables) or plain TIMESTAMP(MICROS) — so the
+    * streaming reader probes the footer with a batch read (metadata-only)
+    * and mirrors the batch loader's normalization: downstream always sees
+    * microsecond TimestampType in the session timezone.
     */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  private def rawSchema(tsType: org.apache.spark.sql.types.DataType) =
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
 
   /** Replay an events parquet zone as a stream (the streaming file source
     * takes a DIRECTORY; the glob filter selects the events table out of the
@@ -38,11 +42,18 @@ object EventStreams {
       glob: String = "events.parquet",
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val r = spark.readStream.schema(rawSchema)
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    // footer probe: same inference path as the batch twin, so the two
+    // readers can never disagree about what a fixture's ts encodes
+    val tsIsLong = spark.read.option("pathGlobFilter", glob).parquet(dir)
+      .schema("ts").dataType == LongType
+    val r = spark.readStream
+      .schema(rawSchema(if (tsIsLong) LongType else TimestampType))
       .option("pathGlobFilter", glob)
     maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
-    r.parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val df = r.parquet(dir)
+    if (tsIsLong) df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else df
   }
 
   /** Streaming twin of e1: tumbling-hour counts/sums per event type, with a
