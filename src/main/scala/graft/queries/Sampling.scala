@@ -263,6 +263,50 @@ object Sampling {
        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin
   }
 
+  // ----------------------------------------------------------------- t18
+
+  /** Weighted sample size. */
+  val WSampleK = 100
+
+  /** WEIGHTED sampling without replacement (Efraimidis–Spirakis A-ES,
+    * IPL 2006): each doc draws a deterministic uniform u ∈ (0,1) from its
+    * salted content hash and scores key = ln(u)/w; the k largest keys ARE
+    * a weighted sample without replacement — quality-weighted corpus
+    * selection ("sample 100 docs, longer docs proportionally more often")
+    * in one expression, no rejection loop. Any positive weight column
+    * composes (a t2-style quality score is the production choice); the
+    * registered entry weights by n_chars.
+    *
+    * Deterministic at any parallelism (u is content-hashed, not rand()),
+    * so the same corpus always draws the same sample — and the top-k
+    * executes as TakeOrderedAndProject: per-partition heaps, k rows to
+    * the driver, NO global sort shuffle. At 100 TB the cost is one scan.
+    */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    VectorOps.register(spark) // graft_hash60
+    Tables(spark, dir).documents
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        ((hash60(concat(lit("graft-wsample|"), col("doc_id").cast("string")))
+          .cast("double") + 0.5) / lit(1.152921504606846976e18)).as("u"))
+      .withColumn("key", log(col("u")) / col("n_chars"))
+      .orderBy(desc("key"), asc("doc_id"))
+      .limit(WSampleK)
+      .select("doc_id", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  val weightedSampleSql: String = {
+    val h = hash60Sql("'graft-wsample|' || CAST(doc_id AS VARCHAR)")
+    s"""SELECT doc_id, source, n_chars FROM (
+       |  SELECT doc_id, source, n_chars,
+       |    ln((CAST($h AS DOUBLE) + 0.5) / 1152921504606846976.0) / n_chars
+       |      AS key
+       |  FROM documents WHERE n_chars > 0
+       |  ORDER BY key DESC, doc_id LIMIT $WSampleK)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------------ x3
 
   val ExportRoot = "/root/repo/target/fixtures-export/shards"
@@ -294,6 +338,7 @@ object Sampling {
     "t8_token_shards" -> (tokenShards _),
     "t10_stratified_sample" -> (stratifiedSample _),
     "t15_doc_chunks" -> (docChunks _),
+    "t18_weighted_sample" -> (weightedSample _),
     "x3_export_roundtrip" -> (exportRoundtrip _))
 
   val oracles: Map[String, String] = Map(
@@ -302,5 +347,6 @@ object Sampling {
     "t8_token_shards" -> tokenShardsSql,
     "t10_stratified_sample" -> stratifiedSampleSql,
     "t15_doc_chunks" -> docChunksSql,
+    "t18_weighted_sample" -> weightedSampleSql,
     "x3_export_roundtrip" -> tokenShardsSql)
 }

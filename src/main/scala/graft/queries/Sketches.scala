@@ -117,13 +117,95 @@ object Sketches {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Misra–Gries counter budget per partition; the heavy-hitter threshold
+    * is relative — freq ≥ total/HhK (0.5% of the token stream) — so the
+    * candidate guarantee holds at every corpus size with the same k.
+    */
+  val HhK = 200
+
+  /** EXACT heavy hitters over the corpus token stream, two passes:
+    * (1) a per-partition Misra–Gries sketch (k = [[HhK]] counters) emits
+    * candidate tokens plus the partition's token count; (2) an exact
+    * recount of ONLY the candidates, kept iff cnt·k ≥ total. MG can
+    * undercount but never evicts a token with partition-frequency ≥ n_p/k,
+    * and freq ≥ total/k globally implies ≥ n_p/k in some partition
+    * (pigeonhole) — so candidates ⊇ true heavy hitters and the exact
+    * recount makes the output EXACT: independent of partitioning, task
+    * order, and k (k only prices the prune). That is what makes a plain
+    * `GROUP BY token HAVING cnt·k ≥ total` the oracle.
+    *
+    * Scale shape (Misra/Gries 1982; the streaming classic): pass 1 shuffles
+    * NOTHING and collects ≤ (k+1)·partitions tiny rows — candidate tokens
+    * and per-partition totals are driver-side metadata, same class as the
+    * export manifest — while pass 2 shuffles only candidate-token rows
+    * (≤ k·partitions distinct keys), not the full Zipf vocabulary. At a
+    * trillion-token corpus the naive groupBy ships every distinct token
+    * through the exchange; this ships ~10⁴. At extreme partition counts
+    * the candidate union itself tree-aggregates first (a `distinct()`
+    * before the collect) — the collect stays bounded by the true union.
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame =
+    heavyHittersOf(Tables(spark, dir).documents, HhK)
+
+  /** [[heavyHitters]] over any (text) frame with an explicit counter
+    * budget — the spec drives it at several parallelisms and k's and
+    * asserts the output never moves.
+    */
+  def heavyHittersOf(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    // pass 1: per-partition MG candidates + partition token counts.
+    // Emitted as (token|null, n) rows: null carries the count — retry-safe
+    // (a re-run task re-emits the same rows), unlike an accumulator.
+    val partial = toks.as[String].mapPartitions { it =>
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      var n = 0L
+      it.foreach { t =>
+        n += 1
+        counts.get(t) match {
+          case Some(c) => counts.update(t, c + 1)
+          case None if counts.size < k => counts.update(t, 1L)
+          case None => // decrement-all, drop zeros: the MG eviction step
+            counts.keys.toArray.foreach { k =>
+              val c = counts(k) - 1
+              if (c == 0) counts.remove(k) else counts.update(k, c)
+            }
+        }
+      }
+      Iterator.single((null: String, n)) ++ counts.keysIterator.map((_, 0L))
+    }.toDF("token", "n").collect() // ≤ (k+1)·partitions rows — metadata
+    val total = partial.filter(_.isNullAt(0)).map(_.getLong(1)).sum
+    val cands = partial.filter(!_.isNullAt(0)).map(_.getString(0)).distinct.toSeq
+    // pass 2: exact recount of candidates only
+    toks.join(broadcast(cands.toDF("token")), "token")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * k >= total)
+      .orderBy(desc("cnt"), asc("token"))
+  }
+
+  val heavyHittersSql: String =
+    s"""WITH raw AS (
+       |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+       |toks AS (SELECT token FROM raw WHERE len(token) > 0),
+       |tot AS (SELECT count(*) AS n FROM toks)
+       |SELECT token, count(*) AS cnt
+       |FROM toks, tot
+       |GROUP BY token, tot.n
+       |HAVING count(*) * $HhK >= tot.n
+       |ORDER BY cnt DESC, token""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "z1_sketch_distinct" -> (sketchDistinct _),
     "z2_salted_rollup" -> (saltedRollup _),
-    "z3_price_quantiles" -> (priceQuantiles _))
+    "z3_price_quantiles" -> (priceQuantiles _),
+    "z4_heavy_hitters" -> (heavyHitters _))
 
   val oracles: Map[String, String] = Map(
     "z1_sketch_distinct" -> sketchDistinctSql,
     "z2_salted_rollup" -> saltedRollupSql,
-    "z3_price_quantiles" -> priceQuantilesSql)
+    "z3_price_quantiles" -> priceQuantilesSql,
+    "z4_heavy_hitters" -> heavyHittersSql)
 }

@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Pins the two round-8 selection/sketch operators.
+  *
+  * z4 heavy hitters: the output is defined purely by (corpus, k) — exact
+  * counts over the relative threshold — so it must be bit-identical under
+  * any partitioning of the input and any counter budget k. The Misra–Gries
+  * pass only PRUNES; these tests are the "candidates ⊇ true heavy hitters"
+  * guarantee exercised where it could break (tokens split across many
+  * partitions, k barely above the distinct-heavy-token count).
+  *
+  * t18 weighted sampling: deterministic content-hash randomness means the
+  * draw is a pure function of the corpus — same sample on re-run — and the
+  * A-ES key construction means weights actually bias the draw.
+  */
+class SketchSamplingSpec extends SparkTestBase {
+
+  private val SfDir = "/root/testdata/sf0.001"
+
+  /** Synthetic corpus with exactly known token counts: "aa" x 500 spread
+    * over many docs, "bb" on the inclusion boundary, "cc" just under it,
+    * plus unique filler tokens. Total = 1000 tokens, so with k = 200 the
+    * threshold is cnt*200 >= 1000, i.e. freq >= 5.
+    */
+  private def corpus(parallelism: Int) = {
+    import spark.implicits._
+    // 100 docs x 5 "aa"; 1 doc of 5 "bb"; 1 doc of 4 "cc" + filler
+    val docs =
+      (1 to 100).map(_ => "aa aa aa aa aa") ++ // 500 aa
+        Seq("bb bb bb bb bb") ++                // 5 bb  (boundary: kept)
+        Seq("cc cc cc cc") ++                   // 4 cc  (under: dropped)
+        (1 to 491).map(i => s"fill$i")          // 491 uniques -> total 1000
+    docs.toDF("text").repartition(parallelism)
+  }
+
+  test("z4: exact counts with boundary inclusion, invariant to partitioning and k") {
+    val expect = Set(("aa", 500L), ("bb", 5L))
+    for (par <- Seq(1, 7, 32); k <- Seq(3, 50, 200)) {
+      val got = Sketches.heavyHittersOf(corpus(par), k = k)
+      // threshold is relative to k: recompute expectation for each k
+      val want: Set[(String, Long)] =
+        if (k >= 200) expect
+        else Set(("aa", 500L), ("bb", 5L)).filter(_._2 * k >= 1000L)
+      assert(got.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+        === want, s"par=$par k=$k")
+    }
+  }
+
+  test("z4: registered entry matches a plain groupBy-HAVING twin on the fixture") {
+    val got = Sketches.heavyHitters(spark, SfDir)
+    val toks = graft.core.Tables(spark, SfDir).documents
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val total = toks.count()
+    val twin = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * Sketches.HhK >= total)
+    assert(got.count() > 0, "fixture should have heavy hitters (stopwords)")
+    assert(got.exceptAll(twin).isEmpty && twin.exceptAll(got).isEmpty)
+  }
+
+  test("t18: deterministic, exactly K rows, and re-draw stable") {
+    val a = Sampling.weightedSample(spark, SfDir).collect()
+    val b = Sampling.weightedSample(spark, SfDir).collect()
+    assert(a.length === Sampling.WSampleK)
+    assert(a.map(_.getLong(0)).toSeq === b.map(_.getLong(0)).toSeq)
+  }
+
+  test("t18: weights bias the draw - sampled docs are longer than the corpus average") {
+    // A-ES with w = n_chars: P(keep) scales with length, so the sampled
+    // mean length must exceed the corpus mean by a clear margin. This is a
+    // deterministic assertion (fixed corpus, fixed hash), not a flaky
+    // statistical one - the margin is huge unless the keying is wrong.
+    val docs = graft.core.Tables(spark, SfDir).documents
+    val corpusMean = docs.agg(avg("n_chars")).first().getDouble(0)
+    val sampleMean = Sampling.weightedSample(spark, SfDir)
+      .agg(avg("n_chars")).first().getDouble(0)
+    assert(sampleMean > corpusMean * 1.1,
+      s"sample mean $sampleMean vs corpus mean $corpusMean")
+  }
+}
