@@ -564,7 +564,112 @@ object TextAnalysis {
        |FROM scored CROSS JOIN m
        |ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------------------------- t19
+
+  /** BM25 parameters (Robertson/Walker Okapi defaults) and the fixed
+    * keyword query set. The idf is Lucene's non-negative variant
+    * ln(1 + (N - df + 0.5)/(df + 0.5)).
+    */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25TopK = 10
+  val Bm25Queries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("spark", "table", "join"),
+    2 -> Seq("stream", "window", "agg"),
+    3 -> Seq("vector", "hash", "scan"))
+
+  /** KEYWORD RETRIEVAL: BM25 top-k documents per query — the search-side
+    * counterpart of t9's TF-IDF indexing, and the lexical retrieval stage a
+    * RAG / data-curation pipeline runs next to the ANN family (n1-n5 are
+    * its dense twin). Scores are ranked after rounding to 4 decimals with
+    * doc_id as the tiebreak, so ranking never hinges on sub-ulp float
+    * noise (exact-duplicate docs score identically and order by id).
+    *
+    * Scale shape: the explode filters to QUERY TERMS ONLY before anything
+    * aggregates — non-matching tokens die inside the scan stage, so the tf
+    * shuffle carries |matching (doc, term)| rows, not the corpus vocabulary.
+    * df and the query list are tiny frames broadcast back; per-doc length
+    * is a scan-local projection; the final top-k is a per-query window over
+    * only scored docs. At production scale the tf frame IS the inverted
+    * index — materialize it once (t9's shape) and this query becomes a
+    * probe of |q| postings lists; the ranking math is unchanged.
+    */
+  def bm25Search(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val terms = Bm25Queries.flatMap(_._2).distinct
+    val qdf = broadcast(Bm25Queries
+      .flatMap { case (qid, ts) => ts.map(qid -> _) }
+      .toDF("query_id", "token"))
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .withColumn("dl", size(col("t")).cast("long"))
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"), avg("dl").as("avgdl")).first()
+    val (nDocs, avgdl) = (stats.getLong(0), stats.getDouble(1))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("t")).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(df), "token")
+      .join(qdf, "token")
+      .withColumn("idf",
+        log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("term_score",
+        col("idf") * col("tf") * (Bm25K1 + 1) /
+          (col("tf") + (col("dl") / avgdl * Bm25B + (1 - Bm25B)) * Bm25K1))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum("term_score"), 4).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= Bm25TopK)
+      .select("query_id", "rank", "doc_id", "score")
+      .orderBy("query_id", "rank")
+  }
+
+  val bm25SearchSql: String = {
+    val qvals = Bm25Queries
+      .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
+      .mkString(", ")
+    val terms = Bm25Queries.flatMap(_._2).distinct
+      .map(t => s"'$t'").mkString(", ")
+    s"""WITH q(query_id, token) AS (VALUES $qvals),
+       |docs AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+       |  FROM documents),
+       |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM docs),
+       |toks AS (
+       |  SELECT doc_id, dl, unnest(t) AS token FROM docs),
+       |tf AS (
+       |  SELECT doc_id, dl, token, count(*) AS tf FROM toks
+       |  WHERE token IN ($terms)
+       |  GROUP BY doc_id, dl, token),
+       |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+       |scored AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |    round(sum(
+       |      ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+       |        * tf.tf * ($Bm25K1 + 1)
+       |        / (tf.tf + (tf.dl / stats.avgdl * $Bm25B + (1 - $Bm25B)) * $Bm25K1)
+       |    ), 4) AS score
+       |  FROM tf JOIN df USING (token) JOIN q USING (token), stats
+       |  GROUP BY q.query_id, tf.doc_id),
+       |ranked AS (
+       |  SELECT query_id, doc_id, score,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, doc_id, score FROM ranked
+       |WHERE rank <= $Bm25TopK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t19_bm25_search" -> (bm25Search _),
     "t16_unigram_ppl" -> (unigramPpl _),
     "t14_corpus_curation" -> (corpusCuration _),
     "t13_pii_scrub" -> (piiScrub _),
@@ -579,6 +684,7 @@ object TextAnalysis {
     "t9_tfidf_top_terms" -> (tfidfTopTerms _))
 
   val oracles: Map[String, String] = Map(
+    "t19_bm25_search" -> bm25SearchSql,
     "t16_unigram_ppl" -> unigramPplSql,
     "t14_corpus_curation" -> corpusCurationSql,
     "t13_pii_scrub" -> piiScrubSql,

@@ -117,4 +117,22 @@ class PlanSpec extends SparkTestBase {
     // a per-row projection: no Generate/explode feeding an aggregate
     assert(!p.contains("HashAggregate"), "t4 regressed to explode+groupBy")
   }
+
+  test("weighted sampling (t18) is a scan + per-partition top-k — no global sort, no join") {
+    val p = plan("t18_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      "t18's top-k must compile to per-partition heaps, not a global sort")
+    assert(!p.contains("Join"), "t18 must not join")
+  }
+
+  test("heavy hitters (z4): the exact recount joins candidates by BROADCAST — the token stream never sort-merges") {
+    // plan() materializes pass 1 (the MG collect runs at plan build); the
+    // returned frame is pass 2, whose only join must be the broadcast of
+    // the tiny candidate list against the exploded token stream
+    val p = plan("z4_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"), "candidate filter must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "token stream must not shuffle for the candidate join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
 }
