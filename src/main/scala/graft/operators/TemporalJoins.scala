@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reusable temporal-join OPERATORS — the generic forms of the j1/j2 query
+  * shapes (graft.queries.Temporal re-expresses both through these), exposed
+  * so a user can run an as-of or bounded-range join over ANY pair of
+  * frames, not just the fixture events table.
+  *
+  * Neither operator ever plans an inequality join (a naive `a.ts < b.ts`
+  * theta join is a BroadcastNestedLoopJoin — O(n·m) and dead at scale):
+  *
+  *  - [[asOf]] is the union-then-window formulation: both sides interleave
+  *    into one key-partitioned, time-sorted stream and the last-seen build
+  *    row carries forward — exactly ONE shuffle (on the key), one per-key
+  *    sort, linear scan. Parallelism scales with the key population; the
+  *    per-row state is one carried struct.
+  *  - [[boundedRange]] buckets time into window-width buckets and
+  *    equi-joins on the bucket id (each left row expands to its 3 covering
+  *    buckets): |Δts| ≤ W implies bucket ids differ by ≤ 1, so the probe
+  *    finds every qualifying pair exactly once, as a plain long equi-join —
+  *    shuffle-friendly, AQE-skew-splittable — with the exact predicate
+  *    applied after.
+  */
+object TemporalJoins {
+
+  /** AS-OF join: for every row of `probe`, attach the latest `build` row
+    * with the same `keys` and build time strictly earlier (`strict = true`,
+    * DuckDB ASOF semantics) or earlier-or-equal (`strict = false`) than the
+    * probe's. Probe rows with no qualifying build row are DROPPED (inner
+    * as-of; left-outer is the same plan minus the final not-null filter —
+    * pass `keepUnmatched = true`).
+    *
+    * Output = every `probe` column, plus each `carry` build column as
+    * `asof_<name>`. `carry` may include the build time column itself (for
+    * lag computation). Ties on the build side (several build rows at the
+    * same instant) resolve to the LARGEST `tieBreak` tuple, matching the
+    * "latest event wins" convention; pass the build-side id column(s).
+    *
+    * Plan: one exchange on `keys`, one sort on (time, side-flag, tieBreak),
+    * one window scan. No join operator at all.
+    */
+  def asOf(
+      probe: DataFrame,
+      build: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      carry: Seq[String],
+      strict: Boolean = true,
+      tieBreak: Seq[String] = Nil,
+      keepUnmatched: Boolean = false): DataFrame = {
+    require(keys.nonEmpty, "asOf needs at least one key column")
+    require(carry.nonEmpty, "asOf needs at least one carried build column")
+    val payload = struct(carry.map(c => build(c).as(c)): _*)
+    val payloadType = build.select(payload).schema.head.dataType
+    val probeStruct = struct(probe.columns.map(probe(_)): _*)
+    val probeType = probe.select(probeStruct).schema.head.dataType
+
+    // __ts keeps the column's native type (TimestampType or epoch long —
+    // both totally ordered); both sides must agree, which sharing tsCol's
+    // name enforces structurally
+    val pSide = probe.select(
+      (keys.map(probe(_)) :+ probe(tsCol).as("__ts")
+        :+ probeStruct.as("__p") :+ lit(null).cast(payloadType).as("__b")): _*)
+    val bSide = build.select(
+      (keys.map(build(_)) :+ build(tsCol).as("__ts")
+        :+ lit(null).cast(probeType).as("__p") :+ payload.as("__b")): _*)
+
+    // At equal timestamps the side flag decides inclusion: with the frame
+    // ending at the PREVIOUS row, build rows sorted AFTER the probe are
+    // invisible to it (strict <) and build rows sorted BEFORE are visible
+    // (inclusive <=). Build-side ties then order ascending by tieBreak, so
+    // `last` picks the largest.
+    val sideFlag =
+      if (strict) col("__b").isNotNull.asc else col("__b").isNotNull.desc
+    val order: Seq[Column] =
+      (col("__ts").asc +: sideFlag +: tieBreak.map(c => col(s"__b.$c").asc))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+
+    val matched = pSide.unionByName(bSide)
+      .withColumn("__asof", last(col("__b"), ignoreNulls = true).over(w))
+      .filter(col("__p").isNotNull)
+    val kept = if (keepUnmatched) matched else matched.filter(col("__asof").isNotNull)
+    kept.select(
+      probe.columns.map(c => col(s"__p.$c").as(c)) ++
+        carry.map(c => col(s"__asof.$c").as(s"asof_$c")): _*)
+  }
+
+  /** Bounded RANGE join: all (left, right) pairs sharing `keys` (possibly
+    * empty — then it is a pure time-proximity join) whose long time
+    * columns differ by at most `window`. Column names of the two sides
+    * must be disjoint apart from `keys`. Both time columns must be
+    * non-negative (epoch micros/millis): `DIV` truncates toward zero,
+    * which equals the floor the covering-bucket argument needs only on a
+    * non-negative domain — for pre-epoch data shift both sides first.
+    *
+    * Plan: right side hashes into one bucket per row, left side explodes
+    * to its 3 covering buckets, and the join is a plain equi-join on
+    * (keys, bucket) with the exact |Δ| ≤ window predicate applied after —
+    * never a nested-loop.
+    */
+  def boundedRange(
+      left: DataFrame,
+      right: DataFrame,
+      leftTs: String,
+      rightTs: String,
+      window: Long,
+      keys: Seq[String] = Nil): DataFrame = {
+    require(window > 0, "window must be positive")
+    val lb = expr(s"$leftTs DIV $window")
+    val l = left.withColumn("__bucket", explode(array(lb - 1, lb, lb + 1)))
+    val r = right.withColumn("__bucket", expr(s"$rightTs DIV $window"))
+    l.join(r, keys :+ "__bucket")
+      .filter(abs(col(leftTs) - col(rightTs)) <= window)
+      .drop("__bucket")
+  }
+}

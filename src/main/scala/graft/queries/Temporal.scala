@@ -39,29 +39,20 @@ object Temporal {
     */
   def asofAttribution(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir).events
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
     val triggers = ev.filter(col("event_type").isin("view", "click"))
       .select(col("user_id"), col("ts"),
         col("event_id").as("trig_id"), col("event_type").as("trig_type"))
-      .withColumn("purchase_id", lit(null).cast("long"))
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
-      .withColumn("trig_id", lit(null).cast("long"))
-      .withColumn("trig_type", lit(null).cast("string"))
-    // running frame ends at the PREVIOUS row: "strictly earlier" by
-    // construction, and a purchase row (all-null trigger cols) never
-    // attributes to itself or another purchase
-    val w = Window.partitionBy("user_id")
-      .orderBy(col("ts"), col("trig_id").isNotNull, col("trig_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    triggers.unionByName(purchases)
-      .withColumn("attributed_id", last(col("trig_id"), ignoreNulls = true).over(w))
-      .withColumn("attributed_type", last(col("trig_type"), ignoreNulls = true).over(w))
-      .withColumn("attr_ts",
-        last(when(col("trig_id").isNotNull, col("ts")), ignoreNulls = true).over(w))
-      .filter(col("purchase_id").isNotNull && col("attributed_id").isNotNull)
+    graft.operators.TemporalJoins.asOf(
+        probe = purchases, build = triggers,
+        keys = Seq("user_id"), tsCol = "ts",
+        carry = Seq("trig_id", "trig_type", "ts"),
+        strict = true, tieBreak = Seq("trig_id"))
       .select(col("purchase_id"), col("user_id"),
-        col("attributed_id"), col("attributed_type"),
-        expr("(unix_micros(ts) - unix_micros(attr_ts)) DIV 1000000")
+        col("asof_trig_id").as("attributed_id"),
+        col("asof_trig_type").as("attributed_type"),
+        expr("(unix_micros(ts) - unix_micros(asof_ts)) DIV 1000000")
           .as("lag_seconds"))
       .orderBy("purchase_id")
   }
@@ -99,13 +90,10 @@ object Temporal {
     val ev = Tables(spark, dir).events
     val errors = ev.filter(col("event_type") === "error")
       .select(col("event_id").as("error_id"), unix_micros(col("ts")).as("e_us"))
-      .withColumn("bucket", expr(s"e_us DIV $WindowUs"))
-    val pb = expr(s"p_us DIV $WindowUs")
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), unix_micros(col("ts")).as("p_us"))
-      .withColumn("bucket", explode(array(pb - 1, pb, pb + 1)))
-    purchases.join(errors, "bucket")
-      .filter(abs(col("p_us") - col("e_us")) <= WindowUs)
+    graft.operators.TemporalJoins.boundedRange(
+        purchases, errors, leftTs = "p_us", rightTs = "e_us", window = WindowUs)
       .select(col("purchase_id"), col("error_id"),
         abs(col("p_us") - col("e_us")).as("lag_us"))
       .orderBy("purchase_id", "error_id")

@@ -1,0 +1,105 @@
+package graft.operators
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Property tests for the generic temporal-join operators against
+  * brute-force reference implementations on seeded random data — dense
+  * timestamp collisions included, because the tie rules (probe-vs-build at
+  * equal instants, build-vs-build tieBreak) are exactly where a window
+  * formulation can silently diverge from as-of semantics. j1/j2 pin the
+  * operators against DuckDB on the fixture; this pins the full parameter
+  * space (strict/inclusive, keepUnmatched, multi-key, keyless range).
+  */
+class TemporalJoinsSpec extends SparkTestBase {
+
+  private val rnd = new Random(20260813)
+
+  // (key, ts, id) with heavy ts collisions: ts drawn from only 40 values
+  private def rows(n: Int, keys: Int): Seq[(Long, Long, Long)] =
+    (1 to n).map(i =>
+      (rnd.nextInt(keys).toLong, rnd.nextInt(40).toLong * 10, i.toLong))
+
+  test("asOf equals brute force across strict/inclusive/keepUnmatched under ts collisions") {
+    import spark.implicits._
+    val probeRows = rows(300, 8)
+    val buildRows = rows(300, 8)
+    val probe = probeRows.toDF("k", "ts", "pid").repartition(7)
+    val build = buildRows.toDF("k", "ts", "bid").repartition(5)
+
+    for (strict <- Seq(true, false); keep <- Seq(true, false)) {
+      val got = TemporalJoins.asOf(probe, build,
+          keys = Seq("k"), tsCol = "ts", carry = Seq("bid", "ts"),
+          strict = strict, tieBreak = Seq("bid"), keepUnmatched = keep)
+        .select("pid", "asof_bid", "asof_ts")
+        .collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))
+        .toSet
+
+      val want = probeRows.flatMap { case (k, t, pid) =>
+        val cands = buildRows.filter { case (bk, bt, _) =>
+          bk == k && (if (strict) bt < t else bt <= t)
+        }
+        if (cands.isEmpty) {
+          if (keep) Some((pid, None, None)) else None
+        } else {
+          // latest instant wins; equal instants resolve to max tieBreak
+          val (_, bt, bid) = cands.maxBy { case (_, bt, bid) => (bt, bid) }
+          Some((pid, Some(bid), Some(bt)))
+        }
+      }.toSet
+      assert(got === want, s"strict=$strict keepUnmatched=$keep")
+    }
+  }
+
+  test("asOf probe rows never attribute to each other (self-exclusion at equal instants)") {
+    import spark.implicits._
+    // every row same key, same instant: strict => nothing matches
+    val probe = Seq((1L, 50L, 1L), (1L, 50L, 2L)).toDF("k", "ts", "pid")
+    val build = Seq((1L, 50L, 9L)).toDF("k", "ts", "bid")
+    val strictRows = TemporalJoins.asOf(probe, build,
+      Seq("k"), "ts", Seq("bid"), strict = true).collect()
+    assert(strictRows.isEmpty, "strict as-of must ignore same-instant builds")
+    val incl = TemporalJoins.asOf(probe, build,
+      Seq("k"), "ts", Seq("bid"), strict = false).collect()
+    assert(incl.length === 2 && incl.forall(_.getAs[Long]("asof_bid") == 9L))
+  }
+
+  test("boundedRange equals brute force, keyed and keyless, pairs found exactly once") {
+    import spark.implicits._
+    val leftRows = rows(200, 4)
+    val rightRows = rows(200, 4)
+    val left = leftRows.toDF("k", "lts", "lid").repartition(6)
+    val right = rightRows.toDF("k", "rts", "rid").repartition(3)
+    val w = 35L
+
+    for (keyed <- Seq(true, false)) {
+      val got = TemporalJoins.boundedRange(left, right, "lts", "rts", w,
+          keys = if (keyed) Seq("k") else Nil)
+        .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      // exactly once: no covering-bucket double counting
+      assert(got.length === got.toSet.size, "a pair was emitted twice")
+      val want = (for {
+        (lk, lt, lid) <- leftRows
+        (rk, rt, rid) <- rightRows
+        if (!keyed || lk == rk) && math.abs(lt - rt) <= w
+      } yield (lid, rid)).toSet
+      assert(got.toSet === want, s"keyed=$keyed")
+    }
+  }
+
+  test("asOf plans one exchange chain and no join operator") {
+    import spark.implicits._
+    val probe = rows(50, 3).toDF("k", "ts", "pid")
+    val build = rows(50, 3).toDF("k", "ts", "bid")
+    val plan = TemporalJoins.asOf(probe, build, Seq("k"), "ts", Seq("bid"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "as-of must not plan any join")
+    assert(plan.contains("Window"), "as-of must be the window formulation")
+  }
+}
