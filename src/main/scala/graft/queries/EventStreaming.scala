@@ -3,7 +3,7 @@ package graft.queries
 import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, max, max_by, min, struct}
+import org.apache.spark.sql.functions.{asc, broadcast, col, desc, max, max_by, min, struct, sum}
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.{DocumentStreams, EventStreams}
@@ -118,7 +118,34 @@ object EventStreaming {
       s"st7_mem_${runSeq.incrementAndGet()}", OutputMode.Append())
       .orderBy("doc_id", "chunk_id")
 
+  /** Collapse update-mode token-count rows to the final frequency table
+    * (count is monotone per token), then apply z4's relative heavy-hitter
+    * threshold against the collapsed total. The total rides in as a 1-row
+    * broadcast frame — the threshold is part of the COLLAPSE, computable at
+    * any snapshot of the ledger.
+    */
+  def collapseHeavyHitters(updates: DataFrame): DataFrame = {
+    val counts = updates.groupBy("token").agg(max("cnt").as("cnt"))
+    counts
+      .crossJoin(broadcast(counts.agg(sum("cnt").as("total"))))
+      .filter(col("cnt") * Sketches.HhK >= col("total"))
+      .select("token", "cnt")
+      .orderBy(desc("cnt"), asc("token"))
+  }
+
+  /** st8: streaming heavy hitters (streaming z4). The replayed corpus's
+    * token-frequency ledger, collapsed and thresholded, must equal the
+    * batch two-pass MG-prune + exact-recount result — shared z4 oracle.
+    * The pair is the z4 scaladoc's claim made executable: the MG prune is
+    * a batch-only optimization; the semantics live in the exact counts.
+    */
+  def streamHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    collapseHeavyHitters(EventStreams.replayToTable(
+      DocumentStreams.tokenCounts(DocumentStreams.readDocuments(spark, dir)),
+      s"st8_mem_${runSeq.incrementAndGet()}", OutputMode.Update()))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st8_stream_heavy_hitters" -> (streamHeavyHitters _),
     "st2_stream_hourly" -> (streamHourly _),
     "st3_stream_sessions" -> (streamSessions _),
     "st5_stream_attribution" -> (streamAttribution _),
@@ -126,6 +153,7 @@ object EventStreaming {
     "st7_stream_chunks" -> (streamChunks _))
 
   val oracles: Map[String, String] = Map(
+    "st8_stream_heavy_hitters" -> Sketches.heavyHittersSql,
     "st2_stream_hourly" -> Events.hourlyRollupSql,
     "st3_stream_sessions" -> Events.userSessionsSql,
     "st5_stream_attribution" -> Temporal.asofAttributionSql,

@@ -95,4 +95,29 @@ object DocumentStreams {
       .select(md5(col("text")).as("text_md5"), col("doc_id"))
       .groupBy("text_md5")
       .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
+  /** Streaming token-frequency ledger (the stream side of z4's heavy
+    * hitters): running exact count per token over everything that has
+    * arrived. Update mode re-emits a token's refreshed count each batch
+    * that touches it; the count is monotone, so the collapse is max per
+    * token (EventStreaming.collapseTokenCounts), and the heavy-hitter
+    * THRESHOLD applies at collapse time — "heavy" is a property of a
+    * corpus snapshot (freq ≥ total/k with total still growing), not of an
+    * arrival.
+    *
+    * State holds the full vocabulary — deliberately NOT the batch z4's
+    * Misra–Gries prune: the prune is only sound when the final total is
+    * known (candidates must cover freq ≥ total/k; a stream's total keeps
+    * moving, so an in-flight prune can evict a token that later
+    * qualifies). Exact streaming frequency pays vocabulary-sized state —
+    * sublinear in corpus size by Heaps' law, hashed by token so it
+    * partitions across a cluster's stores — or drops to an approximate
+    * bounded-state sketch, which would break the shared exact oracle.
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
 }

@@ -78,4 +78,30 @@ class DocumentStreamsSpec extends SparkTestBase {
     assert(streamed.size === batch.size)
     streamed.zip(batch).foreach { case (a, b) => assert(a === b) }
   }
+
+  test("streaming heavy hitters equals batch z4 over a 3-file replay (st8)") {
+    val dir = scratch("docstream_hh")
+    val docs = spark.read.parquet(s"$SfDir/documents.parquet")
+    val t0 = 1700000000000L
+    (0 to 2).foreach { i =>
+      writeOne(docs.filter(pmod(col("doc_id"), lit(3)) === i),
+        s"$dir/f$i.parquet", t0 + i * 60000L)
+    }
+    val updates = EventStreams.replayToTable(
+      DocumentStreams.tokenCounts(DocumentStreams.readDocuments(
+        spark, dir, glob = "*.parquet", maxFilesPerTrigger = Some(1))),
+      "docstream_hh_t", OutputMode.Update())
+    // the ledger really accumulated across batches: common tokens emitted
+    // refreshed counts from more than one micro-batch
+    val maxUpdates = updates.groupBy("token").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(maxUpdates > 1, "expected cross-batch count updates")
+
+    val got = EventStreaming.collapseHeavyHitters(updates).collect().toSeq
+    val want = graft.queries.Sketches
+      .heavyHittersOf(spark.read.parquet(dir), graft.queries.Sketches.HhK)
+      .collect().toSeq
+    assert(got.nonEmpty && got.size === want.size)
+    got.zip(want).foreach { case (a, b) => assert(a === b) }
+  }
 }
