@@ -264,6 +264,18 @@ object StreamScaleStress {
         EventStreaming.collapseDedup,
         Some(Dedup.exactDedup(spark, dir)))
 
+      // st8: the token-frequency ledger over char-bijected replicas is the
+      // DISJOINT-vocabulary worst case (each replica's tokens are unique by
+      // the bijection), so state must grow exactly linearly with k — the
+      // anti-Heaps bound. The collapse+threshold must still equal batch z4.
+      run("st8_heavy_hitters",
+        DocumentStreams.tokenCounts(DocumentStreams.readDocuments(
+          spark, docZone, glob = "*.parquet", maxFilesPerTrigger = Some(1))),
+        OutputMode.Update(),
+        EventStreaming.collapseHeavyHitters,
+        Some(graft.queries.Sketches.heavyHittersOf(
+          spark.read.parquet(docZone), graft.queries.Sketches.HhK)))
+
       // bounded-state twin: same digest dedup, state evicted past the
       // watermark horizon. event_ts advances one hour per doc-id slice, so
       // a 2h horizon holds ~2 slices of state — the eviction (removed>0,
