@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.{TextHash, VectorOps}
+import graft.functions.TextHash.hash60
+
+/** Reusable text-deduplication OPERATORS over any (doc_id, text) frame —
+  * the generic forms of the d1/d2 query shapes (graft.queries.Dedup
+  * re-expresses both through these). Same contract as
+  * [[TemporalJoins]]: the fixture queries bind these to the documents
+  * table; a user binds them to their own corpus.
+  *
+  * Scale shapes (unchanged from the query tier, see SCALING.md curves):
+  * exact dedup is one shuffle of 16-byte digests; MinHash/LSH shuffles
+  * 8-byte shingle hashes into per-doc signatures, equi-joins banded
+  * bucket hashes for candidates, and verifies with broadcast candidate
+  * sets — the corpus text never shuffles in either operator.
+  */
+object TextDedup {
+
+  val ShingleK = 8      // char-shingle width
+  val NumPerms = 16     // minhash signature length
+  val Bands = 4         // LSH bands (x 4 rows each)
+  private val RowsPerBand = NumPerms / Bands
+  private val P = TextHash.P
+
+  /** Exact dedup groups: keep-first by content digest. One shuffle of
+    * (16-byte digest, id) pairs at any corpus size.
+    */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash + LSH near-dup pairs above `threshold` exact Jaccard over
+    * char-[[ShingleK]]-shingle sets: explode → one hash-aggregate builds
+    * the [[NumPerms]]-permutation signature, [[Bands]] banded hashes
+    * equi-join for candidates, and the exact verify intersects broadcast
+    * per-doc shingle arrays — materialized ONLY for candidate docs, so
+    * the corpus is never shuffled and never re-shingled.
+    */
+  def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    VectorOps.register(docs.sparkSession) // graft_hash60
+    // shingles via explode(sequence) + substring: identical values to
+    // charShingles but fully codegen'd — no interpreted transform building
+    // a ~|text|-element string array per row before the explode
+    val h = Tables.spread(docs.select("doc_id", "text"))
+      .select(col("doc_id"), col("text"),
+        explode(expr(s"sequence(1, greatest(length(text) - ${ShingleK - 1}, 1))")).as("i"))
+      .select(col("doc_id"),
+        (hash60(expr(s"substring(text, i, $ShingleK)")) % P).as("h"))
+    val sigAggs = (0 until NumPerms).map { i =>
+      min((lit(TextHash.MinhashA(i)) * col("h") + lit(TextHash.MinhashB(i))) % P)
+        .as(s"sig_$i")
+    }
+    val sigs = h.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+    val bandStructs = (0 until Bands).map { b =>
+      val cat = (0 until RowsPerBand)
+        .map(r => col(s"sig_${RowsPerBand * b + r}").cast("string"))
+      struct(lit(b).as("band"), hash60(concat_ws(",", cat: _*)).as("bh"))
+    }
+    val bands = sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("x"))
+      .select(col("doc_id"), col("x.band").as("band"), col("x.bh").as("bh"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    // verify: shingle-set ARRAYS are materialized ONLY for candidate docs
+    // (broadcast semi-join before the expensive array projection), then the
+    // broadcast candidates intersect them in place — the corpus is never
+    // shuffled and never re-shingled
+    val candDocs = cand.select(col("d1").as("doc_id"))
+      .union(cand.select(col("d2").as("doc_id"))).distinct()
+    val sets = Tables.spread(
+      docs.join(broadcast(candDocs), Seq("doc_id"), "left_semi"))
+      .select(col("doc_id"),
+        expr(s"array_distinct(${TextHash.charShinglesExpr("text", ShingleK)})").as("gs"))
+    val withG1 = sets.join(broadcast(cand), col("doc_id") === col("d1"))
+      .select(col("d1"), col("d2"), col("gs").as("g1"))
+    val pairs = sets.join(broadcast(withG1), col("doc_id") === col("d2"))
+      .withColumn("inter", size(array_intersect(col("g1"), col("gs"))))
+      .select(col("d1"), col("d2"),
+        round(col("inter").cast("double") /
+          (size(col("g1")) + size(col("gs")) - col("inter")), 4).as("jaccard"))
+    pairs.filter(col("jaccard") >= threshold)
+  }
+}

@@ -26,18 +26,21 @@ import graft.functions.TextHash.{hash60, hash60Sql, P}
   */
 object Dedup {
 
-  private val ShingleK = 8  // char-shingle width
-  private val NumPerms = 16 // minhash signature length
-  private val Bands = 4     // LSH bands (x 4 rows each)
+  // Shingle/signature constants live on the generic operator; the SQL
+  // twins below interpolate the SAME values, so Spark and the oracle
+  // cannot drift (the TextHash pattern).
+  private val ShingleK = graft.operators.TextDedup.ShingleK
+  private val NumPerms = graft.operators.TextDedup.NumPerms
+  private val Bands = graft.operators.TextDedup.Bands
   private val RowsPerBand = NumPerms / Bands
 
   /** Exact dedup: keep-first by content hash. On 100 TB this is THE first
-    * pass — one shuffle on a 16-byte digest, no text ever moves.
+    * pass — one shuffle on a 16-byte digest, no text ever moves. The
+    * generic operator is graft.operators.TextDedup.exactGroups; this
+    * binds it to the documents table.
     */
   def exactDedup(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).documents
-      .groupBy(md5(col("text")).as("text_md5"))
-      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
+    graft.operators.TextDedup.exactGroups(Tables(spark, dir).documents)
       .orderBy("keep_doc_id")
 
   val exactDedupSql: String =
@@ -60,55 +63,10 @@ object Dedup {
     * intersected in place, replacing the naive sh⋈sh self-join + two
     * count-table joins.
     */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    VectorOps.register(spark) // graft_hash60
-    val docs = Tables(spark, dir).documents
-    // shingles via explode(sequence) + substring: identical values to
-    // charShingles but fully codegen'd — no interpreted transform building
-    // a ~|text|-element string array per row before the explode
-    val h = Tables.spread(docs.select("doc_id", "text"))
-      .select(col("doc_id"), col("text"),
-        explode(expr(s"sequence(1, greatest(length(text) - ${ShingleK - 1}, 1))")).as("i"))
-      .select(col("doc_id"),
-        (hash60(expr(s"substring(text, i, $ShingleK)")) % P).as("h"))
-    val sigAggs = (0 until NumPerms).map { i =>
-      min((lit(TextHash.MinhashA(i)) * col("h") + lit(TextHash.MinhashB(i))) % P)
-        .as(s"sig_$i")
-    }
-    val sigs = h.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
-    val bandStructs = (0 until Bands).map { b =>
-      val cat = (0 until RowsPerBand)
-        .map(r => col(s"sig_${RowsPerBand * b + r}").cast("string"))
-      struct(lit(b).as("band"), hash60(concat_ws(",", cat: _*)).as("bh"))
-    }
-    val bands = sigs
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("x"))
-      .select(col("doc_id"), col("x.band").as("band"), col("x.bh").as("bh"))
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
-    // verify: shingle-set ARRAYS are materialized ONLY for candidate docs
-    // (broadcast semi-join before the expensive array projection), then the
-    // broadcast candidates intersect them in place — the corpus is never
-    // shuffled and never re-shingled
-    val candDocs = cand.select(col("d1").as("doc_id"))
-      .union(cand.select(col("d2").as("doc_id"))).distinct()
-    val sets = Tables.spread(
-      docs.join(broadcast(candDocs), Seq("doc_id"), "left_semi"))
-      .select(col("doc_id"),
-        expr(s"array_distinct(${TextHash.charShinglesExpr("text", ShingleK)})").as("gs"))
-    val withG1 = sets.join(broadcast(cand), col("doc_id") === col("d1"))
-      .select(col("d1"), col("d2"), col("gs").as("g1"))
-    val pairs = sets.join(broadcast(withG1), col("doc_id") === col("d2"))
-      .withColumn("inter", size(array_intersect(col("g1"), col("gs"))))
-      .select(col("d1"), col("d2"),
-        round(col("inter").cast("double") /
-          (size(col("g1")) + size(col("gs")) - col("inter")), 4).as("jaccard"))
-    pairs.filter(col("jaccard") >= 0.8).orderBy("d1", "d2")
-  }
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TextDedup
+      .minhashPairs(Tables(spark, dir).documents, threshold = 0.8)
+      .orderBy("d1", "d2")
 
   val minhashLshSql: String = {
     val sigSelect = (0 until NumPerms).map { i =>
