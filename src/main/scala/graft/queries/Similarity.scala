@@ -42,20 +42,10 @@ object Similarity {
     * id tie-break so results are deterministic.
     */
   def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
-    VectorOps.register(spark)
     val e = Tables(spark, dir).embeddings
-      .select(col("vec_id"), asDouble("embedding").as("v"))
-      .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
-    val q = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("v1"), col("norm").as("n1"))
-    val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("v2"), col("norm").as("n2"))
-    val scored = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(expr(dotExpr) / (col("n1") * col("n2")), 4))
-    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= TopK)
-      .select("query_id", "rank", "neighbor_id", "cos")
+      .select(col("vec_id").as("id"), asDouble("embedding").as("v"))
+    graft.operators.VectorSearch
+      .cosineTopK(e.filter(col("id") < NumQueries), e, TopK)
       .orderBy("query_id", "rank")
   }
 
@@ -86,22 +76,10 @@ object Similarity {
   def lshBucketTopK(spark: SparkSession, dir: String): DataFrame = {
     VectorOps.register(spark)
     val e = Tables(spark, dir).embeddings
-      .select(col("vec_id"), asDouble("embedding").as("v"))
-      .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
+      .select(col("vec_id").as("id"), asDouble("embedding").as("v"))
       .withColumn("bucket", VectorLsh.bucketCol)
-    val q = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("v1"),
-        col("norm").as("n1"), col("bucket"))
-    val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("v2"),
-      col("norm").as("n2"), col("bucket"))
-    val scored = broadcast(q).join(c, Seq("bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(expr(dotExpr) / (col("n1") * col("n2")), 4))
-    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= TopK)
-      .select("query_id", "bucket", "rank", "neighbor_id", "cos")
+    graft.operators.VectorSearch
+      .cosineTopKBucketed(e.filter(col("id") < NumQueries), e, TopK)
       .orderBy("query_id", "rank")
   }
 
