@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Exercises the generic operator APIs on caller-shaped frames (synthetic,
+  * NOT the fixture tables) — the paths the oracle gate never sees: odd
+  * column orders, extra columns the caller forgot to drop, thresholds
+  * other than the fixture query's, and bucketings the engine didn't
+  * choose. The fixture bindings (d1/d2/n1/n2) stay pinned by DuckDB; this
+  * pins that the operators are genuinely generic.
+  */
+class OperatorApiSpec extends SparkTestBase {
+
+  test("TextDedup.exactGroups: keep-first groups on any (doc_id, text) frame") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "alpha"), (7L, "alpha"), (3L, "beta"),
+      (4L, "alpha"), (9L, "beta"), (5L, "gamma"))
+      .toDF("doc_id", "text").repartition(5)
+    val got = TextDedup.exactGroups(docs)
+      .select("keep_doc_id", "n_copies").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((4L, 3L), (3L, 2L), (5L, 1L)))
+  }
+
+  test("TextDedup.minhashPairs: exact duplicates always pair at jaccard 1.0; threshold dials candidates") {
+    import spark.implicits._
+    // long-ish texts so 8-char shingle sets are meaningful; 1<->3 identical
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, base), (3L, base),
+      (5L, base + " with a small difference at the end of it"),
+      (9L, "a completely unrelated document about spark aggregation plans"))
+      .toDF("doc_id", "text")
+    val strict = TextDedup.minhashPairs(docs, threshold = 1.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(strict.toSeq === Seq((1L, 3L, 1.0)))
+    // a permissive threshold may only ADD pairs, never lose the exact one
+    val loose = TextDedup.minhashPairs(docs, threshold = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose.contains((1L, 3L)))
+    assert(!loose.exists { case (a, b) => a == 9L || b == 9L },
+      "the unrelated doc must never pair")
+  }
+
+  test("VectorSearch.cosineTopK: ranks by exact cosine with id tiebreak, excludes self") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, Array(1.0, 0.0)),   // query
+      (1L, Array(2.0, 0.0)),   // cos 1.0 (scale-invariant)
+      (2L, Array(1.0, 1.0)),   // cos ~0.7071
+      (3L, Array(0.0, 1.0)),   // cos 0.0
+      (4L, Array(-1.0, 0.0)))  // cos -1.0
+      .toDF("id", "v")
+    val got = VectorSearch.cosineTopK(corpus.filter(col("id") === 0L), corpus, 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq((1L, 1L, 1.0), (2L, 2L, 0.7071), (3L, 3L, 0.0)))
+  }
+
+  test("VectorSearch.cosineTopKBucketed: candidates never cross buckets") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, Array(1.0, 0.0), "a"),
+      (1L, Array(0.9, 0.1), "a"),
+      (2L, Array(1.0, 0.01), "b")) // nearest overall, but other bucket
+      .toDF("id", "v", "bucket")
+    val got = VectorSearch
+      .cosineTopKBucketed(corpus.filter(col("id") === 0L), corpus, 5)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(got === Set(1L), "bucketed search must not see other buckets")
+  }
+}
