@@ -35,14 +35,29 @@ object TextDedup {
       .groupBy(md5(col("text")).as("text_md5"))
       .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash + LSH near-dup pairs above `threshold` exact Jaccard over
-    * char-[[ShingleK]]-shingle sets: explode → one hash-aggregate builds
-    * the [[NumPerms]]-permutation signature, [[Bands]] banded hashes
-    * equi-join for candidates, and the exact verify intersects broadcast
-    * per-doc shingle arrays — materialized ONLY for candidate docs, so
-    * the corpus is never shuffled and never re-shingled.
+  /** Banded LSH hashes from a `(doc_id, sig_0..sig_{NumPerms-1})` frame:
+    * one row per (doc, band) with the band's concatenated-signature hash.
+    * Shared by the batch aggregate path and the per-row streaming path so
+    * the two can never disagree about band values.
     */
-  def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
+  private def bandsOf(sigs: DataFrame): DataFrame = {
+    val bandStructs = (0 until Bands).map { b =>
+      val cat = (0 until RowsPerBand)
+        .map(r => col(s"sig_${RowsPerBand * b + r}").cast("string"))
+      struct(lit(b).as("band"), hash60(concat_ws(",", cat: _*)).as("bh"))
+    }
+    sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("x"))
+      .select(col("doc_id"), col("x.band").as("band"), col("x.bh").as("bh"))
+  }
+
+  /** Minhash signatures via explode → ONE hash-aggregate (whole-stage
+    * codegen'd; measured 2x faster than the per-row higher-order-function
+    * pipeline, whose interpreted lambdas box every element) — the BATCH
+    * signature stage. No distinct before the aggregate: minhash minima are
+    * unaffected by duplicate shingles, so that shuffle is pure waste.
+    */
+  private[graft] def minhashSigsAgg(docs: DataFrame): DataFrame = {
     VectorOps.register(docs.sparkSession) // graft_hash60
     // shingles via explode(sequence) + substring: identical values to
     // charShingles but fully codegen'd — no interpreted transform building
@@ -56,15 +71,77 @@ object TextDedup {
       min((lit(TextHash.MinhashA(i)) * col("h") + lit(TextHash.MinhashB(i))) % P)
         .as(s"sig_$i")
     }
-    val sigs = h.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
-    val bandStructs = (0 until Bands).map { b =>
-      val cat = (0 until RowsPerBand)
-        .map(r => col(s"sig_${RowsPerBand * b + r}").cast("string"))
-      struct(lit(b).as("band"), hash60(concat_ws(",", cat: _*)).as("bh"))
-    }
-    val bands = sigs
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("x"))
-      .select(col("doc_id"), col("x.band").as("band"), col("x.bh").as("bh"))
+    h.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+  }
+
+  /** Minhash signatures computed IN-ROW: one `aggregate` pass over the
+    * shingle-hash array folds all [[NumPerms]] permutation minima at once —
+    * no explode, no groupBy, no shuffle. Identical values to
+    * [[minhashSigsAgg]] (min over the same hashed shingle multiset;
+    * spec-pinned), but STATELESS: a streaming query can run it per arriving
+    * row where the aggregate form would plan a stateful per-doc
+    * aggregation. The single fold also keeps the work one array traversal
+    * per row — 16 separate array_min(transform(...)) projections would
+    * re-walk the array per permutation (and Catalyst's projection collapse
+    * can silently re-inline a "materialized" array column into each).
+    */
+  private[graft] def minhashSigsInRow(docs: DataFrame): DataFrame = {
+    VectorOps.register(docs.sparkSession) // graft_hash60
+    val init = (0 until NumPerms)
+      .map(i => s"'s$i', CAST($P AS BIGINT)").mkString(", ")
+    val step = (0 until NumPerms)
+      .map { i =>
+        s"'s$i', least(acc.s$i, (CAST(${TextHash.MinhashA(i)} AS BIGINT) * h" +
+          s" + ${TextHash.MinhashB(i)}) % $P)"
+      }
+      .mkString(", ")
+    val sigExpr =
+      s"""aggregate(
+         |  transform(sequence(1, greatest(length(text) - ${ShingleK - 1}, 1)),
+         |    i -> ${TextHash.hash60Expr(s"substring(text, i, $ShingleK)")} % $P),
+         |  named_struct($init),
+         |  (acc, h) -> named_struct($step))""".stripMargin
+    docs.select(col("doc_id"), expr(sigExpr).as("sg"))
+      .select(col("doc_id") +:
+        (0 until NumPerms).map(i => col(s"sg.s$i").as(s"sig_$i")): _*)
+  }
+
+  /** (doc_id, band, bh) via the stateless per-row signature path — the
+    * streaming-safe form of the candidate-bucket stage (used by the st9
+    * streaming near-dup operator; batch twin of the same verdicts:
+    * [[nearDupVerdicts]]).
+    */
+  def minhashBandsInRow(docs: DataFrame): DataFrame =
+    bandsOf(minhashSigsInRow(docs))
+
+  /** Per-doc LSH dedup VERDICT: a doc is a near-dup candidate iff some
+    * STRICTLY-earlier doc (smaller doc_id) shares at least one minhash
+    * band bucket with it — the keep/drop decision an ingest-time
+    * deduplicator applies, at candidate level (recall-oriented: band
+    * collision, no Jaccard verify — [[minhashPairs]] is the verified
+    * batch refinement over the same buckets). One banded-hash aggregate
+    * plus one equi-join on (band, bh); no pair materialization, so cost
+    * is bounded by bucket occupancy exactly like the d2 candidate stage.
+    */
+  def nearDupVerdicts(docs: DataFrame): DataFrame = {
+    val bands = bandsOf(minhashSigsAgg(docs))
+    val firsts = bands.groupBy("band", "bh").agg(min("doc_id").as("mn"))
+    bands.join(firsts, Seq("band", "bh"))
+      .groupBy("doc_id")
+      .agg(
+        max((col("doc_id") > col("mn")).cast("int")).as("is_near_dup"),
+        sum((col("doc_id") > col("mn")).cast("long")).as("n_hit_bands"))
+  }
+
+  /** MinHash + LSH near-dup pairs above `threshold` exact Jaccard over
+    * char-[[ShingleK]]-shingle sets: explode → one hash-aggregate builds
+    * the [[NumPerms]]-permutation signature, [[Bands]] banded hashes
+    * equi-join for candidates, and the exact verify intersects broadcast
+    * per-doc shingle arrays — materialized ONLY for candidate docs, so
+    * the corpus is never shuffled and never re-shingled.
+    */
+  def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val bands = bandsOf(minhashSigsAgg(docs))
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&

@@ -68,7 +68,11 @@ object Dedup {
       .minhashPairs(Tables(spark, dir).documents, threshold = 0.8)
       .orderBy("d1", "d2")
 
-  val minhashLshSql: String = {
+  /** Shared oracle prefix (d2 + d12/st9): shingle sets → minhash
+    * signatures → banded bucket hashes, from the SAME constants as the
+    * Spark paths. Composes as `WITH $minhashBandsCte, <more CTEs> ...`.
+    */
+  private val minhashBandsCte: String = {
     val sigSelect = (0 until NumPerms).map { i =>
       s"list_min(list_transform(hs, h -> (${TextHash.MinhashA(i)}*h + ${TextHash.MinhashB(i)}) % $P)) AS sig_$i"
     }.mkString(",\n    ")
@@ -78,7 +82,7 @@ object Dedup {
         .mkString(" || ',' || ")
       s"SELECT doc_id, $b AS band, ${hash60Sql(s"($cat)")} AS bh FROM sigs"
     }.mkString("\n    UNION ALL ")
-    s"""WITH sets AS (
+    s"""sets AS (
        |  SELECT doc_id, list_distinct(${TextHash.charShinglesSql("text", ShingleK)}) AS gs
        |  FROM documents),
        |h AS (
@@ -89,7 +93,30 @@ object Dedup {
        |    $sigSelect
        |  FROM h),
        |bands AS (
-       |    $bandSelects),
+       |    $bandSelects)""".stripMargin
+  }
+
+  /** d12/st9: per-doc LSH dedup verdicts (graft.operators.TextDedup
+    * .nearDupVerdicts bound to the documents table) — the keep/drop
+    * decision of an ingest-time deduplicator, shared as the oracle of the
+    * st9 streaming twin exactly as d1 is st6's.
+    */
+  def nearDupVerdicts(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TextDedup.nearDupVerdicts(Tables(spark, dir).documents)
+      .orderBy("doc_id")
+
+  val nearDupVerdictsSql: String =
+    s"""WITH $minhashBandsCte,
+       |m AS (SELECT band, bh, min(doc_id) AS mn FROM bands GROUP BY band, bh)
+       |SELECT b.doc_id,
+       |  CAST(max(CASE WHEN b.doc_id > m.mn THEN 1 ELSE 0 END) AS INT) AS is_near_dup,
+       |  CAST(sum(CASE WHEN b.doc_id > m.mn THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_bands
+       |FROM bands b JOIN m ON b.band = m.band AND b.bh = m.bh
+       |GROUP BY b.doc_id
+       |ORDER BY b.doc_id""".stripMargin
+
+  val minhashLshSql: String = {
+    s"""WITH $minhashBandsCte,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
        |  FROM bands a JOIN bands b
@@ -876,7 +903,8 @@ object Dedup {
     "d4_simhash_pairs" -> (simhashPairs _),
     "d5_ngram_jaccard" -> (ngramJaccard _),
     "d6_embedding_near_dup" -> ((s: SparkSession, d: String) => embeddingNearDup(s, d)),
-    "d11_semantic_dedup" -> ((s: SparkSession, d: String) => semanticDedup(s, d)))
+    "d11_semantic_dedup" -> ((s: SparkSession, d: String) => semanticDedup(s, d)),
+    "d12_dedup_verdicts" -> (nearDupVerdicts _))
 
   val oracles: Map[String, String] = Map(
     "d10_contamination_rate" -> contaminationRateSql,
@@ -889,5 +917,6 @@ object Dedup {
     "d4_simhash_pairs" -> simhashPairsSql,
     "d5_ngram_jaccard" -> ngramJaccardSql,
     "d6_embedding_near_dup" -> embeddingNearDupSql,
-    "d11_semantic_dedup" -> semanticDedupSql)
+    "d11_semantic_dedup" -> semanticDedupSql,
+    "d12_dedup_verdicts" -> nearDupVerdictsSql)
 }

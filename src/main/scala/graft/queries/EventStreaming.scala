@@ -118,6 +118,30 @@ object EventStreaming {
       s"st7_mem_${runSeq.incrementAndGet()}", OutputMode.Append())
       .orderBy("doc_id", "chunk_id")
 
+  /** Collapse append-mode per-(doc, band) near-dup hits to per-doc
+    * verdicts: a doc is a near-dup candidate iff ANY band hit an earlier
+    * doc. Hits are emitted exactly once and never retract (Append mode),
+    * so the collapse is a plain max/sum — no version column.
+    */
+  def collapseNearDup(hits: DataFrame): DataFrame =
+    hits
+      .groupBy("doc_id")
+      .agg(max(col("hit").cast("int")).as("is_near_dup"),
+        sum(col("hit").cast("long")).as("n_hit_bands"))
+      .orderBy("doc_id")
+
+  /** st9: streaming near-dup detection (streaming d12). Each arriving
+    * document is flagged at arrival against the (band, band-hash) ledger —
+    * the ingest-time LSH dedup decision — and the replayed zone's verdicts
+    * must equal the batch d12 result (shared oracle), exactly as st6
+    * shares d1's.
+    */
+  def streamNearDedup(spark: SparkSession, dir: String): DataFrame =
+    collapseNearDup(EventStreams.replayToTable(
+      DocumentStreams.nearDupBandHits(
+        DocumentStreams.readDocuments(spark, dir)).toDF(),
+      s"st9_mem_${runSeq.incrementAndGet()}", OutputMode.Append()))
+
   /** Collapse update-mode token-count rows to the final frequency table
     * (count is monotone per token), then apply z4's relative heavy-hitter
     * threshold against the collapsed total. The total rides in as a 1-row
@@ -150,7 +174,8 @@ object EventStreaming {
     "st3_stream_sessions" -> (streamSessions _),
     "st5_stream_attribution" -> (streamAttribution _),
     "st6_stream_dedup" -> (streamDedup _),
-    "st7_stream_chunks" -> (streamChunks _))
+    "st7_stream_chunks" -> (streamChunks _),
+    "st9_stream_near_dedup" -> (streamNearDedup _))
 
   val oracles: Map[String, String] = Map(
     "st8_stream_heavy_hitters" -> Sketches.heavyHittersSql,
@@ -158,5 +183,6 @@ object EventStreaming {
     "st3_stream_sessions" -> Events.userSessionsSql,
     "st5_stream_attribution" -> Temporal.asofAttributionSql,
     "st6_stream_dedup" -> Dedup.exactDedupSql,
-    "st7_stream_chunks" -> Sampling.docChunksSql)
+    "st7_stream_chunks" -> Sampling.docChunksSql,
+    "st9_stream_near_dedup" -> Dedup.nearDupVerdictsSql)
 }

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 /** Streaming document ingestion + exact dedup (§2.10-plus): the batch
@@ -95,6 +96,60 @@ object DocumentStreams {
       .select(md5(col("text")).as("text_md5"), col("doc_id"))
       .groupBy("text_md5")
       .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
+  final case class BandRow(doc_id: Long, band: Int, bh: Long)
+  final case class BandHit(doc_id: Long, band: Int, hit: Boolean)
+
+  /** STREAMING NEAR-DUP DETECTION (the stream side of the d12 LSH dedup
+    * verdicts): each arriving document is flagged AT ARRIVAL, per minhash
+    * band, as colliding with an earlier document or not — the ingest-time
+    * keep/drop signal a crawl pipeline routes on (candidate level: band
+    * collision, recall-oriented; the batch d2 verify is the offline
+    * refinement over the same buckets).
+    *
+    * Shape: signatures are computed IN-ROW (TextDedup.minhashSigsInRow —
+    * one fold over the shingle array, stateless, no per-doc aggregation
+    * state), then the 4 band rows keyed by (band, bh) hit a
+    * flatMapGroupsWithState ledger holding ONE long per bucket — the
+    * smallest doc_id ever seen there. A doc's band emits hit=true iff the
+    * bucket already held a smaller id (state from prior batches, or an
+    * earlier doc of the same batch — in-batch rows fold in doc_id order).
+    * Append mode: each (doc, band) verdict is emitted exactly once, and
+    * per-arrival verdicts never retract — collapsing to per-doc flags is a
+    * plain max/sum (EventStreaming.collapseNearDup), no version column.
+    *
+    * State: one entry per DISTINCT (band, band-hash) bucket ≤ 4x distinct
+    * signatures — same unbounded-ledger semantics as [[dedupGroups]] (16
+    * bytes/bucket, hashed by bucket so it partitions across a cluster's
+    * stores); a horizon-bounded variant would evict buckets via event-time
+    * timeout exactly like dedupWithinWatermark's.
+    *
+    * Replay contract: verdicts depend on ARRIVAL order ("earlier" = seen
+    * before you). The d12-shared oracle states survivor = min doc_id,
+    * which equals arrival semantics because the replay fixtures arrive in
+    * doc_id order (single-file zones trivially; the spec's sliced zones by
+    * construction) — out-of-order arrival keeps the arrival-semantics
+    * contract, not the oracle's restatement.
+    */
+  def nearDupBandHits(docs: DataFrame): Dataset[BandHit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.operators.TextDedup.minhashBandsInRow(docs)
+      .select(col("doc_id"), col("band"), col("bh")).as[BandRow]
+      .groupByKey(r => (r.band, r.bh))
+      .flatMapGroupsWithState[Long, BandHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((band, _), rows, state: GroupState[Long]) =>
+          var minSeen = state.getOption.getOrElse(Long.MaxValue)
+          val out = rows.toSeq.sortBy(_.doc_id).map { r =>
+            val hit = minSeen < r.doc_id
+            if (r.doc_id < minSeen) minSeen = r.doc_id
+            BandHit(r.doc_id, band, hit)
+          }
+          state.update(minSeen)
+          out.iterator
+      }
+  }
 
   /** Streaming token-frequency ledger (the stream side of z4's heavy
     * hitters): running exact count per token over everything that has
