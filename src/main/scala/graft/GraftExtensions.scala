@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DotProduct, Hash60}
+import graft.functions.{DotProduct, Hash60, MinhashBands}
 
 /** Library entry point for `spark.sql.extensions`: installs the graft
   * native expressions into every session built with
@@ -28,5 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Hash60].getName, "graft_hash60"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         Hash60(exprs(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash_bands"),
+      new ExpressionInfo(classOf[MinhashBands].getName, "graft_minhash_bands"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinhashBands(exprs(0))))
   }
 }

@@ -87,6 +87,8 @@ object VectorOps {
         "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
       s.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_hash60", exprs => Hash60(exprs(0)), "built-in")
+      s.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_minhash_bands", exprs => MinhashBands(exprs(0)), "built-in")
     case _ => () // non-classic session: callers fall back to built-ins
   }
 }

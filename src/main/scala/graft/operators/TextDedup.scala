@@ -74,45 +74,37 @@ object TextDedup {
     h.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
   }
 
-  /** Minhash signatures computed IN-ROW: one `aggregate` pass over the
-    * shingle-hash array folds all [[NumPerms]] permutation minima at once —
-    * no explode, no groupBy, no shuffle. Identical values to
-    * [[minhashSigsAgg]] (min over the same hashed shingle multiset;
-    * spec-pinned), but STATELESS: a streaming query can run it per arriving
-    * row where the aggregate form would plan a stateful per-doc
-    * aggregation. The single fold also keeps the work one array traversal
-    * per row — 16 separate array_min(transform(...)) projections would
-    * re-walk the array per permutation (and Catalyst's projection collapse
-    * can silently re-inline a "materialized" array column into each).
+  /** Banded bucket hashes via the batch aggregate path (spec-compared
+    * bit-identical to [[minhashBandsInRow]]).
     */
-  private[graft] def minhashSigsInRow(docs: DataFrame): DataFrame = {
-    VectorOps.register(docs.sparkSession) // graft_hash60
-    val init = (0 until NumPerms)
-      .map(i => s"'s$i', CAST($P AS BIGINT)").mkString(", ")
-    val step = (0 until NumPerms)
-      .map { i =>
-        s"'s$i', least(acc.s$i, (CAST(${TextHash.MinhashA(i)} AS BIGINT) * h" +
-          s" + ${TextHash.MinhashB(i)}) % $P)"
-      }
-      .mkString(", ")
-    val sigExpr =
-      s"""aggregate(
-         |  transform(sequence(1, greatest(length(text) - ${ShingleK - 1}, 1)),
-         |    i -> ${TextHash.hash60Expr(s"substring(text, i, $ShingleK)")} % $P),
-         |  named_struct($init),
-         |  (acc, h) -> named_struct($step))""".stripMargin
-    docs.select(col("doc_id"), expr(sigExpr).as("sg"))
-      .select(col("doc_id") +:
-        (0 until NumPerms).map(i => col(s"sg.s$i").as(s"sig_$i")): _*)
-  }
+  private[graft] def minhashBandsAgg(docs: DataFrame): DataFrame =
+    bandsOf(minhashSigsAgg(docs))
 
-  /** (doc_id, band, bh) via the stateless per-row signature path — the
-    * streaming-safe form of the candidate-bucket stage (used by the st9
-    * streaming near-dup operator; batch twin of the same verdicts:
-    * [[nearDupVerdicts]]).
+  /** (doc_id, band, bh) computed IN-ROW — the stateless, shuffle-free form
+    * of the candidate-bucket stage (used by the st9 streaming near-dup
+    * operator; batch twin of the same verdicts: [[nearDupVerdicts]]).
+    * The per-shingle loop runs inside the native
+    * [[graft.functions.MinhashBands]] expression (a higher-order-function
+    * fold over the shingle array was measured 3.5x slower — interpreted
+    * lambdas allocating a 16-field struct per shingle). The band array is
+    * projected BELOW the posexplode: a generator argument is re-evaluated
+    * per emitted element (the d11 ExtractGenerator trap), so the expression
+    * must land in the child projection, referenced by attribute.
     */
-  def minhashBandsInRow(docs: DataFrame): DataFrame =
-    bandsOf(minhashSigsInRow(docs))
+  def minhashBandsInRow(docs: DataFrame): DataFrame = {
+    VectorOps.register(docs.sparkSession) // graft_minhash_bands
+    // spread BEFORE the per-row shingle loop: a single-file micro-batch (or
+    // an unsplit scan) otherwise runs the corpus's entire per-shingle hash
+    // work on one core — measured 6.5 s -> 0.7 s at sf0.1. The shuffle
+    // moves only the narrow (doc_id, text) rows, exactly like the batch
+    // signature stage's spread.
+    Tables.spread(docs.select("doc_id", "text"))
+      .select(col("doc_id"),
+        call_function("graft_minhash_bands", col("text")).as("bhs"))
+      .select(col("doc_id"), posexplode(col("bhs")))
+      .select(col("doc_id"), col("pos").cast("int").as("band"),
+        col("col").as("bh"))
+  }
 
   /** Per-doc LSH dedup VERDICT: a doc is a near-dup candidate iff some
     * STRICTLY-earlier doc (smaller doc_id) shares at least one minhash
@@ -124,7 +116,7 @@ object TextDedup {
     * is bounded by bucket occupancy exactly like the d2 candidate stage.
     */
   def nearDupVerdicts(docs: DataFrame): DataFrame = {
-    val bands = bandsOf(minhashSigsAgg(docs))
+    val bands = minhashBandsAgg(docs)
     val firsts = bands.groupBy("band", "bh").agg(min("doc_id").as("mn"))
     bands.join(firsts, Seq("band", "bh"))
       .groupBy("doc_id")
@@ -141,7 +133,7 @@ object TextDedup {
     * the corpus is never shuffled and never re-shingled.
     */
   def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val bands = bandsOf(minhashSigsAgg(docs))
+    val bands = minhashBandsAgg(docs)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&

@@ -20,12 +20,13 @@ class StreamingNearDupSpec extends SparkTestBase {
   private val SfDir = "/root/testdata/sf0.001"
 
   private def docs: DataFrame =
-    spark.read.parquet(s"$SfDir/documents.parquet") // 50 docs
+    spark.read.parquet(s"$SfDir/documents.parquet") // 500 docs
 
-  test("in-row signature fold equals the explode+aggregate batch path") {
-    val agg = TextDedup.minhashSigsAgg(docs).orderBy("doc_id").collect()
-    val inRow = TextDedup.minhashSigsInRow(docs).orderBy("doc_id").collect()
+  test("native in-row band hashes equal the explode+aggregate batch path") {
+    val agg = TextDedup.minhashBandsAgg(docs).orderBy("doc_id", "band").collect()
+    val inRow = TextDedup.minhashBandsInRow(docs).orderBy("doc_id", "band").collect()
     assert(agg.toSeq == inRow.toSeq)
+    assert(agg.length == docs.count() * TextDedup.Bands)
   }
 
   test("replayed verdicts equal batch d12, dups flagged across batches, append exactly-once") {
