@@ -264,6 +264,19 @@ object StreamScaleStress {
         EventStreaming.collapseDedup,
         Some(Dedup.exactDedup(spark, dir)))
 
+      // st9: per-arrival near-dup verdicts. The char-bijection corpus makes
+      // every bucket collision intra-replica (replicas share no shingles,
+      // hence no band hashes), so verdict rows grow exactly linearly while
+      // the (band, bh) ledger grows with distinct signatures — the
+      // 4-rows-per-distinct-doc analogue of st6's digest ledger.
+      run("st9_near_dedup",
+        DocumentStreams.nearDupBandHits(DocumentStreams.readDocuments(
+          spark, docZone, glob = "*.parquet", maxFilesPerTrigger = Some(1))).toDF(),
+        OutputMode.Append(),
+        EventStreaming.collapseNearDup,
+        Some(graft.operators.TextDedup.nearDupVerdicts(
+          spark.read.parquet(docZone))))
+
       // st8: the token-frequency ledger over char-bijected replicas is the
       // DISJOINT-vocabulary worst case (each replica's tokens are unique by
       // the bijection), so state must grow exactly linearly with k — the
