@@ -98,7 +98,7 @@ object DocumentStreams {
       .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
 
   final case class BandRow(doc_id: Long, band: Int, bh: Long)
-  final case class BandHit(doc_id: Long, band: Int, hit: Boolean)
+  final case class BandHit(doc_id: Long, band: Int, bh: Long, hit: Boolean)
 
   /** STREAMING NEAR-DUP DETECTION (the stream side of the d12 LSH dedup
     * verdicts): each arriving document is flagged AT ARRIVAL, per minhash
@@ -139,12 +139,12 @@ object DocumentStreams {
       .groupByKey(r => (r.band, r.bh))
       .flatMapGroupsWithState[Long, BandHit](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case ((band, _), rows, state: GroupState[Long]) =>
+        case ((band, bh), rows, state: GroupState[Long]) =>
           var minSeen = state.getOption.getOrElse(Long.MaxValue)
           val out = rows.toSeq.sortBy(_.doc_id).map { r =>
             val hit = minSeen < r.doc_id
             if (r.doc_id < minSeen) minSeen = r.doc_id
-            BandHit(r.doc_id, band, hit)
+            BandHit(r.doc_id, band, bh, hit)
           }
           state.update(minSeen)
           out.iterator

@@ -74,14 +74,15 @@ class CheckpointRecoverySpec extends SparkTestBase {
     * idempotent per-batch-id parquet sink; returns (all update rows with
     * their batch_id, first batch id executed by the RESTARTED query).
     */
-  private def crashAndRecover(name: String, mkStream: () => DataFrame): (DataFrame, Long) = {
+  private def crashAndRecover(name: String, mkStream: () => DataFrame,
+      mode: String = "update"): (DataFrame, Long) = {
     val out = scratch(s"${name}_out")
     val ckpt = scratch(s"${name}_ckpt")
     val crashed = new AtomicBoolean(false)
 
     def start(armed: Boolean): StreamingQuery =
       mkStream().writeStream
-        .outputMode("update")
+        .outputMode(mode)
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", ckpt)
         .foreachBatch { (df: Dataset[Row], id: Long) =>
@@ -167,5 +168,27 @@ class CheckpointRecoverySpec extends SparkTestBase {
     assertStateSpansCrash(updates, "text_md5")
     assertSame(EventStreaming.collapseDedup(updates.drop("batch_id")),
       Dedup.exactDedup(spark, DocsSfDir))
+  }
+
+  test("st9 near-dup ledger: crash after batch 4, restart from checkpoint, verdicts equal batch d12") {
+    val zone = docsZone("rec_neardup_zone")
+    val (updates, firstRestart) = crashAndRecover("rec_neardup", () =>
+      DocumentStreams.nearDupBandHits(
+        DocumentStreams.readDocuments(spark, zone, glob = "*.parquet",
+          maxFilesPerTrigger = Some(1))).toDF(),
+      mode = "append")
+    assert(firstRestart === Poison)
+    // the state-rebuild path, Append-mode form: a bucket SEEDED before the
+    // crash must flag a doc arriving after it — possible only if the
+    // restarted query recovered the bucket's min-doc ledger entry
+    val spanning = updates.groupBy("band", "bh")
+      .agg(min("batch_id").as("first_b"),
+        max(when(col("hit") && col("batch_id") > Poison, 1).otherwise(0))
+          .as("hit_after"))
+      .filter(col("first_b") <= Poison && col("hit_after") === 1)
+    assert(spanning.count() > 0,
+      "no bucket carried ledger state across the restart boundary")
+    assertSame(EventStreaming.collapseNearDup(updates.drop("batch_id")),
+      Dedup.nearDupVerdicts(spark, DocsSfDir))
   }
 }
