@@ -61,10 +61,13 @@ object Sampling {
     * non-negative domain — `doc_id >= 0` and token counts `>= 0` are
     * preconditions here (they hold for any corpus keyed by unsigned ids).
     */
-  def tokenShards(spark: SparkSession, dir: String): DataFrame = {
-    val Budget = 5000L
+  /** (doc_id, n_tokens, cum_before): each doc's whitespace-token count and
+    * the total tokens of all SMALLER-id docs — the two-level prefix sum
+    * shared by t8 (shard assignment) and t20 (sequence packing).
+    */
+  private def withGlobalOffset(docs: DataFrame): DataFrame = {
     val Block = 256L
-    val t = Tables(spark, dir).documents
+    val t = docs
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
         expr(s"doc_id DIV $Block").as("blk"))
@@ -79,6 +82,12 @@ object Sampling {
     t.join(blkOff, "blk")
       .withColumn("cum_before",
         col("off") + coalesce(sum("n_tokens").over(within), lit(0L)))
+      .select("doc_id", "n_tokens", "cum_before")
+  }
+
+  def tokenShards(spark: SparkSession, dir: String): DataFrame = {
+    val Budget = 5000L
+    withGlobalOffset(Tables(spark, dir).documents)
       .select(col("doc_id"), col("n_tokens"),
         expr(s"cum_before DIV $Budget").as("shard_id"))
       .orderBy("doc_id")
@@ -98,6 +107,73 @@ object Sampling {
       |  FROM t)
       |SELECT doc_id, n_tokens, CAST(cum_before // 5000 AS BIGINT) AS shard_id
       |FROM c ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------------- t20
+
+  /** Training-sequence width in whitespace tokens. */
+  val SeqTokens = 128L
+
+  /** SEQUENCE PACKING: concatenate the corpus's token stream in doc_id
+    * order and cut it into training sequences of exactly [[SeqTokens]]
+    * tokens (the standard pretraining batch layout — documents packed
+    * back-to-back, a sequence may span documents and a document may span
+    * sequences; the final sequence may be short). Output is the per-
+    * sequence composition: how many docs it draws from, its first/last
+    * doc, and its token count — the manifest a loader needs to build
+    * attention masks at the doc boundaries.
+    *
+    * Shape: each doc's global token offset comes from the shared two-level
+    * prefix sum ([[withGlobalOffset]], t8's machinery); a doc then
+    * fans out one row per sequence it overlaps — `n_tokens/SeqTokens + 2`
+    * rows, so total fan-out is `corpus_tokens/SeqTokens`, linear — and one
+    * hash aggregate on seq_id folds the composition. Per-sequence token
+    * counts are summed from per-doc overlaps, so no global token total
+    * (and no second pass) is ever needed.
+    */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val S = SeqTokens
+    withGlobalOffset(Tables(spark, dir).documents)
+      .select(col("doc_id"), col("n_tokens"), col("cum_before"),
+        explode(expr(
+          s"sequence(cum_before DIV $S, (cum_before + n_tokens - 1) DIV $S)"))
+          .as("seq_id"))
+      .groupBy("seq_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"),
+        sum(
+          least(col("cum_before") + col("n_tokens"), (col("seq_id") + 1) * S) -
+            greatest(col("cum_before"), col("seq_id") * S)).as("n_tok"))
+      .orderBy("seq_id")
+  }
+
+  /** The oracle re-derives the packing from a FLAT running sum (as
+    * [[tokenShardsSql]] does for t8), proving the two-level decomposition
+    * and the per-doc overlap arithmetic against an independent statement.
+    */
+  val packSequencesSql: String = {
+    val S = SeqTokens
+    s"""WITH t AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS cum_before
+       |  FROM t),
+       |s AS (
+       |  SELECT doc_id, n_tokens, cum_before,
+       |    unnest(generate_series(cum_before // $S,
+       |      (cum_before + n_tokens - 1) // $S)) AS seq_id
+       |  FROM c)
+       |SELECT CAST(seq_id AS BIGINT) AS seq_id, count(*) AS n_docs,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+       |  CAST(sum(least(cum_before + n_tokens, (seq_id + 1) * $S)
+       |    - greatest(cum_before, seq_id * $S)) AS BIGINT) AS n_tok
+       |FROM s GROUP BY seq_id ORDER BY seq_id""".stripMargin
+  }
 
   // ----------------------------------------------------------------- t10
 
@@ -339,6 +415,7 @@ object Sampling {
     "t10_stratified_sample" -> (stratifiedSample _),
     "t15_doc_chunks" -> (docChunks _),
     "t18_weighted_sample" -> (weightedSample _),
+    "t20_pack_sequences" -> (packSequences _),
     "x3_export_roundtrip" -> (exportRoundtrip _))
 
   val oracles: Map[String, String] = Map(
@@ -348,5 +425,6 @@ object Sampling {
     "t10_stratified_sample" -> stratifiedSampleSql,
     "t15_doc_chunks" -> docChunksSql,
     "t18_weighted_sample" -> weightedSampleSql,
+    "t20_pack_sequences" -> packSequencesSql,
     "x3_export_roundtrip" -> tokenShardsSql)
 }

@@ -197,4 +197,28 @@ class TemporalSamplingSpec extends SparkTestBase {
     // shards are contiguous in doc_id order and monotone
     assert(got.map(_._3).toSeq === got.map(_._3).sorted.toSeq)
   }
+
+  test("sequence packing tiles the token stream exactly (t20)") {
+    val S = Sampling.SeqTokens
+    val seqs = Sampling.packSequences(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("seq_id"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("first_doc"), r.getAs[Long]("last_doc"),
+        r.getAs[Long]("n_tok")))
+    val total = graft.core.Tables(spark, Sf).documents
+      .select(sum(size(split(col("text"), " ")).cast("long"))).first().getLong(0)
+    // seq ids are 0..N-1 dense; every sequence is exactly S tokens except
+    // a possibly-short final one; token counts tile the whole stream
+    assert(seqs.map(_._1).toSeq === (0L until seqs.length.toLong))
+    assert(seqs.init.forall(_._5 == S))
+    assert(seqs.map(_._5).sum === total)
+    // doc spans are contiguous: a sequence starts with the previous
+    // sequence's last doc (the cut fell inside it) or the next doc (the
+    // cut fell exactly on its boundary) — never skips or reorders
+    seqs.sliding(2).foreach {
+      case Array(a, b) => assert(b._3 == a._4 || b._3 == a._4 + 1)
+      case _ => ()
+    }
+    // fixture doc_ids are dense, so a span's doc count is its id range
+    assert(seqs.forall(s => s._2 == s._4 - s._3 + 1))
+  }
 }
