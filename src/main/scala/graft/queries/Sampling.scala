@@ -383,6 +383,48 @@ object Sampling {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ----------------------------------------------------------------- t21
+
+  /** Per-source document cap. */
+  val CapPerSource = 15
+
+  /** SOURCE-FREQUENCY CAPPING: keep at most [[CapPerSource]] docs per
+    * source — the per-domain cap every web-corpus curation pipeline applies
+    * so no single site dominates the training mix (the cap-count
+    * counterpart of [[tokenMix]]'s per-source token budget). Which docs
+    * survive is a deterministic pseudo-random draw: rank by the same
+    * salted content hash as t7/t10/t12, so the selection is reproducible
+    * at any parallelism and stable as OTHER sources grow.
+    *
+    * Scale: the rank window shuffles only (doc_id, source, hash) — text
+    * never moves — and partitions by source, so parallelism is source
+    * cardinality (web-scale: millions of domains). A pathologically hot
+    * source sorts only its own narrow rows; if even that is too wide, the
+    * per-source rank recurses into t8's block construction exactly like
+    * [[tokenMix]]'s note.
+    */
+  def sourceCap(spark: SparkSession, dir: String): DataFrame = {
+    VectorOps.register(spark) // graft_hash60
+    val w = Window.partitionBy("source").orderBy("h", "doc_id")
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"),
+        hash60(concat(lit("graft-cap|"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= CapPerSource)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+  }
+
+  val sourceCapSql: String = {
+    val h = hash60Sql("'graft-cap|' || CAST(doc_id AS VARCHAR)")
+    s"""SELECT doc_id, source FROM (
+       |  SELECT doc_id, source,
+       |    row_number() OVER (PARTITION BY source ORDER BY $h, doc_id) AS rk
+       |  FROM documents)
+       |WHERE rk <= $CapPerSource
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------------ x3
 
   val ExportRoot = "/root/repo/target/fixtures-export/shards"
@@ -416,6 +458,7 @@ object Sampling {
     "t15_doc_chunks" -> (docChunks _),
     "t18_weighted_sample" -> (weightedSample _),
     "t20_pack_sequences" -> (packSequences _),
+    "t21_source_cap" -> (sourceCap _),
     "x3_export_roundtrip" -> (exportRoundtrip _))
 
   val oracles: Map[String, String] = Map(
@@ -426,5 +469,6 @@ object Sampling {
     "t15_doc_chunks" -> docChunksSql,
     "t18_weighted_sample" -> weightedSampleSql,
     "t20_pack_sequences" -> packSequencesSql,
+    "t21_source_cap" -> sourceCapSql,
     "x3_export_roundtrip" -> tokenShardsSql)
 }

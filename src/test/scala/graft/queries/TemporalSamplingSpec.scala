@@ -221,4 +221,17 @@ class TemporalSamplingSpec extends SparkTestBase {
     // fixture doc_ids are dense, so a span's doc count is its id range
     assert(seqs.forall(s => s._2 == s._4 - s._3 + 1))
   }
+
+  test("source cap keeps at most K per source, deterministically (t21)") {
+    val got = Sampling.sourceCap(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source")))
+    val perSource = got.groupBy(_._2).view.mapValues(_.length)
+    assert(perSource.values.forall(_ <= Sampling.CapPerSource))
+    assert(perSource.values.exists(_ == Sampling.CapPerSource),
+      "no source reached the cap — fixture too small to exercise it")
+    // determinism at any parallelism: same draw on a re-run
+    val again = Sampling.sourceCap(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source")))
+    assert(got.toSeq === again.toSeq)
+  }
 }
