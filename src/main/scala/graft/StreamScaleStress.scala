@@ -307,6 +307,22 @@ object StreamScaleStress {
         df => df,
         None)
 
+      // st9b: the bounded twin of st9 over the same timestamped zone as
+      // st6b — bucket ledger evicted past a 2h horizon (~2 doc-id slices),
+      // so state plateaus at horizon size while the unbounded st9 ledger
+      // above grows with distinct signatures. Spec-pinned semantics
+      // (StreamingNearDupSpec); rows recorded, no order-free batch twin.
+      run("st9b_bounded_near_dedup", {
+          DocumentStreams.nearDupBandHitsWithinWatermark(
+            DocumentStreams.readDocumentsWithTs(
+              spark, docZone + "_ts", glob = "*.parquet",
+              maxFilesPerTrigger = Some(1)),
+            horizonMs = 2L * 3600000L).toDF()
+        },
+        OutputMode.Append(),
+        EventStreaming.collapseNearDup,
+        None)
+
       // st4 DAG at kx: the full 4-hop checkpointed pipeline (convert →
       // extract → clean ∥ crop) cold-started over a k-fold replicated
       // fixture zone — PDFs under per-replica province keys, each with its

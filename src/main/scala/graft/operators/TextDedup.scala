@@ -91,19 +91,20 @@ object TextDedup {
     * per emitted element (the d11 ExtractGenerator trap), so the expression
     * must land in the child projection, referenced by attribute.
     */
-  def minhashBandsInRow(docs: DataFrame): DataFrame = {
+  def minhashBandsInRow(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     VectorOps.register(docs.sparkSession) // graft_minhash_bands
+    val keepCols = keep.map(col)
     // spread BEFORE the per-row shingle loop: a single-file micro-batch (or
     // an unsplit scan) otherwise runs the corpus's entire per-shingle hash
     // work on one core — measured 6.5 s -> 0.7 s at sf0.1. The shuffle
     // moves only the narrow (doc_id, text) rows, exactly like the batch
     // signature stage's spread.
-    Tables.spread(docs.select("doc_id", "text"))
-      .select(col("doc_id"),
-        call_function("graft_minhash_bands", col("text")).as("bhs"))
-      .select(col("doc_id"), posexplode(col("bhs")))
-      .select(col("doc_id"), col("pos").cast("int").as("band"),
-        col("col").as("bh"))
+    Tables.spread(docs.select(col("doc_id") +: keepCols :+ col("text"): _*))
+      .select(col("doc_id") +: keepCols :+
+        call_function("graft_minhash_bands", col("text")).as("bhs"): _*)
+      .select(col("doc_id") +: keepCols :+ posexplode(col("bhs")): _*)
+      .select(col("doc_id") +: keepCols :+
+        col("pos").cast("int").as("band") :+ col("col").as("bh"): _*)
   }
 
   /** Per-doc LSH dedup VERDICT: a doc is a near-dup candidate iff some

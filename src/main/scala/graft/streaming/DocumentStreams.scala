@@ -151,6 +151,61 @@ object DocumentStreams {
       }
   }
 
+  final case class TsBandRow(doc_id: Long, band: Int, bh: Long,
+    event_ts: java.sql.Timestamp)
+  final case class BucketState(minDoc: Long, lastTsMs: Long)
+
+  /** BOUNDED-STATE twin of [[nearDupBandHits]] (st9b; exactly the
+    * st6 → st6b relationship): the (band, band-hash) ledger FORGETS a
+    * bucket once the watermark passes `horizonMs` past its last arrival —
+    * an arriving doc is flagged only against band collisions seen WITHIN
+    * the horizon, and a near-dup re-crawled after it re-emits as fresh
+    * (the crawl-frontier contract: the page may have changed). State is
+    * arrival-rate x horizon buckets instead of one entry per distinct
+    * signature ever seen; eviction rides EventTimeTimeout, so idle
+    * buckets leave the store without any arriving data.
+    *
+    * Verdicts are arrival-order semantics by construction (hit = bucket
+    * occupied by an earlier un-expired arrival); first-seen-in-horizon
+    * has no order-free batch twin, so like st6b this operator is
+    * spec-pinned (StreamingNearDupSpec) rather than oracle-registered.
+    */
+  def nearDupBandHitsWithinWatermark(docs: DataFrame,
+      horizonMs: Long): Dataset[BandHit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.operators.TextDedup.minhashBandsInRow(docs, keep = Seq("event_ts"))
+      .select(col("doc_id"), col("band"), col("bh"), col("event_ts"))
+      .withWatermark("event_ts", s"$horizonMs milliseconds")
+      .as[TsBandRow]
+      .groupByKey(r => (r.band, r.bh))
+      .flatMapGroupsWithState[BucketState, BandHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((band, bh), rows, state: GroupState[BucketState]) =>
+          if (!rows.hasNext) {
+            // timeout: watermark passed lastTs + horizon with no arrivals
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption
+            val out = rows.toSeq
+              .sortBy(r => (r.event_ts.getTime, r.doc_id))
+              .map { r =>
+                val hit = st.isDefined
+                st = Some(BucketState(
+                  math.min(st.map(_.minDoc).getOrElse(Long.MaxValue), r.doc_id),
+                  math.max(st.map(_.lastTsMs).getOrElse(Long.MinValue),
+                    r.event_ts.getTime)))
+                BandHit(r.doc_id, band, bh, hit)
+              }
+            state.update(st.get)
+            state.setTimeoutTimestamp(math.max(
+              state.getCurrentWatermarkMs() + 1, st.get.lastTsMs + horizonMs))
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming token-frequency ledger (the stream side of z4's heavy
     * hitters): running exact count per token over everything that has
     * arrived. Update mode re-emits a token's refreshed count each batch
