@@ -22,7 +22,7 @@ class PlanSpec extends SparkTestBase {
     Seq("d1_exact_dedup", "d2_minhash_lsh", "d3_simhash",
       "d4_simhash_pairs", "d5_ngram_jaccard", "d6_embedding_near_dup",
       "d7_substring_dups", "d8_decontaminate", "d10_contamination_rate",
-      "t14_corpus_curation")
+      "d12_dedup_verdicts", "t14_corpus_curation")
       .foreach { q =>
         val p = plan(q)
         assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
@@ -116,6 +116,21 @@ class PlanSpec extends SparkTestBase {
     // Tables.spread and the final ORDER BY — but the fingerprint itself is
     // a per-row projection: no Generate/explode feeding an aggregate
     assert(!p.contains("HashAggregate"), "t4 regressed to explode+groupBy")
+  }
+
+  test("sequence packing (t20) and source capping (t21) never join or globally sort the corpus") {
+    val p20 = plan("t20_pack_sequences")
+    // t20's only joins are the two-level prefix sum's block-offset joins
+    // (block-count-sized frames); the corpus-sized spans must meet the
+    // seq aggregate through a hash exchange, never a nested loop
+    assert(!p20.contains("CartesianProduct") && !p20.contains("BroadcastNestedLoopJoin"))
+    val p21 = plan("t21_source_cap")
+    assert(!p21.contains("Join"), "t21 must not join")
+    // the rank window shuffles BY SOURCE — never through one partition
+    assert(p21.contains("hashpartitioning(source"),
+      "rank window must partition by source")
+    assert(!p21.contains("SinglePartition"),
+      "t21 must not funnel the corpus through one partition")
   }
 
   test("weighted sampling (t18) is a scan + per-partition top-k — no global sort, no join") {
