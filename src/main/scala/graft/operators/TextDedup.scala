@@ -112,14 +112,20 @@ object TextDedup {
     * band bucket with it — the keep/drop decision an ingest-time
     * deduplicator applies, at candidate level (recall-oriented: band
     * collision, no Jaccard verify — [[minhashPairs]] is the verified
-    * batch refinement over the same buckets). One banded-hash aggregate
-    * plus one equi-join on (band, bh); no pair materialization, so cost
-    * is bounded by bucket occupancy exactly like the d2 candidate stage.
+    * batch refinement over the same buckets).
+    *
+    * The bucket minimum is a WINDOW over the band rows, not a
+    * groupBy-then-rejoin: Spark derives an unshared frame once per
+    * consumer, so the join form re-ran the whole signature pipeline
+    * (scan → shingle explode → 16-perm aggregate) for EACH side — the
+    * window keeps it one derivation, one (band, bh) exchange, one doc_id
+    * aggregate. No pair materialization either way; cost is bounded by
+    * bucket occupancy exactly like the d2 candidate stage.
     */
   def nearDupVerdicts(docs: DataFrame): DataFrame = {
-    val bands = minhashBandsAgg(docs)
-    val firsts = bands.groupBy("band", "bh").agg(min("doc_id").as("mn"))
-    bands.join(firsts, Seq("band", "bh"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
+    minhashBandsAgg(docs)
+      .withColumn("mn", min("doc_id").over(w))
       .groupBy("doc_id")
       .agg(
         max((col("doc_id") > col("mn")).cast("int")).as("is_near_dup"),
