@@ -45,6 +45,40 @@ class OperatorApiSpec extends SparkTestBase {
       "the unrelated doc must never pair")
   }
 
+  test("TextDedup.nearDupVerdicts: earlier doc survives, later twins flag, on a caller-shaped frame") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (20L, base, "extra"), (4L, base, "cols"),
+      (9L, "a completely unrelated document about spark aggregation plans", "x"),
+      (15L, base, "ignored"))
+      .toDF("doc_id", "text", "junk").repartition(3)
+    val got = TextDedup.nearDupVerdicts(docs).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    // doc 4 is the smallest id of the identical trio: it survives; 15 and
+    // 20 flag on all 4 bands; the unrelated doc flags nowhere
+    assert(got(4L) === ((0, 0L)))
+    assert(got(15L) === ((1, 4L)))
+    assert(got(20L) === ((1, 4L)))
+    assert(got(9L) === ((0, 0L)))
+  }
+
+  test("TextDedup.minhashBandsInRow: keep columns pass through, bands match the aggregate path") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "k1"),
+      (2L, "totally different content with other words inside", "k2"))
+      .toDF("doc_id", "text", "tag")
+    val inRow = TextDedup.minhashBandsInRow(docs, keep = Seq("tag"))
+    assert(inRow.columns.toSeq === Seq("doc_id", "tag", "band", "bh"))
+    val a = inRow.select("doc_id", "band", "bh").orderBy("doc_id", "band").collect()
+    val b = TextDedup.minhashBandsAgg(docs).orderBy("doc_id", "band").collect()
+    assert(a.toSeq === b.toSeq)
+    // the kept column rides every band row of its doc
+    assert(inRow.filter(col("doc_id") === 1L).select("tag").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("k1"))
+  }
+
   test("VectorSearch.cosineTopK: ranks by exact cosine with id tiebreak, excludes self") {
     import spark.implicits._
     val corpus = Seq(
