@@ -166,6 +166,17 @@ object StreamScaleStress {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val spark = GraftSession.local("graft-stream-scale")
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_STATE_PROVIDER=rocksdb runs the study on the production
+    // state backend (changelog-checkpointed native store, bounded heap)
+    // instead of the default in-memory HDFSBackedStateStore — the backend
+    // a real cluster would run the unbounded ledgers (st6/st9) on.
+    sys.env.get("SPARK_GRAFT_STATE_PROVIDER").foreach { p =>
+      val cls =
+        if (p == "rocksdb")
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        else p
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", cls)
+    }
     def f2(v: Double): String =
       java.math.BigDecimal.valueOf(v)
         .setScale(2, java.math.RoundingMode.HALF_UP).toPlainString()
