@@ -52,6 +52,59 @@ object VectorSearch {
     rank(scored, k, Nil)
   }
 
+  /** TWO-STAGE QUANTIZED RETRIEVAL (SQ8 + rescore, the production ANN
+    * memory-bandwidth pattern): stage 1 ranks EVERY candidate by an
+    * int8-quantized dot product — the scan stage carries only quantized
+    * vectors, per-vector scales, and precomputed norms, the payload a
+    * byte-encoded index holds at 1/4 the float traffic — and keeps the
+    * top `pool` per query; stage 2 fetches float vectors for ONLY those
+    * |Q|·pool candidates (broadcast joins, never a per-pair scan) and
+    * re-ranks by exact cosine. Quantization is the n5 scheme
+    * (q_i = round(x_i·127/amax)); zero vectors drop as there. The pool
+    * is the recall dial: a candidate the quantized order puts below
+    * `pool` is lost, everything above is re-ranked exactly
+    * (AnnRecallSpec floors the recall against the n1 exact baseline).
+    *
+    * The quantized vectors are PHYSICALLY doubles here so the codegen'd
+    * `graft_dot` kernel scores them — the values are exact int8 lattice
+    * points (products ≤ 127², sums ≤ Dim·127², exact in double); a
+    * byte-array encoding is a storage swap, not a semantics change.
+    */
+  def quantizedRescoreTopK(queries: DataFrame, corpus: DataFrame,
+      k: Int, pool: Int): DataFrame = {
+    VectorOps.register(queries.sparkSession)
+    def quantize(df: DataFrame): DataFrame =
+      df.withColumn("amax", expr("array_max(transform(v, x -> abs(x)))"))
+        .filter(col("amax") > 0)
+        .withColumn("qv", expr(
+          "transform(v, x -> CAST(CAST(round(x * 127.0 / amax, 0) AS BIGINT) AS DOUBLE))"))
+        .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+    val q = quantize(queries).select(col("id").as("query_id"),
+      col("qv").as("q_qv"), col("amax").as("q_amax"), col("nrm").as("q_nrm"))
+    val c = quantize(corpus).select(col("id").as("neighbor_id"),
+      col("qv").as("c_qv"), col("amax").as("c_amax"), col("nrm").as("c_nrm"))
+    val scored = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("qcos", round(
+        expr("graft_dot(q_qv, c_qv)") * col("q_amax") * col("c_amax") /
+          lit(16129.0) / (col("q_nrm") * col("c_nrm")), 4))
+    val wq = Window.partitionBy("query_id").orderBy(desc("qcos"), asc("neighbor_id"))
+    val cand = scored.withColumn("crank", row_number().over(wq))
+      .filter(col("crank") <= pool)
+      .select("query_id", "neighbor_id", "qcos")
+    val qf = queries.select(col("id").as("query_id"), col("v").as("v1"),
+      sqrt(expr("graft_dot(v, v)")).as("n1"))
+    val cf = corpus.select(col("id").as("neighbor_id"), col("v").as("v2"),
+      sqrt(expr("graft_dot(v, v)")).as("n2"))
+    val rescored = cf.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(qf), Seq("query_id"))
+      .withColumn("cos",
+        round(expr("graft_dot(v1, v2)") / (col("n1") * col("n2")), 4))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    rescored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos", "qcos")
+  }
+
   /** Bucketed ANN top-k: candidates restrict to the query's bucket, then
     * rank by exact cosine — the equi-join plan that survives a 100x
     * corpus (the quadratic work only happens within buckets). Recall is

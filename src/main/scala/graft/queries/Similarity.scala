@@ -506,6 +506,62 @@ object Similarity {
        |  round(list_sum(errs) / $Dim, 8) AS mse
        |FROM q ORDER BY vec_id""".stripMargin
 
+  /** Stage-1 candidate pool per query for n6's quantized rescore. */
+  val RescorePool = 20
+
+  /** n6: two-stage quantized retrieval (SQ8 scan + exact rescore) — the
+    * generic operator graft.operators.VectorSearch.quantizedRescoreTopK
+    * bound to the embeddings table with the n1 query set, so the recall
+    * spec can compare all three retrieval paths (exact n1, bucketed n2,
+    * quantized-rescored n6) on identical inputs.
+    */
+  def quantizedRescoreTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+      .select(col("vec_id").as("id"), asDouble("embedding").as("v"))
+    graft.operators.VectorSearch
+      .quantizedRescoreTopK(e.filter(col("id") < NumQueries), e, TopK, RescorePool)
+      .orderBy("query_id", "rank")
+  }
+
+  val quantizedRescoreTopKSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |z AS (
+       |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+       |  FROM e),
+       |nz AS (SELECT * FROM z WHERE amax > 0),
+       |qz AS (
+       |  SELECT vec_id, v, amax, nrm,
+       |    list_transform(v, x -> CAST(round(x * 127.0 / amax, 0) AS BIGINT)) AS qv
+       |  FROM nz),
+       |s AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    round(CAST(list_sum(list_transform(generate_series(1, $Dim),
+       |        i -> q.qv[i] * c.qv[i])) AS DOUBLE)
+       |      * q.amax * c.amax / 16129.0 / (q.nrm * c.nrm), 4) AS qcos
+       |  FROM qz q JOIN qz c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < $NumQueries),
+       |cand AS (
+       |  SELECT query_id, neighbor_id, qcos FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY qcos DESC, neighbor_id) AS crank
+       |    FROM s)
+       |  WHERE crank <= $RescorePool),
+       |r AS (
+       |  SELECT cand.query_id, cand.neighbor_id, cand.qcos,
+       |    round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS cos
+       |  FROM cand
+       |    JOIN nz q ON q.vec_id = cand.query_id
+       |    JOIN nz c ON c.vec_id = cand.neighbor_id)
+       |SELECT query_id, rank, neighbor_id, cos, qcos FROM (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM r)
+       |WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+
   /** Mean recall@[[TopK]] of an approximate ANN result against the exact
     * baseline: |approx ∩ exact|/|exact| over all queries. A real ANN
     * surface reports recall next to latency — n2/n4 hash-matching their
@@ -525,12 +581,14 @@ object Similarity {
     "n1_brute_force_topk" -> (bruteForceTopK _),
     "n2_lsh_bucket_topk" -> (lshBucketTopK _),
     "n3_label_centroids" -> (labelCentroids _),
-    "n4_ivf_topk" -> (ivfTopK _))
+    "n4_ivf_topk" -> (ivfTopK _),
+    "n6_quantized_rescore" -> (quantizedRescoreTopK _))
 
   val oracles: Map[String, String] = Map(
     "n5_quantize" -> quantizeSql,
     "n1_brute_force_topk" -> bruteForceTopKSql,
     "n2_lsh_bucket_topk" -> lshBucketTopKSql,
     "n3_label_centroids" -> labelCentroidsSql,
-    "n4_ivf_topk" -> ivfTopKSql)
+    "n4_ivf_topk" -> ivfTopKSql,
+    "n6_quantized_rescore" -> quantizedRescoreTopKSql)
 }

@@ -41,6 +41,14 @@ class AnnRecallSpec extends SparkTestBase {
     assert(rLsh >= 0.03, f"n2 LSH recall@5 regressed: $rLsh%.3f < 0.03")
     // and the approximate paths return full result sets for every query
     assert(ivf2.count() === exact.count())
+
+    // n6 two-stage quantized retrieval: the top-20 pool plus exact
+    // rescoring should lose almost nothing to int8 rounding even on the
+    // iid-hostile fixture — this is the high-recall end of the dial
+    // (contrast the LSH pruner's 0.03 floor above)
+    val rQ = Similarity.recallAtK(exact, Similarity.quantizedRescoreTopK(spark, sf))
+    info(f"recall@5: n6_quantized_rescore=$rQ%.3f (sf0.01)")
+    assert(rQ >= 0.9, f"n6 quantized-rescore recall@5 regressed: $rQ%.3f < 0.9")
   }
 
   test("Lloyd refinement beats raw seed centroids on a clustered fixture") {
