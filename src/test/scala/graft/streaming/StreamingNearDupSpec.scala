@@ -29,6 +29,24 @@ class StreamingNearDupSpec extends SparkTestBase {
     assert(agg.length == docs.count() * TextDedup.Bands)
   }
 
+  test("native band hashes agree on multi-byte UTF-8 and degenerate texts") {
+    // the native expression walks char->byte offsets itself (2-, 3- and
+    // 4-byte sequences, incl. surrogate-pair emoji) — the one place it
+    // could drift from the engine's substring; empty/short texts exercise
+    // the end-clamped shingle window
+    import spark.implicits._
+    val tricky = Seq(
+      (1L, "héllo wörld ünïcode ẞtraße mit ümläuten über älles"),
+      (2L, "日本語のテキストですこんにちは世界これはテストです"),
+      (3L, "mixed ascii καὶ ἑλληνικά and 中文 and عربى text"),
+      (4L, "emoji 😀🎉🚀 inside 🌍 the text 😀🎉🚀 again"),
+      (5L, ""), (6L, "short"), (7L, "exactly8"), (8L, "9 chars!!"))
+      .toDF("doc_id", "text")
+    val agg = TextDedup.minhashBandsAgg(tricky).orderBy("doc_id", "band").collect()
+    val inRow = TextDedup.minhashBandsInRow(tricky).orderBy("doc_id", "band").collect()
+    assert(agg.toSeq == inRow.toSeq)
+  }
+
   test("replayed verdicts equal batch d12, dups flagged across batches, append exactly-once") {
     val dir = scratch("near_dup_replay")
     val T0 = 1700000000000L
