@@ -132,6 +132,53 @@ object TextDedup {
         sum((col("doc_id") > col("mn")).cast("long")).as("n_hit_bands"))
   }
 
+  /** CROSS-CORPUS near-dup pairs — fuzzy decontamination: for each doc of
+    * `left` (the training corpus), the docs of `right` (the held-out /
+    * benchmark corpus) it near-duplicates above `threshold` exact Jaccard
+    * over char-[[ShingleK]]-shingle sets, candidates from minhash band
+    * collisions. This is [[minhashPairs]]'s recipe across TWO frames — the
+    * near-dup extension of exact-gram decontamination (the d8/d10 family):
+    * exact n-gram overlap misses paraphrased or lightly-edited benchmark
+    * leakage, which band collision + Jaccard verify still catches.
+    *
+    * Scale shape: the right side is benchmark-sized by definition
+    * (thousands of docs, not billions — the same bound that lets d8
+    * broadcast its eval gram set), so its banded hashes BROADCAST into the
+    * candidate join and its candidate shingle sets broadcast into the
+    * verify; the left corpus is scanned once for signatures and once more
+    * (pruned at the scan by a broadcast semi-join to candidate train docs
+    * — ~pair-count rows, not corpus rows) for verify arrays. The train
+    * corpus never shuffles its text and is never self-joined, and there is
+    * no train×eval cartesian anywhere: candidates meet only inside
+    * (band, band-hash) buckets.
+    */
+  def crossCorpusPairs(left: DataFrame, right: DataFrame,
+      threshold: Double): DataFrame = {
+    val cand = minhashBandsAgg(left)
+      .join(broadcast(minhashBandsAgg(right)
+        .withColumnRenamed("doc_id", "eval_doc_id")), Seq("band", "bh"))
+      .select(col("doc_id").as("train_doc_id"), col("eval_doc_id"))
+      .distinct()
+    // verify: shingle arrays materialized ONLY for candidate docs on both
+    // sides (broadcast semi-join prune before the array projection)
+    val rCand = cand.select(col("eval_doc_id").as("doc_id")).distinct()
+    val rSets = right.join(broadcast(rCand), Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("eval_doc_id"),
+        expr(s"array_distinct(${TextHash.charShinglesExpr("text", ShingleK)})").as("g2"))
+    val lCand = cand.select(col("train_doc_id").as("doc_id")).distinct()
+    val lSets = Tables.spread(
+      left.join(broadcast(lCand), Seq("doc_id"), "left_semi"))
+      .select(col("doc_id").as("train_doc_id"),
+        expr(s"array_distinct(${TextHash.charShinglesExpr("text", ShingleK)})").as("g1"))
+    val withG2 = rSets.join(broadcast(cand), Seq("eval_doc_id"))
+    lSets.join(broadcast(withG2), Seq("train_doc_id"))
+      .withColumn("inter", size(array_intersect(col("g1"), col("g2"))))
+      .select(col("train_doc_id"), col("eval_doc_id"),
+        round(col("inter").cast("double") /
+          (size(col("g1")) + size(col("g2")) - col("inter")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** MinHash + LSH near-dup pairs above `threshold` exact Jaccard over
     * char-[[ShingleK]]-shingle sets: explode → one hash-aggregate builds
     * the [[NumPerms]]-permutation signature, [[Bands]] banded hashes

@@ -819,6 +819,53 @@ object Dedup {
        |    SELECT doc_id, unnest(${TextHash.wordNgramsSql("t", DecontamN)}) AS g
        |    FROM toks WHERE len(t) >= $DecontamN))""".stripMargin
 
+  /** d13 FUZZY decontamination — the near-dup extension of [[decontaminate
+    * d8]]: exact 13-gram-style overlap (d8/d10) misses paraphrased or
+    * lightly-edited benchmark leakage, so production decontamination pairs
+    * the exact pass with a fuzzy pass (GPT-3's contamination methodology,
+    * Brown et al. 2020 arXiv:2005.14165 Appendix C, uses n-gram overlap;
+    * the fuzzy refinement is the standard MinHash recipe, same as d2's).
+    * For each training doc, the eval docs it near-duplicates at ≥
+    * [[FuzzyThreshold]] exact Jaccard, candidates from minhash band
+    * collisions — `graft.operators.TextDedup.crossCorpusPairs` bound to a
+    * train/eval split of the documents table.
+    *
+    * The eval slice is `doc_id % FuzzyEvalMod == 0` with mod 10 (not d8's
+    * 97): the correctness gate runs at sf0.01, whose 25 near-dup pairs
+    * straddle a 1-in-10 boundary but not a 1-in-97 one — mod 10 keeps the
+    * gate exercising the non-empty path at every fixture scale.
+    */
+  private[graft] val FuzzyEvalMod = 10
+  private val FuzzyThreshold = 0.8
+
+  def fuzzyDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    graft.operators.TextDedup.crossCorpusPairs(
+      docs.filter(col("doc_id") % FuzzyEvalMod =!= 0),
+      docs.filter(col("doc_id") % FuzzyEvalMod === 0),
+      FuzzyThreshold)
+      .orderBy("train_doc_id", "eval_doc_id")
+  }
+
+  val fuzzyDecontaminateSql: String =
+    s"""WITH $minhashBandsCte,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+       |  WHERE a.doc_id % $FuzzyEvalMod != 0 AND b.doc_id % $FuzzyEvalMod = 0),
+       |x AS (
+       |  SELECT c.d1, c.d2,
+       |    len(list_intersect(s1.gs, s2.gs)) AS inter,
+       |    len(s1.gs) AS n1, len(s2.gs) AS n2
+       |  FROM cand c
+       |    JOIN sets s1 ON s1.doc_id = c.d1
+       |    JOIN sets s2 ON s2.doc_id = c.d2)
+       |SELECT d1 AS train_doc_id, d2 AS eval_doc_id,
+       |  round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 4) AS jaccard
+       |FROM x
+       |WHERE round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 4) >= $FuzzyThreshold
+       |ORDER BY train_doc_id, eval_doc_id""".stripMargin
+
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val grams = docGramHashes(spark, dir)
     val evalGrams = grams.filter(col("doc_id") % EvalMod === 0)
@@ -904,7 +951,8 @@ object Dedup {
     "d5_ngram_jaccard" -> (ngramJaccard _),
     "d6_embedding_near_dup" -> ((s: SparkSession, d: String) => embeddingNearDup(s, d)),
     "d11_semantic_dedup" -> ((s: SparkSession, d: String) => semanticDedup(s, d)),
-    "d12_dedup_verdicts" -> (nearDupVerdicts _))
+    "d12_dedup_verdicts" -> (nearDupVerdicts _),
+    "d13_fuzzy_decontaminate" -> (fuzzyDecontaminate _))
 
   val oracles: Map[String, String] = Map(
     "d10_contamination_rate" -> contaminationRateSql,
@@ -918,5 +966,6 @@ object Dedup {
     "d5_ngram_jaccard" -> ngramJaccardSql,
     "d6_embedding_near_dup" -> embeddingNearDupSql,
     "d11_semantic_dedup" -> semanticDedupSql,
-    "d12_dedup_verdicts" -> nearDupVerdictsSql)
+    "d12_dedup_verdicts" -> nearDupVerdictsSql,
+    "d13_fuzzy_decontaminate" -> fuzzyDecontaminateSql)
 }

@@ -79,6 +79,30 @@ class OperatorApiSpec extends SparkTestBase {
       .map(_.getString(0)).toSeq === Seq("k1"))
   }
 
+  test("TextDedup.crossCorpusPairs: train docs pair with the eval docs they near-duplicate, never train-with-train") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val train = Seq(
+      (101L, base),                 // exact copy of eval 7
+      (102L, base),                 // also a copy — must NOT pair with 101
+      (103L, base + " with a small difference appended at the end of it"),
+      (104L, "a completely unrelated document about spark aggregation plans"))
+      .toDF("doc_id", "text").repartition(3)
+    val eval = Seq(
+      (7L, base),
+      (8L, "another benchmark item that matches nothing in the training set"))
+      .toDF("doc_id", "text")
+    val exact = TextDedup.crossCorpusPairs(train, eval, threshold = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact === Set((101L, 7L, 1.0), (102L, 7L, 1.0)))
+    val loose = TextDedup.crossCorpusPairs(train, eval, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose.contains((101L, 7L)) && loose.contains((102L, 7L)))
+    assert(!loose.exists(_._2 == 8L), "the unmatched eval doc must stay clean")
+    assert(!loose.exists(p => p._1 == 104L),
+      "the unrelated train doc must never pair")
+  }
+
   test("VectorSearch.cosineTopK: ranks by exact cosine with id tiebreak, excludes self") {
     import spark.implicits._
     val corpus = Seq(
