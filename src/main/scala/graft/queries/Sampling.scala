@@ -425,6 +425,55 @@ object Sampling {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ----------------------------------------------------------------- t22
+
+  /** Per-cell vector cap. 500 fixture vectors over 8 cells average ~62, so
+    * 40 both keeps and drops within most cells — the gate exercises both
+    * branches.
+    */
+  val CapPerCell = 40
+
+  /** CLUSTER-BALANCED CAPPING: keep at most [[CapPerCell]] vectors per
+    * coarse-quantizer cell — [[sourceCap t21]]'s per-domain cap transported
+    * into embedding space, where the "domain" is a semantic cluster rather
+    * than a URL host. Capping per k-means cell is how embedding-aware
+    * curation bounds over-represented semantic regions (the clustering-
+    * based pruning family: MiniPile, Kaddour 2023, arXiv:2304.08442,
+    * curates by k-means cluster; SemDeDup prunes within the same cells
+    * d11 uses). The cells are n4/d11's SHARED Lloyd-refined quantizer —
+    * one clustering, three consumers, identical partition of the corpus —
+    * and survivors are the same deterministic salted-hash draw as
+    * t7/t10/t12/t21, reproducible at any parallelism.
+    *
+    * Scale: assignment is the shared quantizer (inline projection against
+    * broadcast centroid literals; √n cell schedule at scale, see
+    * SCALING.md), and the rank window shuffles only (vec_id, cell, hash) —
+    * vectors never move. Under the √n schedule mean cell occupancy is
+    * Θ(√n), so per-cell window sorts stay narrow as the corpus grows.
+    */
+  def clusterCap(spark: SparkSession, dir: String): DataFrame = {
+    VectorOps.register(spark) // graft_hash60
+    val w = Window.partitionBy("cell").orderBy("h", "vec_id")
+    Similarity.semanticCells(spark, dir)
+      .withColumn("h",
+        hash60(concat(lit("graft-ccap|"), col("vec_id").cast("string"))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= CapPerCell)
+      .select("vec_id", "cell")
+      .orderBy("vec_id")
+  }
+
+  val clusterCapSql: String = {
+    val h = hash60Sql("'graft-ccap|' || CAST(vec_id AS VARCHAR)")
+    s"""${Similarity.cellsCteSql}
+       |SELECT vec_id, cell FROM (
+       |  SELECT a.vec_id, a.cell,
+       |    row_number() OVER (PARTITION BY a.cell ORDER BY $h, a.vec_id) AS rk
+       |  FROM assign a)
+       |WHERE rk <= $CapPerCell
+       |ORDER BY vec_id""".stripMargin
+  }
+
   // ------------------------------------------------------------------ x3
 
   val ExportRoot = "/root/repo/target/fixtures-export/shards"
@@ -459,6 +508,7 @@ object Sampling {
     "t18_weighted_sample" -> (weightedSample _),
     "t20_pack_sequences" -> (packSequences _),
     "t21_source_cap" -> (sourceCap _),
+    "t22_cluster_cap" -> (clusterCap _),
     "x3_export_roundtrip" -> (exportRoundtrip _))
 
   val oracles: Map[String, String] = Map(
@@ -470,5 +520,6 @@ object Sampling {
     "t18_weighted_sample" -> weightedSampleSql,
     "t20_pack_sequences" -> packSequencesSql,
     "t21_source_cap" -> sourceCapSql,
+    "t22_cluster_cap" -> clusterCapSql,
     "x3_export_roundtrip" -> tokenShardsSql)
 }

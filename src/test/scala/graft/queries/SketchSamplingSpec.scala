@@ -69,6 +69,23 @@ class SketchSamplingSpec extends SparkTestBase {
     assert(a.map(_.getLong(0)).toSeq === b.map(_.getLong(0)).toSeq)
   }
 
+  test("t22: at most CapPerCell survivors per cell, deterministic, and cells that fit keep everything") {
+    val got = Sampling.clusterCap(spark, SfDir)
+    val perCell = got.groupBy("cell").count().collect()
+      .map(r => r.get(0) -> r.getLong(1)).toMap
+    assert(perCell.values.max <= Sampling.CapPerCell)
+    // the draw is a pure function of (corpus, quantizer): re-run identical
+    val again = Sampling.clusterCap(spark, SfDir).collect().map(_.getLong(0))
+    assert(got.collect().map(_.getLong(0)).toSeq === again.toSeq)
+    // any cell at or under the cap survives intact (the cap only prunes)
+    val cellSizes = Similarity.semanticCells(spark, SfDir)
+      .groupBy("cell").count().collect()
+      .map(r => r.get(0) -> r.getLong(1)).toMap
+    cellSizes.filter(_._2 <= Sampling.CapPerCell).foreach { case (cell, n) =>
+      assert(perCell(cell) === n, s"under-cap cell $cell must keep all $n")
+    }
+  }
+
   test("t18: weights bias the draw - sampled docs are longer than the corpus average") {
     // A-ES with w = n_chars: P(keep) scales with length, so the sampled
     // mean length must exceed the corpus mean by a clear margin. This is a
