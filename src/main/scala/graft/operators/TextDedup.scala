@@ -154,11 +154,21 @@ object TextDedup {
     */
   def crossCorpusPairs(left: DataFrame, right: DataFrame,
       threshold: Double): DataFrame = {
+    // Candidate pairs are MATERIALIZED once (localCheckpoint): three
+    // downstream branches consume them (both semi-join prunes + the verify
+    // join), and Spark shares no work between plan branches, so the lazy
+    // form re-ran the full train-side signature pipeline (scan → shingle
+    // explode → 16-perm aggregate) once per consumer — measured 29.8 s vs
+    // 9.7 s at 500k docs (SCALING.md). The pair set stays DISTRIBUTED
+    // (eval-corpus-bounded × bucket occupancy — too big for n4's
+    // driver-literal trick, small next to the corpus), only its lineage is
+    // truncated.
     val cand = minhashBandsAgg(left)
       .join(broadcast(minhashBandsAgg(right)
         .withColumnRenamed("doc_id", "eval_doc_id")), Seq("band", "bh"))
       .select(col("doc_id").as("train_doc_id"), col("eval_doc_id"))
       .distinct()
+      .localCheckpoint()
     // verify: shingle arrays materialized ONLY for candidate docs on both
     // sides (broadcast semi-join prune before the array projection)
     val rCand = cand.select(col("eval_doc_id").as("doc_id")).distinct()
