@@ -66,8 +66,11 @@ object ScaleStress {
   private val Queries = Seq(
     "d1_exact_dedup", "d2_minhash_lsh", "d5_ngram_jaccard",
     "d9_dup_clusters", "d10_contamination_rate", "t14_corpus_curation",
+    "d12_dedup_verdicts", "d13_fuzzy_decontaminate",
     "n2_lsh_bucket_topk", "n4_ivf_topk", "d11_semantic_dedup",
-    "d6_embedding_near_dup",
+    "d6_embedding_near_dup", "n6_quantized_rescore",
+    "t18_weighted_sample", "t19_bm25_search", "t20_pack_sequences",
+    "t21_source_cap", "t22_cluster_cap", "z4_heavy_hitters",
     "j1_asof_attribution", "j2_range_correlation", "e2_user_sessions",
     "q1_pricing_summary", "q3_shipping_priority",
     "q5_local_supplier_volume", "q9_product_profit")
@@ -112,6 +115,19 @@ object ScaleStress {
         // corpus-side cost — |Q| and per-query probed fraction both fixed
         (s, d) => graft.queries.Similarity.ivfTopK(s, d, nprobe = 2,
           numCells = d11Cells(k))
+      case "t22_cluster_cap" =>
+        // the cap rides the same √n cell schedule: per-cell window width
+        // stays Θ(√n) and survivors grow as √n·cap — fixed cells would
+        // instead widen every window linearly with the corpus
+        (s, d) => graft.queries.Sampling.clusterCap(s, d,
+          numCells = d11Cells(k))
+      case "z4_heavy_hitters" =>
+        // budget k·scale keeps the RELATIVE threshold a fixed per-replica
+        // share (total/k' with total scaled by k ⟺ the base criterion per
+        // replica), so output rows scale exactly ×k like the dedup family;
+        // a fixed budget would instead shrink the output toward empty
+        (s, d) => graft.queries.Sketches.heavyHittersOf(
+          graft.core.Tables(s, d).documents, graft.queries.Sketches.HhK * k)
       case _ => SparkEntry.queries(name)
     }
 
@@ -272,12 +288,20 @@ object ScaleStress {
     }
 
     val results = scala.collection.mutable.ArrayBuffer.empty[String]
+    // generate only the table families the selected queries read — an
+    // SPARK_GRAFT_ONLY run over the document tier shouldn't pay the 60M-row
+    // TPC-H replication (markers are per-family, so a later full run
+    // back-fills whatever this one skipped)
+    val selected = Queries.filter(q => only.forall(_.contains(q)))
+    val needsEvents = selected.exists(q =>
+      q.startsWith("j") || q.startsWith("e"))
+    val needsTpch = selected.exists(_.startsWith("q"))
     scales.foreach { k =>
       val dir = s"target/scale/x$k"
       val t0 = System.nanoTime()
       generate(spark, baseDir, dir, k)
-      generateEvents(spark, baseDir, dir, k)
-      generateTpch(spark, baseDir, dir, k)
+      if (needsEvents) generateEvents(spark, baseDir, dir, k)
+      if (needsTpch) generateTpch(spark, baseDir, dir, k)
       val genSec = (System.nanoTime() - t0) / 1e9
       println(s"""{"scale":$k,"event":"generated","sec":${f2(genSec)}}""")
       // min-of-2 at the small scales, where a single shot is dominated by
@@ -296,9 +320,14 @@ object ScaleStress {
            |"d6_embedding_near_dup": ${ujsonEscape(
           Dedup.embeddingNearDupSqlFor(d6Planes(k)))},
            |"n4_ivf_topk": ${ujsonEscape(
-          graft.queries.Similarity.ivfTopKSqlFor(d11Cells(k)))}}""".stripMargin
+          graft.queries.Similarity.ivfTopKSqlFor(d11Cells(k)))},
+           |"t22_cluster_cap": ${ujsonEscape(
+          graft.queries.Sampling.clusterCapSqlFor(d11Cells(k)))},
+           |"z4_heavy_hitters": ${ujsonEscape(
+          graft.queries.Sketches.heavyHittersSqlFor(
+            graft.queries.Sketches.HhK * k))}}""".stripMargin
           .getBytes("UTF-8"))
-      Queries.filter(q => only.forall(_.contains(q))).foreach { name =>
+      selected.foreach { name =>
         val fn = fnFor(name, k)
         var best = Double.MaxValue
         var rows = -1L

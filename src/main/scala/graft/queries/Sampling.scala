@@ -451,10 +451,17 @@ object Sampling {
     * vectors never move. Under the √n schedule mean cell occupancy is
     * Θ(√n), so per-cell window sorts stay narrow as the corpus grows.
     */
-  def clusterCap(spark: SparkSession, dir: String): DataFrame = {
+  def clusterCap(spark: SparkSession, dir: String): DataFrame =
+    clusterCap(spark, dir, numCells = Similarity.NumCells)
+
+  /** The K-parameterized form the scale study runs under the shared √n
+    * cell schedule (ScaleStress.d11Cells) — survivors then grow as
+    * √n·[[CapPerCell]] while per-cell window width stays Θ(√n).
+    */
+  def clusterCap(spark: SparkSession, dir: String, numCells: Int): DataFrame = {
     VectorOps.register(spark) // graft_hash60
     val w = Window.partitionBy("cell").orderBy("h", "vec_id")
-    Similarity.semanticCells(spark, dir)
+    Similarity.semanticCells(spark, dir, numCells = numCells)
       .withColumn("h",
         hash60(concat(lit("graft-ccap|"), col("vec_id").cast("string"))))
       .withColumn("rk", row_number().over(w))
@@ -463,9 +470,9 @@ object Sampling {
       .orderBy("vec_id")
   }
 
-  val clusterCapSql: String = {
+  def clusterCapSqlFor(numCells: Int): String = {
     val h = hash60Sql("'graft-ccap|' || CAST(vec_id AS VARCHAR)")
-    s"""${Similarity.cellsCteSql}
+    s"""${Similarity.cellsCteSqlFor(numCells)}
        |SELECT vec_id, cell FROM (
        |  SELECT a.vec_id, a.cell,
        |    row_number() OVER (PARTITION BY a.cell ORDER BY $h, a.vec_id) AS rk
@@ -473,6 +480,8 @@ object Sampling {
        |WHERE rk <= $CapPerCell
        |ORDER BY vec_id""".stripMargin
   }
+
+  val clusterCapSql: String = clusterCapSqlFor(Similarity.NumCells)
 
   // ------------------------------------------------------------------ x3
 

@@ -143,7 +143,7 @@ object Similarity {
 
   // ------------------------------------------------------------------ n4
 
-  private val NumCells = 8 // IVF coarse-quantizer size
+  private[queries] val NumCells = 8 // IVF coarse-quantizer size
   private val NumProbe = 2 // cells searched per query
   private val LloydIters = 2 // assign→mean refinement rounds over the seeds
   private val QuantScale = 1000000L // fixed-point scale for exact mean sums

@@ -186,7 +186,11 @@ object Sketches {
       .orderBy(desc("cnt"), asc("token"))
   }
 
-  val heavyHittersSql: String =
+  /** The SQL twin at an arbitrary budget — the scale study grows k with
+    * the corpus (threshold total/k stays a fixed per-replica share), so
+    * the oracle must too.
+    */
+  def heavyHittersSqlFor(k: Int): String =
     s"""WITH raw AS (
        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
        |toks AS (SELECT token FROM raw WHERE len(token) > 0),
@@ -194,8 +198,10 @@ object Sketches {
        |SELECT token, count(*) AS cnt
        |FROM toks, tot
        |GROUP BY token, tot.n
-       |HAVING count(*) * $HhK >= tot.n
+       |HAVING count(*) * $k >= tot.n
        |ORDER BY cnt DESC, token""".stripMargin
+
+  val heavyHittersSql: String = heavyHittersSqlFor(HhK)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "z1_sketch_distinct" -> (sketchDistinct _),
