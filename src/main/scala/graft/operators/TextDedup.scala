@@ -132,6 +132,67 @@ object TextDedup {
         sum((col("doc_id") > col("mn")).cast("long")).as("n_hit_bands"))
   }
 
+  /** An empty near-dup ledger — the zero state [[incrementalVerdicts]]
+    * folds batches into. Schema: one surviving minimum doc_id per
+    * (band, band-hash) bucket, exactly the st9 streaming ledger's state
+    * row, persisted as a table instead of a state store.
+    */
+  def emptyNearDupLedger(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("band", IntegerType),
+        StructField("bh", LongType),
+        StructField("min_doc_id", LongType))))
+  }
+
+  /** INCREMENTAL dedup verdicts — the batch counterpart of the st9
+    * streaming ledger, for scheduled (e.g. nightly) ingest: fold a new
+    * batch of docs into a persisted (band, bh, min_doc_id) ledger,
+    * returning each new doc's [[nearDupVerdicts]]-shaped verdict against
+    * everything EVER ingested plus the updated ledger. Under monotone
+    * ingest (doc_ids increase batch over batch — the arrival-sequence
+    * convention, same contract as st9), folding batches one at a time
+    * yields verdicts IDENTICAL to running [[nearDupVerdicts]] once over
+    * the union (spec-pinned), so an ingest pipeline never re-scans its
+    * history.
+    *
+    * Scale shape — per-ingest cost is BATCH-sized, never corpus-sized:
+    * the ledger (one row per distinct bucket ever seen — the honest
+    * corpus-scale state, same growth st6/st9 document) is only ever
+    * SCANNED, never shuffled. The batch's bucket list broadcasts three
+    * ways: a semi-join prunes the ledger to touched buckets (batch-sized,
+    * then broadcast into the verdict join), an anti-join passes untouched
+    * ledger rows through by concatenation, and the touched buckets'
+    * minima recompute from batch rows + the pruned slice. The batch's
+    * banded signature frame is materialized once (localCheckpoint, the
+    * d13 lesson) because both outputs consume it. Callers persist the
+    * returned ledger between ingests (parquet bucketed by (band, bh)
+    * makes the scan+prune partition-local at any scale).
+    */
+  def incrementalVerdicts(batch: DataFrame,
+      ledger: DataFrame): (DataFrame, DataFrame) = {
+    val bands = minhashBandsAgg(batch).localCheckpoint()
+    val buckets = bands.select("band", "bh").distinct()
+    val touched = ledger
+      .join(broadcast(buckets), Seq("band", "bh"), "left_semi")
+      .withColumnRenamed("min_doc_id", "ledger_mn")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
+    val x = bands
+      .join(broadcast(touched), Seq("band", "bh"), "left")
+      .withColumn("mn",
+        least(coalesce(col("ledger_mn"), col("doc_id")),
+          min("doc_id").over(w)))
+    val verdicts = x.groupBy("doc_id").agg(
+      max((col("doc_id") > col("mn")).cast("int")).as("is_near_dup"),
+      sum((col("doc_id") > col("mn")).cast("long")).as("n_hit_bands"))
+    val untouched = ledger.join(broadcast(buckets), Seq("band", "bh"), "left_anti")
+    val updated = x.groupBy("band", "bh")
+      .agg(min(col("mn")).as("min_doc_id"))
+    (verdicts, untouched.unionByName(updated))
+  }
+
   /** CROSS-CORPUS near-dup pairs — fuzzy decontamination: for each doc of
     * `left` (the training corpus), the docs of `right` (the held-out /
     * benchmark corpus) it near-duplicates above `threshold` exact Jaccard

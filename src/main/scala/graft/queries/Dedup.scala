@@ -115,6 +115,33 @@ object Dedup {
        |GROUP BY b.doc_id
        |ORDER BY b.doc_id""".stripMargin
 
+  /** d14: INCREMENTAL dedup verdicts — `TextDedup.incrementalVerdicts`
+    * driven as an ingest simulation: the documents table split into three
+    * monotone doc_id ranges, folded batch-by-batch into a ledger that
+    * starts empty, per-batch verdicts unioned. The oracle is d12's SQL
+    * verbatim — the whole point of the operator is that incremental
+    * ingest equals the one-shot batch computation, and the gate checks
+    * that equality against an independent engine. The ledger is
+    * localCheckpoint'ed between steps exactly as a real pipeline persists
+    * it between nightly runs.
+    */
+  def incrementalVerdictsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val maxId = docs.agg(max("doc_id")).first().getLong(0)
+    val (c1, c2) = (maxId / 3, 2 * maxId / 3)
+    val batches = Seq(
+      docs.filter(col("doc_id") <= c1),
+      docs.filter(col("doc_id") > c1 && col("doc_id") <= c2),
+      docs.filter(col("doc_id") > c2))
+    var ledger = graft.operators.TextDedup.emptyNearDupLedger(spark)
+    val outs = batches.map { b =>
+      val (v, next) = graft.operators.TextDedup.incrementalVerdicts(b, ledger)
+      ledger = next.localCheckpoint()
+      v
+    }
+    outs.reduce(_ unionByName _).orderBy("doc_id")
+  }
+
   val minhashLshSql: String = {
     s"""WITH $minhashBandsCte,
        |cand AS (
@@ -952,7 +979,8 @@ object Dedup {
     "d6_embedding_near_dup" -> ((s: SparkSession, d: String) => embeddingNearDup(s, d)),
     "d11_semantic_dedup" -> ((s: SparkSession, d: String) => semanticDedup(s, d)),
     "d12_dedup_verdicts" -> (nearDupVerdicts _),
-    "d13_fuzzy_decontaminate" -> (fuzzyDecontaminate _))
+    "d13_fuzzy_decontaminate" -> (fuzzyDecontaminate _),
+    "d14_incremental_verdicts" -> (incrementalVerdictsQuery _))
 
   val oracles: Map[String, String] = Map(
     "d10_contamination_rate" -> contaminationRateSql,
@@ -967,5 +995,6 @@ object Dedup {
     "d6_embedding_near_dup" -> embeddingNearDupSql,
     "d11_semantic_dedup" -> semanticDedupSql,
     "d12_dedup_verdicts" -> nearDupVerdictsSql,
-    "d13_fuzzy_decontaminate" -> fuzzyDecontaminateSql)
+    "d13_fuzzy_decontaminate" -> fuzzyDecontaminateSql,
+    "d14_incremental_verdicts" -> nearDupVerdictsSql)
 }

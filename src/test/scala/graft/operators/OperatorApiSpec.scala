@@ -103,6 +103,43 @@ class OperatorApiSpec extends SparkTestBase {
       "the unrelated train doc must never pair")
   }
 
+  test("TextDedup.incrementalVerdicts: folding monotone batches equals the one-shot batch verdicts") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val other = "a completely unrelated document about spark aggregation plans"
+    val all = Seq(
+      (1L, base), (2L, other), (3L, base + " plus a tail"),
+      (11L, base),                       // batch 2: dup of batch-1 doc 1
+      (12L, "fresh content that matches nothing else in any batch here"),
+      (21L, other), (22L, base))        // batch 3: dups across both batches
+      .toDF("doc_id", "text")
+    val batches = Seq(
+      all.filter(col("doc_id") <= 10),
+      all.filter(col("doc_id") > 10 && col("doc_id") <= 20),
+      all.filter(col("doc_id") > 20))
+    var ledger = TextDedup.emptyNearDupLedger(spark)
+    val vs = batches.map { b =>
+      val (v, next) = TextDedup.incrementalVerdicts(b, ledger)
+      ledger = next.localCheckpoint()
+      v
+    }
+    val inc = vs.reduce(_ unionByName _).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val oneShot = TextDedup.nearDupVerdicts(all).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(inc.toSeq === oneShot.toSeq)
+    // the cross-batch flags specifically: 11 and 22 dup batch-1's doc 1
+    val m = inc.map(t => t._1 -> t._2).toMap
+    assert(m(11L) === 1 && m(22L) === 1 && m(21L) === 1)
+    assert(m(1L) === 0 && m(2L) === 0 && m(12L) === 0)
+    // ledger minima are global: every bucket of doc 1's bands still maps
+    // to min_doc_id 1 after three folds, untouched buckets survive
+    val ledgerMap = ledger.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(ledgerMap.values.min === 1L)
+    assert(ledgerMap.values.toSet.contains(2L), "doc 2's buckets survive untouched")
+  }
+
   test("VectorSearch.cosineTopK: ranks by exact cosine with id tiebreak, excludes self") {
     import spark.implicits._
     val corpus = Seq(
