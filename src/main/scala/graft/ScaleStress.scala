@@ -67,6 +67,7 @@ object ScaleStress {
     "d1_exact_dedup", "d2_minhash_lsh", "d5_ngram_jaccard",
     "d9_dup_clusters", "d10_contamination_rate", "t14_corpus_curation",
     "d12_dedup_verdicts", "d13_fuzzy_decontaminate",
+    "d14_incremental_verdicts",
     "n2_lsh_bucket_topk", "n4_ivf_topk", "d11_semantic_dedup",
     "d6_embedding_near_dup", "n6_quantized_rescore",
     "t18_weighted_sample", "t19_bm25_search", "t20_pack_sequences",
@@ -286,6 +287,38 @@ object ScaleStress {
       spark.stop()
       return
     }
+
+    // Fixed-batch ingest experiment (SPARK_GRAFT_D14=k1,k2,...): the claim
+    // behind TextDedup.incrementalVerdicts is that per-ingest cost is
+    // BATCH-sized while the ledger grows with corpus history. Proof shape:
+    // build the bucket ledger from the x{k} corpus (untimed), then time
+    // ingesting the SAME base-sized batch (sf0.1 docs, ids offset above
+    // every replica) against it — a flat curve across k is the claim.
+    sys.env.get("SPARK_GRAFT_D14").map(_.split(",").map(_.trim.toInt).toSeq)
+      .foreach { ks =>
+        import org.apache.spark.sql.functions.{col, min => fmin}
+        ks.foreach { k =>
+          val dir = s"target/scale/x$k"
+          generate(spark, baseDir, dir, k)
+          val corpus = spark.read.parquet(s"$dir/documents.parquet")
+          val ledger = graft.operators.TextDedup
+            .minhashBandsAgg(corpus)
+            .groupBy("band", "bh").agg(fmin("doc_id").as("min_doc_id"))
+            .localCheckpoint()
+          val ledgerRows = ledger.count()
+          val batch = spark.read.parquet(s"$baseDir/documents.parquet")
+            .withColumn("doc_id", col("doc_id") + (200L * IdOffset))
+          Dedup.clearMemos(); spark.catalog.clearCache(); System.gc()
+          val q0 = System.nanoTime()
+          val (v, next) = graft.operators.TextDedup.incrementalVerdicts(batch, ledger)
+          val rows = materialize(v)
+          val nextRows = materialize(next)
+          val sec = (System.nanoTime() - q0) / 1e9
+          println(s"""{"scale":$k,"variant":"d14_ingest","sec":${f2(sec)},"rows":$rows,"ledger_rows":$ledgerRows,"ledger_rows_after":$nextRows}""")
+        }
+        spark.stop()
+        return
+      }
 
     val results = scala.collection.mutable.ArrayBuffer.empty[String]
     // generate only the table families the selected queries read — an
