@@ -103,6 +103,33 @@ class OperatorApiSpec extends SparkTestBase {
       "the unrelated train doc must never pair")
   }
 
+  test("TextDedup.crossCorpusPairs: recall 1.0 vs brute force on the sf0.01 fixture at threshold 0.8") {
+    // The DuckDB oracle shares the band pipeline, so the gate proves
+    // engine parity but NOT recall — this does: an all-pairs exact-Jaccard
+    // sweep (fine at 450x50 test scale, never in the operator) must find
+    // exactly the pairs the banded operator finds. 16 perms / 4 bands has
+    // P(no band collision) < 1e-4 at j >= 0.92, where all fixture pairs
+    // live; a missed pair fails loudly here.
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables(spark, "/root/testdata/sf0.01").documents
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val eval = docs.filter(col("doc_id") % 10 === 0)
+    def sets(df: org.apache.spark.sql.DataFrame, idc: String) = df.select(
+      col("doc_id").as(idc),
+      expr(s"array_distinct(${graft.functions.TextHash.charShinglesExpr("text", TextDedup.ShingleK)})").as(s"g_$idc"))
+    val brute = sets(train, "t").crossJoin(sets(eval, "e"))
+      .withColumn("inter", size(array_intersect(col("g_t"), col("g_e"))))
+      .withColumn("j", round(col("inter").cast("double") /
+        (size(col("g_t")) + size(col("g_e")) - col("inter")), 4))
+      .filter(col("j") >= 0.8)
+      .select(col("t"), col("e"), col("j")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val banded = TextDedup.crossCorpusPairs(train, eval, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(brute.nonEmpty, "fixture must exercise the non-empty path")
+    assert(banded === brute)
+  }
+
   test("TextDedup.incrementalVerdicts: folding monotone batches equals the one-shot batch verdicts") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again"

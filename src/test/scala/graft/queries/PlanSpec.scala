@@ -140,6 +140,34 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Join"), "t18 must not join")
   }
 
+  test("fuzzy decontamination (d13): eval side broadcasts everywhere; train text never sort-merges or nested-loops") {
+    val p = plan("d13_fuzzy_decontaminate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "d13 must never plan an all-pairs join between the corpora")
+    assert(!p.contains("SortMergeJoin"),
+      "the train corpus must not shuffle for any d13 join")
+    assert(p.contains("BroadcastHashJoin"), "eval bands/sets must broadcast")
+    // the candidate set is checkpointed once — its branches must appear as
+    // materialized leaves, not re-derivations of the signature pipeline
+    assert(p.contains("Scan ExistingRDD"),
+      "candidates must be materialized once (localCheckpoint), not re-derived per branch")
+  }
+
+  test("cluster capping (t22): one scan, no join, cap pruned map-side before the cell exchange") {
+    val p = plan("t22_cluster_cap")
+    assert(!p.contains("Join"),
+      "cell assignment must be an inline projection against centroid literals, not a join")
+    assert(p.contains("WindowGroupLimit"),
+      "the cap must prune map-side (WindowGroupLimit) before rows shuffle")
+  }
+
+  test("incremental verdicts (d14): the ledger side only ever broadcast-joins — it is scanned, never exchanged") {
+    val p = plan("d14_incremental_verdicts")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      "no d14 join may shuffle both sides; the ledger must stay scan+broadcast-pruned")
+  }
+
   test("heavy hitters (z4): the exact recount joins candidates by BROADCAST — the token stream never sort-merges") {
     // plan() materializes pass 1 (the MG collect runs at plan build); the
     // returned frame is pass 2, whose only join must be the broadcast of
