@@ -14,10 +14,14 @@ import graft.functions.{DotProduct, Hash60, MinhashBands}
   * }}}
   *
   * so `graft_dot` works from plain SQL cluster-wide without per-session
-  * registration (`VectorOps.register` remains the programmatic route).
+  * registration (`VectorOps.register` remains the programmatic route),
+  * plus the [[graft.plans.RewriteIntervalJoin]] optimizer rule, which
+  * turns naive `abs(a.ts - b.ts) <= w` inner joins written in plain SQL
+  * into the bucketed equi-join shape instead of a nested-loop plan.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.RewriteIntervalJoin)
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

@@ -320,6 +320,42 @@ object ScaleStress {
         return
       }
 
+    // Interval-join rule experiment (SPARK_GRAFT_IVLJOIN=<n>): the same
+    // bounded-interval self-join over n events spelled two ways — the
+    // two-inequality form (`l.ts <= r.ts + w AND l.ts >= r.ts - w`), which
+    // the RewriteIntervalJoin rule deliberately does not match and Spark
+    // must nested-loop, vs the `abs(l.ts - r.ts) <= w` form the rule
+    // rewrites to the bucket equi-join. Identical results, same session,
+    // same data: the gap is purely the rule's plan.
+    sys.env.get("SPARK_GRAFT_IVLJOIN").map(_.toInt).foreach { n =>
+      import org.apache.spark.sql.functions.{col, unix_micros}
+      val ev = graft.core.Tables(spark, baseDir).events
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
+        .limit(n).localCheckpoint()
+      ev.createOrReplaceTempView("ivl_ev")
+      val w = 60L * 1000000L // 1 minute in micros
+      def run(label: String, sql: String): Unit = {
+        val q0 = System.nanoTime()
+        val rows = materialize(spark.sql(sql))
+        val sec = (System.nanoTime() - q0) / 1e9
+        val plan = spark.sql(sql).queryExecution.executedPlan.toString
+        val shape =
+          if (plan.contains("BroadcastNestedLoopJoin")) "nested-loop"
+          else if (plan.contains("CartesianProduct")) "cartesian"
+          else "hash"
+        println(s"""{"variant":"ivljoin","n":$n,"spelling":"$label","join":"$shape","sec":${f2(sec)},"rows":$rows}""")
+      }
+      run("abs-rewritten",
+        s"""SELECT a.event_id, b.event_id FROM ivl_ev a JOIN ivl_ev b
+           |ON abs(a.ts_us - b.ts_us) <= $w AND a.event_id < b.event_id""".stripMargin)
+      run("two-inequality-naive",
+        s"""SELECT a.event_id, b.event_id FROM ivl_ev a JOIN ivl_ev b
+           |ON a.ts_us <= b.ts_us + $w AND a.ts_us >= b.ts_us - $w
+           |  AND a.event_id < b.event_id""".stripMargin)
+      spark.stop()
+      return
+    }
+
     val results = scala.collection.mutable.ArrayBuffer.empty[String]
     // generate only the table families the selected queries read — an
     // SPARK_GRAFT_ONLY run over the document tier shouldn't pay the 60M-row

@@ -16,6 +16,9 @@ object GraftSession {
       .builder()
       .master(s"local[$cores]")
       .appName(appName)
+      // the library's full extension surface (native expressions + the
+      // interval-join rewrite rule), same as Verify/Bench sessions
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

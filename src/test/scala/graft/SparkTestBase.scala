@@ -14,6 +14,10 @@ object TestSpark {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // same extensions surface as Verify/Bench/GraftSession: native
+      // functions + the interval-join rewrite rule are active in every
+      // suite, so a rule regression surfaces anywhere it matters
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .config("spark.sql.warehouse.dir", "/root/repo/target/test-warehouse")
       .config("spark.ui.enabled", "false")
