@@ -22,6 +22,13 @@ import graft.functions.{DotProduct, Hash60, MinhashBands}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.RewriteIntervalJoin)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectFunction((
+      new FunctionIdentifier("graft_asof"),
+      new ExpressionInfo(classOf[graft.plans.AsOfJoin.AsOfCondition].getName,
+        "graft_asof"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.plans.AsOfJoin.fromSql(exprs)))
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

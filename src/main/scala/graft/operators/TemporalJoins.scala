@@ -89,6 +89,55 @@ object TemporalJoins {
         carry.map(c => col(s"__asof.$c").as(s"asof_$c")): _*)
   }
 
+  /** AS-OF join on the dedicated physical operator ([[graft.plans.AsOfJoinExec]])
+    * — same contract, arguments, and output schema as [[asOf]] (the two are
+    * interchangeable and share the j1 oracle), but planned as a sorted-merge
+    * exec instead of union+window: one exchange per side, in-partition
+    * sorts, then a single forward pass carrying O(1) state. Prefer this
+    * form when the probe side is wide (the window formulation packs every
+    * probe row into a struct and carries the build payload as its null
+    * twin through the union; the exec never widens either side).
+    *
+    * `tieBreak` must be a subset of `carry` (the exec orders the build side
+    * by the carried columns). Null keys match null keys (sorted-merge
+    * `<=>` semantics, see [[graft.plans.AsOfJoin]]); null ts rows never
+    * match.
+    */
+  def asOfExec(
+      probe: DataFrame,
+      build: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      carry: Seq[String],
+      strict: Boolean = true,
+      tieBreak: Seq[String] = Nil,
+      keepUnmatched: Boolean = false): DataFrame = {
+    require(keys.nonEmpty, "asOfExec needs at least one key column")
+    require(carry.nonEmpty, "asOfExec needs at least one carried build column")
+    require(tieBreak.forall(carry.contains),
+      s"tieBreak ${tieBreak.filterNot(carry.contains)} must be carried")
+    import org.apache.spark.sql.graft.ColumnShim
+    // Sessions built through GraftExtensions already carry the strategy;
+    // register it programmatically for any other session so the operator
+    // is self-contained (idempotent — extra copies are harmless but avoided).
+    val exp = probe.sparkSession.experimental
+    if (!exp.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    val b = build.select(
+      keys.map(k => build(k).as(s"__asof_k_$k")) ++
+        Seq(build(tsCol).as("__asof_ts")) ++
+        carry.map(c => build(c).as(s"asof_$c")): _*)
+    val keyCond = keys.map(k => probe(k) === b(s"__asof_k_$k")).reduce(_ && _)
+    val marker = ColumnShim.column(graft.plans.AsOfJoin.AsOfCondition(
+      ColumnShim.expression(probe(tsCol)),
+      ColumnShim.expression(b("__asof_ts")),
+      tieBreak.map(t => ColumnShim.expression(b(s"asof_$t"))),
+      strict))
+    probe.join(b, keyCond && marker, if (keepUnmatched) "left" else "inner")
+      .select(probe.columns.map(c => probe(c)) ++
+        carry.map(c => b(s"asof_$c")): _*)
+  }
+
   /** Bounded RANGE join: all (left, right) pairs sharing `keys` (possibly
     * empty — then it is a pure time-proximity join) whose long time
     * columns differ by at most `window`. Column names of the two sides

@@ -69,6 +69,35 @@ object Temporal {
       |  ON e.user_id = p.user_id AND e.ts < p.ts
       |ORDER BY purchase_id""".stripMargin
 
+  // ------------------------------------------------------------------ j3
+
+  /** j1 again, through the dedicated physical operator
+    * ([[graft.operators.TemporalJoins.asOfExec]] → `AsOfJoinExec`): same
+    * semantics, same oracle, different plan — exchange+sort per side and a
+    * single merge pass instead of union+window. Keeping both forms under
+    * the gate pins that the custom exec and the declarative formulation
+    * can never drift apart.
+    */
+  def asofAttributionExec(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+    val triggers = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("trig_id"), col("event_type").as("trig_type"))
+    graft.operators.TemporalJoins.asOfExec(
+        probe = purchases, build = triggers,
+        keys = Seq("user_id"), tsCol = "ts",
+        carry = Seq("trig_id", "trig_type", "ts"),
+        strict = true, tieBreak = Seq("trig_id"))
+      .select(col("purchase_id"), col("user_id"),
+        col("asof_trig_id").as("attributed_id"),
+        col("asof_trig_type").as("attributed_type"),
+        expr("(unix_micros(ts) - unix_micros(asof_ts)) DIV 1000000")
+          .as("lag_seconds"))
+      .orderBy("purchase_id")
+  }
+
   // ------------------------------------------------------------------ j2
 
   /** Bounded RANGE join (incident correlation): all (purchase, error) pairs
@@ -110,9 +139,13 @@ object Temporal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j1_asof_attribution" -> (asofAttribution _),
-    "j2_range_correlation" -> (rangeCorrelation _))
+    "j2_range_correlation" -> (rangeCorrelation _),
+    "j3_asof_exec" -> (asofAttributionExec _))
 
   val oracles: Map[String, String] = Map(
     "j1_asof_attribution" -> asofAttributionSql,
-    "j2_range_correlation" -> rangeCorrelationSql)
+    "j2_range_correlation" -> rangeCorrelationSql,
+    // same semantics, same oracle: the exec path must match DuckDB's ASOF
+    // exactly as the window formulation does
+    "j3_asof_exec" -> asofAttributionSql)
 }
