@@ -72,7 +72,8 @@ object ScaleStress {
     "d6_embedding_near_dup", "n6_quantized_rescore",
     "t18_weighted_sample", "t19_bm25_search", "t20_pack_sequences",
     "t21_source_cap", "t22_cluster_cap", "z4_heavy_hitters",
-    "j1_asof_attribution", "j2_range_correlation", "e2_user_sessions",
+    "j1_asof_attribution", "j3_asof_exec", "j2_range_correlation",
+    "e2_user_sessions",
     "q1_pricing_summary", "q3_shipping_priority",
     "q5_local_supplier_volume", "q9_product_profit")
 

@@ -168,8 +168,27 @@ object EventStreaming {
       DocumentStreams.tokenCounts(DocumentStreams.readDocuments(spark, dir)),
       s"st8_mem_${runSeq.incrementAndGet()}", OutputMode.Update()))
 
+  /** st10: STREAM-STREAM bounded-range join (streaming j2). Purchases and
+    * errors arrive as two independent streams; Spark's symmetric hash join
+    * on the covering-bucket key emits each within-60s pair exactly once
+    * (Append mode — pairs never retract), and the drained replay must
+    * equal the batch bucket join row-for-row — shared j2 oracle. This is
+    * the one join family the stateful st* set didn't cover: both sides
+    * live, state on both sides, eviction driven by the other side's
+    * watermark.
+    */
+  def streamRangeCorrelation(spark: SparkSession, dir: String): DataFrame =
+    EventStreams.replayToTable(
+      EventStreams.rangeJoin(
+        EventStreams.readEvents(spark, dir),
+        EventStreams.readEvents(spark, dir),
+        windowUs = 60000000L),
+      s"st10_mem_${runSeq.incrementAndGet()}", OutputMode.Append())
+      .orderBy("purchase_id", "error_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st8_stream_heavy_hitters" -> (streamHeavyHitters _),
+    "st10_stream_range_join" -> (streamRangeCorrelation _),
     "st2_stream_hourly" -> (streamHourly _),
     "st3_stream_sessions" -> (streamSessions _),
     "st5_stream_attribution" -> (streamAttribution _),
@@ -179,6 +198,7 @@ object EventStreaming {
 
   val oracles: Map[String, String] = Map(
     "st8_stream_heavy_hitters" -> Sketches.heavyHittersSql,
+    "st10_stream_range_join" -> Temporal.rangeCorrelationSql,
     "st2_stream_hourly" -> Events.hourlyRollupSql,
     "st3_stream_sessions" -> Events.userSessionsSql,
     "st5_stream_attribution" -> Temporal.asofAttributionSql,

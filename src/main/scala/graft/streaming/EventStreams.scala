@@ -200,6 +200,51 @@ object EventStreams {
       }
   }
 
+  /** STREAM-STREAM bounded-range join — the streaming twin of j2
+    * ([[graft.operators.TemporalJoins.boundedRange]]): purchases and errors
+    * arrive on two live streams and every (purchase, error) pair within
+    * `windowUs` is emitted, exactly once, in Append mode.
+    *
+    * Same covering-bucket move as the batch operator: the purchase side
+    * fans out to its 3 covering width-W buckets, the error side keeps its
+    * one, and the join Spark executes is an EQUI-join on the bucket id —
+    * StreamingSymmetricHashJoinExec with state hash-partitioned by bucket —
+    * never a nested-loop over unbounded streams. The event-time range
+    * condition on the two WATERMARKED ts columns is the exact |Δ| ≤ W
+    * predicate (so the bucket fan-out adds no false pairs) and is also
+    * what lets the symmetric join evict state: each side holds only rows
+    * younger than (other side's watermark − W), so state is bounded by the
+    * delay horizon × arrival rate, not by stream length. At 100 TB/day the
+    * state store holds one delay-window of purchases+errors per bucket
+    * shard; everything older is dropped by the same watermark math the
+    * batch twin needs no state for at all.
+    *
+    * `delay` bounds tolerated cross-stream disorder exactly as in
+    * [[userSessions]]: pairs whose two sides arrive more than `delay`
+    * apart in watermark time may be lost — size it to real lateness.
+    */
+  def rangeJoin(purchaseEvents: DataFrame, errorEvents: DataFrame,
+      windowUs: Long, delay: String = "1 hour"): DataFrame = {
+    require(windowUs > 0, "window must be positive")
+    val p = purchaseEvents.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", delay)
+      .withColumn("p_us", unix_micros(col("p_ts")))
+      .withColumn("__pb", expr(s"p_us DIV $windowUs"))
+      .withColumn("__bucket",
+        explode(array(col("__pb") - 1, col("__pb"), col("__pb") + 1)))
+    val e = errorEvents.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("ts").as("e_ts"))
+      .withWatermark("e_ts", delay)
+      .withColumn("e_us", unix_micros(col("e_ts")))
+      .withColumn("__bucket", expr(s"e_us DIV $windowUs"))
+    p.join(e, p("__bucket") === e("__bucket")
+        && col("e_ts") >= col("p_ts") - expr(s"INTERVAL $windowUs MICROSECOND")
+        && col("e_ts") <= col("p_ts") + expr(s"INTERVAL $windowUs MICROSECOND"))
+      .select(col("purchase_id"), col("error_id"),
+        abs(col("p_us") - col("e_us")).as("lag_us"))
+  }
+
   /** Drain an events zone through a streaming query into an in-memory table
     * (complete/update modes — the finite-replay harness used by the st*
     * oracle queries and tests), returning the result frame.
