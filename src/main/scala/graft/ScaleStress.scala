@@ -272,6 +272,39 @@ object ScaleStress {
       try materialize(fn(spark, baseDir)) catch { case _: Throwable => () }
     }
 
+    // Entity-resolution scale experiment (SPARK_GRAFT_J4=k1,k2,...): j4's
+    // scale claim is that cost tracks DISTINCT values, not rows. Replicate
+    // part k-fold with offset ids and UNCHANGED names — the natural shape
+    // of a value column at scale: rows grow, the value vocabulary doesn't —
+    // and time the full match. The distinct-value table is identical at
+    // every k, so the matched pairs must be too (canonical ids stay the
+    // base-replica minima); only the collapse scan may grow.
+    sys.env.get("SPARK_GRAFT_J4").map(_.split(",").map(_.trim.toInt).toSeq)
+      .foreach { ks =>
+        import org.apache.spark.sql.functions.{broadcast, col}
+        ks.foreach { k =>
+          val dir = s"target/scale/j4x$k"
+          val done = new java.io.File(s"$dir/_GENERATED")
+          if (!done.exists()) {
+            val reps = spark.range(0, k).select(col("id").as("rep"))
+            spark.read.parquet(s"$baseDir/part.parquet")
+              .crossJoin(broadcast(reps))
+              .withColumn("p_partkey", col("p_partkey") + col("rep") * IdOffset)
+              .drop("rep")
+              .repartition(spark.sparkContext.defaultParallelism)
+              .write.mode("overwrite").parquet(s"$dir/part.parquet")
+            java.nio.file.Files.write(done.toPath, Array.emptyByteArray)
+          }
+          spark.catalog.clearCache(); System.gc()
+          val q0 = System.nanoTime()
+          val rows = materialize(SparkEntry.queries("j4_fuzzy_match")(spark, dir))
+          val sec = (System.nanoTime() - q0) / 1e9
+          println(s"""{"scale":$k,"variant":"j4","query":"j4_fuzzy_match","sec":${f2(sec)},"rows":$rows}""")
+        }
+        spark.stop()
+        return
+      }
+
     // Skew experiment (SPARK_GRAFT_SKEW=<k>): a corpus where one 8-token
     // boilerplate sentence appears in EVERY document, so each of its
     // word-3-grams has df = 5000k/k per replica — far over MaxGramDf. Run
