@@ -576,7 +576,101 @@ object Similarity {
     hits / exact.count().toDouble
   }
 
+  // ------------------------------------------------------------------ n7
+
+  /** n7: the IVF index PERSISTED AS PHYSICAL LAYOUT — build once, probe
+    * many. [[ivfTopK]] recomputes quantizer + inverted lists per query;
+    * a production corpus builds them once and serves every probe from
+    * disk. The index is two parquet artifacts:
+    *
+    *  - `centroids.parquet` — K rows of (cid, cv, cnorm), metadata-scale;
+    *  - `cells/` — the corpus (vec_id, v, norm) Hive-PARTITIONED BY CELL.
+    *
+    * Partitioning by cell turns probe-time cell selection into PARTITION
+    * PRUNING: the probe's `cell IN (...)` predicate reaches the file
+    * index, so a probe over nprobe·|Q| distinct cells READS ONLY THOSE
+    * DIRECTORIES — at the √n schedule (K ≈ 2,200 cells at 500M vectors),
+    * a 20-query probe touches ~40/2200 ≈ 2% of the corpus bytes, and no
+    * compute (not even the scan) happens on the rest. IvfIndexSpec proves
+    * the pruning behaviorally: a poisoned unprobed cell directory never
+    * fails a pruned probe. Scoring is identical to n4 (same refined
+    * centroids round-tripped exactly through parquet doubles, same
+    * rounded-cosine ranking), so n7 shares n4's oracle — the index can
+    * never drift from the from-scratch computation.
+    */
+  def ivfIndexTopK(spark: SparkSession, dir: String): DataFrame = {
+    val idx = indexDirFor(dir)
+    buildIvfIndex(spark, dir, idx)
+    probeIvfIndex(spark, dir, idx, NumProbe)
+  }
+
+  private[queries] def indexDirFor(dir: String): String =
+    "target/ivf_index/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** Build the index artifacts (overwrite): the measured n7 entry includes
+    * the build, the x3 export precedent — a sink query's cost IS its sink.
+    */
+  def buildIvfIndex(spark: SparkSession, dir: String, indexDir: String,
+      numCells: Int = NumCells, lloydIters: Int = LloydIters): Unit = {
+    VectorOps.register(spark)
+    import spark.implicits._
+    val e = widen(Tables(spark, dir).embeddings
+      .select(col("vec_id"), asDouble("embedding").as("v"))
+      .withColumn("norm", sqrt(expr("graft_dot(v, v)"))))
+    val cents = refinedCentroids(e, numCells, lloydIters)
+    cents.map(c => (c.cid, c.cv.toSeq, c.cnorm)).toDF("cid", "cv", "cnorm")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$indexDir/centroids.parquet")
+    e.withColumn("cell", cellExpr(cents, col("v"), col("norm")))
+      .select(col("vec_id"), col("v"), col("norm"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/cells")
+  }
+
+  /** Probe the persisted index: standalone — centroids come back from the
+    * index, never recomputed; the corpus scan carries the probed-cells
+    * predicate into the file index (PartitionFilters), so unprobed cell
+    * directories are never opened.
+    */
+  def probeIvfIndex(spark: SparkSession, dir: String, indexDir: String,
+      nprobe: Int): DataFrame = {
+    VectorOps.register(spark)
+    val cents = spark.read.parquet(s"$indexDir/centroids.parquet")
+      .collect().toSeq
+      .map(r => Centroid(r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_.cid)
+    val q = Tables(spark, dir).embeddings
+      .select(col("vec_id"), asDouble("embedding").as("v"))
+      .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
+      .filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("v1"), col("norm").as("n1"))
+    val probe = q.select(col("query_id"),
+        explode(TopCells.cellsCol(
+          cents.map(c => (c.cid, c.cv, c.cnorm)), nprobe,
+          col("v1"), col("n1"))).as("cell"))
+    // the probed cell ids (≤ |Q|·nprobe values — driver-side metadata, the
+    // partition-key-gather class) become the scan's pruning predicate
+    val probedCells = probe.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val corpus = spark.read.parquet(s"$indexDir/cells")
+      .withColumn("cell", col("cell").cast("long"))
+      .filter(col("cell").isin(probedCells: _*))
+      .select(col("vec_id"), col("v").as("v2"), col("norm").as("n2"), col("cell"))
+    val scored = corpus.join(broadcast(probe), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cos", round(expr(dotExpr) / (col("n1") * col("n2")), 4))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cell"), col("cos"))
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "n7_ivf_index_topk" -> (ivfIndexTopK _),
     "n5_quantize" -> (quantize _),
     "n1_brute_force_topk" -> (bruteForceTopK _),
     "n2_lsh_bucket_topk" -> (lshBucketTopK _),
@@ -585,6 +679,8 @@ object Similarity {
     "n6_quantized_rescore" -> (quantizedRescoreTopK _))
 
   val oracles: Map[String, String] = Map(
+    // the persisted index must reproduce the from-scratch IVF exactly
+    "n7_ivf_index_topk" -> ivfTopKSql,
     "n5_quantize" -> quantizeSql,
     "n1_brute_force_topk" -> bruteForceTopKSql,
     "n2_lsh_bucket_topk" -> lshBucketTopKSql,
