@@ -272,6 +272,35 @@ object ScaleStress {
       try materialize(fn(spark, baseDir)) catch { case _: Throwable => () }
     }
 
+    // Persisted-index scale experiment (SPARK_GRAFT_N7=k1,k2,...): n7's
+    // claim is that probes against the persisted IVF index cost the PROBED
+    // CELLS, not the corpus — build once (timed separately: the amortized
+    // cost), then probe (timed: the steady-state serving cost). Uses the
+    // same √n cell schedule as n4/d11, so the probe touches ~nprobe·|Q|/K
+    // of the corpus partitions and the probe curve should flatten as K
+    // grows while n4 (rebuild per query) keeps paying the full corpus.
+    sys.env.get("SPARK_GRAFT_N7").map(_.split(",").map(_.trim.toInt).toSeq)
+      .foreach { ks =>
+        ks.foreach { k =>
+          val dir = s"target/scale/x$k"
+          generate(spark, baseDir, dir, k)
+          val idx = s"target/scale/ivf_index_x$k"
+          spark.catalog.clearCache(); System.gc()
+          val b0 = System.nanoTime()
+          graft.queries.Similarity.buildIvfIndex(spark, dir, idx,
+            numCells = d11Cells(k))
+          val buildSec = (System.nanoTime() - b0) / 1e9
+          spark.catalog.clearCache(); System.gc()
+          val p0 = System.nanoTime()
+          val rows = materialize(
+            graft.queries.Similarity.probeIvfIndex(spark, dir, idx, nprobe = 2))
+          val probeSec = (System.nanoTime() - p0) / 1e9
+          println(s"""{"scale":$k,"variant":"n7","cells":${d11Cells(k)},"build_sec":${f2(buildSec)},"probe_sec":${f2(probeSec)},"rows":$rows}""")
+        }
+        spark.stop()
+        return
+      }
+
     // Entity-resolution scale experiment (SPARK_GRAFT_J4=k1,k2,...): j4's
     // scale claim is that cost tracks DISTINCT values, not rows. Replicate
     // part k-fold with offset ids and UNCHANGED names — the natural shape

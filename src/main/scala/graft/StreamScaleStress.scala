@@ -268,6 +268,21 @@ object StreamScaleStress {
         EventStreaming.collapseAttribution,
         Some(Temporal.asofAttribution(spark, dir)))
 
+      // st10: stream-stream bounded-range join — state on BOTH sides of
+      // Spark's symmetric hash join, keyed by the covering bucket; the 1h
+      // delay covers the slice-boundary disorder, and the drained pairs
+      // must equal the batch bucket join at every scale.
+      run("st10_range_join",
+        EventStreams.rangeJoin(
+          EventStreams.readEvents(spark, evZone, glob = "*.parquet",
+            maxFilesPerTrigger = Some(1)),
+          EventStreams.readEvents(spark, evZone, glob = "*.parquet",
+            maxFilesPerTrigger = Some(1)),
+          windowUs = 60000000L),
+        OutputMode.Append(),
+        df => df,
+        Some(Temporal.rangeCorrelation(spark, dir)))
+
       run("st6_dedup",
         DocumentStreams.dedupGroups(DocumentStreams.readDocuments(
           spark, docZone, glob = "*.parquet", maxFilesPerTrigger = Some(1))),
