@@ -172,66 +172,87 @@ case class AsOfJoinExec(
     copy(left = newLeft, right = newRight)
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val keyTypes = leftKeys.map(_.dataType)
     val numOutputRows = longMetric("numOutputRows")
     left.execute().zipPartitions(right.execute()) { (probeIter, buildIter) =>
-      val pKeyProj = UnsafeProjection.create(leftKeys, left.output)
-      val bKeyProj = UnsafeProjection.create(rightKeys, right.output)
-      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
-      val pTs = BindReferences.bindReference(leftTs, left.output)
-      val bTs = BindReferences.bindReference(rightTs, right.output)
+      // One codegen'd projection per side packs (keys..., ts) into a flat
+      // UnsafeRow: key comparison and ts access both read that row, so the
+      // per-probe work is one projection + primitive field reads — no boxed
+      // eval in the merge loop.
+      val n = leftKeys.length
+      val pProj = UnsafeProjection.create(leftKeys :+ leftTs, left.output)
+      val bProj = UnsafeProjection.create(rightKeys :+ rightTs, right.output)
+      val keyAttrs = leftKeys.zipWithIndex.map { case (k, i) =>
+        AttributeReference(s"k$i", k.dataType, nullable = true)()
+      }
+      // codegen'd comparator over the first n fields (the trailing ts field
+      // is outside the bound ordinals and ignored)
+      val keyOrd = RowOrdering.create(
+        keyAttrs.map(SortOrder(_, Ascending)), keyAttrs)
+      val tsIsInt = leftTs.dataType == IntegerType
+      @inline def tsOf(r: InternalRow): Long =
+        if (tsIsInt) r.getInt(n).toLong else r.getLong(n)
       // bind against `output` (right side nullability-adjusted under
       // keepUnmatched) — binding against the children's non-nullable attrs
       // would elide the null checks the null-extended row needs
       val toUnsafe = UnsafeProjection.create(output, output)
-      val joined = new JoinedRow
-      val nullRight = new GenericInternalRow(right.output.length)
 
-      // Lookahead build row (copied: iterator rows reuse buffers) + the
-      // carried last qualifying row for the current key run. O(1) state.
-      var bNext: InternalRow = null
-      var bNextKey: InternalRow = null
-      def pull(): Unit =
-        if (buildIter.hasNext) {
-          bNext = buildIter.next().copy()
-          bNextKey = bKeyProj(bNext).copy()
-        } else { bNext = null; bNextKey = null }
-      pull()
-      var carried: InternalRow = null
-      var carriedKey: InternalRow = null
+      new Iterator[InternalRow] {
+        private[this] val joined = new JoinedRow
+        private[this] val nullRight = new GenericInternalRow(right.output.length)
+        // Lookahead build row + the carried last qualifying row for the
+        // current key run (copied: iterator rows reuse buffers). O(1) state.
+        private[this] var bNext: InternalRow = _
+        private[this] var bNextP: InternalRow = _
+        private[this] var carried: InternalRow = _
+        private[this] var carriedP: InternalRow = _
+        private[this] var pending: InternalRow = _
+        pull()
 
-      probeIter.flatMap { p =>
-        val pKey = pKeyProj(p)
-        val ptsV = pTs.eval(p)
-        if (ptsV == null) {
-          // a null probe ts can never have an earlier build row
-          if (keepUnmatched) { numOutputRows += 1; Iterator.single(toUnsafe(joined(p, nullRight))) }
-          else Iterator.empty
-        } else {
-          val pts = ptsV.asInstanceOf[Number].longValue()
-          var advance = true
-          while (advance && bNext != null) {
-            val c = keyOrd.compare(bNextKey, pKey)
-            if (c < 0) { pull() } // earlier key run: skip (nothing probes it again)
-            else if (c > 0) advance = false
-            else {
-              val btsV = bTs.eval(bNext)
-              if (btsV == null) pull() // null build ts never attributes
-              else {
-                val bts = btsV.asInstanceOf[Number].longValue()
-                if (if (strict) bts < pts else bts <= pts) {
-                  carried = bNext; carriedKey = bNextKey; pull()
-                } else advance = false
+        private def pull(): Unit =
+          if (buildIter.hasNext) {
+            bNext = buildIter.next().copy()
+            bNextP = bProj(bNext).copy()
+          } else { bNext = null; bNextP = null }
+
+        override def hasNext: Boolean = {
+          if (pending == null) computeNext()
+          pending != null
+        }
+
+        override def next(): InternalRow = {
+          if (pending == null) computeNext()
+          val r = pending; pending = null; r
+        }
+
+        private def computeNext(): Unit = {
+          while (pending == null && probeIter.hasNext) {
+            val p = probeIter.next()
+            val pp = pProj(p)
+            if (pp.isNullAt(n)) {
+              // a null probe ts can never have an earlier build row
+              if (keepUnmatched) pending = toUnsafe(joined(p, nullRight))
+            } else {
+              val pts = tsOf(pp)
+              var advance = true
+              while (advance && bNext != null) {
+                val c = keyOrd.compare(bNextP, pp)
+                if (c < 0) pull() // earlier key run: nothing probes it again
+                else if (c > 0) advance = false
+                else if (bNextP.isNullAt(n)) pull() // null build ts never attributes
+                else {
+                  val bts = tsOf(bNextP)
+                  if (if (strict) bts < pts else bts <= pts) {
+                    carried = bNext; carriedP = bNextP; pull()
+                  } else advance = false
+                }
               }
+              if (carried != null && keyOrd.compare(carriedP, pp) == 0)
+                pending = toUnsafe(joined(p, carried))
+              else if (keepUnmatched)
+                pending = toUnsafe(joined(p, nullRight))
             }
           }
-          if (carried != null && keyOrd.compare(carriedKey, pKey) == 0) {
-            numOutputRows += 1
-            Iterator.single(toUnsafe(joined(p, carried)))
-          } else if (keepUnmatched) {
-            numOutputRows += 1
-            Iterator.single(toUnsafe(joined(p, nullRight)))
-          } else Iterator.empty
+          if (pending != null) numOutputRows += 1
         }
       }
     }
