@@ -107,14 +107,55 @@ object Events {
       |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 90
       |ORDER BY event_id""".stripMargin
 
+  /** e5: INCREMENTAL rollup maintenance — `Rollups.fold` driven as an
+    * ingest simulation: the events table split into three contiguous
+    * time ranges (the nightly-delta shape), folded range-by-range into a
+    * rollup state that starts empty, displayed once after the last fold.
+    * The oracle is e1's SQL verbatim — the operator's whole claim is that
+    * O(delta) incremental refresh equals the one-shot O(history)
+    * aggregate, and the gate checks that equality against an independent
+    * engine. State is localCheckpoint'ed between folds exactly as a real
+    * pipeline persists it between nightly runs; measures stay raw doubles
+    * in state and round only here, at read time.
+    */
+  def incrementalRollup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(
+        date_trunc("hour", col("ts")).as("hour"),
+        col("event_type"), col("value"))
+    val Array(lo, hi) = ev.agg(min("hour"), max("hour"))
+      .collect().map(r => Seq(r.getTimestamp(0), r.getTimestamp(1))).head.toArray
+    val (t1, t2) = (
+      new java.sql.Timestamp(lo.getTime + (hi.getTime - lo.getTime) / 3),
+      new java.sql.Timestamp(lo.getTime + 2 * (hi.getTime - lo.getTime) / 3))
+    val deltas = Seq(
+      ev.filter(col("hour") <= lit(t1)),
+      ev.filter(col("hour") > lit(t1) && col("hour") <= lit(t2)),
+      ev.filter(col("hour") > lit(t2)))
+    val keys = Seq("hour", "event_type")
+    var state = graft.operators.Rollups.emptyRollup(spark,
+      Seq("hour" -> org.apache.spark.sql.types.TimestampType,
+        "event_type" -> org.apache.spark.sql.types.StringType))
+    deltas.foreach { d =>
+      state = graft.operators.Rollups.fold(d, state, keys).localCheckpoint()
+    }
+    state.select(
+      date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
+      col("event_type"), col("n_events"),
+      round(col("total_value"), 2).as("total_value"))
+      .orderBy("hour_ts", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_hourly_rollup" -> (hourlyRollup _),
+    "e5_incremental_rollup" -> (incrementalRollup _),
     "e2_user_sessions" -> (userSessions _),
     "e3_user_type_pivot" -> (userTypePivot _),
     "e4_props_extract" -> (propsExtract _))
 
   val oracles: Map[String, String] = Map(
     "e1_hourly_rollup" -> hourlyRollupSql,
+    "e5_incremental_rollup" -> hourlyRollupSql,
     "e2_user_sessions" -> userSessionsSql,
     "e3_user_type_pivot" -> userTypePivotSql,
     "e4_props_extract" -> propsExtractSql)

@@ -54,6 +54,53 @@ object Relational {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** TPC-H Q2 shape: minimum-cost supplier — a correlated scalar subquery
+    * ("the minimum effective unit price anyone shipped this part at"),
+    * decorrelated the way Catalyst itself would: one window-min over the
+    * part key instead of a per-row subquery. The oracle keeps the textbook
+    * correlated spelling, so the gate proves the decorrelation is exact.
+    *
+    * Plan: part filter broadcasts into the fact scan, then ONE hash
+    * exchange on l_partkey serves both the window min and the equality
+    * filter; the tied (part, supplier) winners collapse in a tiny aggregate
+    * and supplier/nation broadcast back in. The double division is computed
+    * identically in both engines (IEEE), and min is order-independent, so
+    * `eff = min(eff)` is bit-exact — the display value is rounded only
+    * after the comparison.
+    */
+  def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val p = t.part.filter(col("p_size") <= 3).select("p_partkey", "p_name")
+    val eff = col("l_extendedprice") / col("l_quantity")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
+    t.lineitem.select(col("l_partkey"), col("l_suppkey"), eff.as("eff"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .withColumn("min_eff", min("eff").over(w))
+      .filter(col("eff") === col("min_eff"))
+      .groupBy("p_partkey", "p_name", "l_suppkey")
+      .agg(round(min("eff"), 2).as("unit_price"))
+      .join(broadcast(t.supplier.select("s_suppkey", "s_name", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.nation.select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("p_partkey", "p_name", "s_name", "n_name", "unit_price")
+      .orderBy("p_partkey", "s_name")
+  }
+
+  val minCostSupplierSql: String =
+    """SELECT p_partkey, p_name, s_name, n_name,
+      | round(min(l_extendedprice / l_quantity), 2) AS unit_price
+      |FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_size <= 3
+      |  AND l_extendedprice / l_quantity =
+      |      (SELECT min(l2.l_extendedprice / l2.l_quantity)
+      |       FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
+      |GROUP BY p_partkey, p_name, s_name, n_name
+      |ORDER BY p_partkey, s_name""".stripMargin
+
   /** TPC-H Q6 shape: selective scan + scalar aggregate. The three predicates
     * are all pushed to the parquet reader (PushedFilters); no shuffle at all
     * beyond the final single-row combine.
@@ -325,6 +372,7 @@ object Relational {
 
   val queries: Map[String, Q] = Map(
     "q1_pricing_summary" -> (pricingSummary _),
+    "q2_min_cost_supplier" -> (minCostSupplier _),
     "q3_shipping_priority" -> (shippingPriority _),
     "q4_order_priority_check" -> (orderPriorityCheck _),
     "q5_local_supplier_volume" -> (localSupplierVolume _),
@@ -336,6 +384,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> pricingSummarySql,
+    "q2_min_cost_supplier" -> minCostSupplierSql,
     "q3_shipping_priority" -> shippingPrioritySql,
     "q4_order_priority_check" -> orderPriorityCheckSql,
     "q5_local_supplier_volume" -> localSupplierVolumeSql,
