@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.GraftSession
-import graft.queries.{BinaryPipeline, Dedup, Entity, Events, EventStreaming, Multimodal, ProductPipeline, Relational, Sampling, Scrape, SetOps, Similarity, Sketches, Strings, Temporal, TextAnalysis, Windows}
+import graft.queries.{BinaryPipeline, Dedup, Entity, Events, EventStreaming, Layout, Multimodal, ProductPipeline, Relational, Sampling, Scrape, SetOps, Similarity, Sketches, Strings, Temporal, TextAnalysis, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -20,7 +20,7 @@ object SparkEntry {
       Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
       ProductPipeline.queries ++ BinaryPipeline.queries ++ Scrape.queries ++
       EventStreaming.queries ++ Sketches.queries ++ Temporal.queries ++
-      Sampling.queries ++ Entity.queries
+      Sampling.queries ++ Entity.queries ++ Layout.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +30,5 @@ object SparkEntry {
       Similarity.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++
       ProductPipeline.oracles ++ BinaryPipeline.oracles ++ Scrape.oracles ++
       EventStreaming.oracles ++ Sketches.oracles ++ Temporal.oracles ++
-      Sampling.oracles ++ Entity.oracles
+      Sampling.oracles ++ Entity.oracles ++ Layout.oracles
 }

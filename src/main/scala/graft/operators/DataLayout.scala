@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data layout for scan pruning — the lakehouse
+  * OPTIMIZE/Z-ORDER move (public literature: Morton-order space-filling
+  * curves; Delta Lake's OPTIMIZE ZORDER BY): rewrite a table so rows close
+  * in a multi-column key space land in the same parquet row groups, which
+  * turns the reader's min/max statistics into effective pruning for
+  * predicates over ANY of the z-ordered columns at once.
+  *
+  * Why not just sort? A single-column sort clusters that column perfectly
+  * and leaves every other column's per-row-group range spanning the whole
+  * table — a 2-D box predicate prunes on one dimension and reads
+  * everything else. Bit-interleaving the dimensions bounds EVERY
+  * dimension's spread within a run of consecutive z-values, so each row
+  * group covers a small hyper-rectangle and a selective box predicate
+  * skips most of the file without opening it.
+  *
+  * Results are layout-independent — l1's gate runs the same filter through
+  * DuckDB over the ORIGINAL table and hash-compares — and the pruning
+  * claim is checked structurally (DataLayoutSpec reads the parquet footers
+  * the same way the reader's row-group filter does).
+  *
+  * Scale shape: the rewrite is one range-repartition by z-value (a sample
+  * pass + one full shuffle — the same cost as any global sort, paid once,
+  * amortized over every subsequent scan), and the write is embarrassingly
+  * parallel. At 100 TB this runs as a per-partition maintenance job, not
+  * one global rewrite.
+  */
+object DataLayout {
+
+  /** 32-bit Morton code of two columns, each first normalized to a 16-bit
+    * rank within [lo, hi] (driver-known bounds: table min/max — metadata,
+    * not data). Pure column arithmetic — codegen'd, no UDF.
+    */
+  def zvalue2(a: Column, aLo: Double, aHi: Double,
+      b: Column, bLo: Double, bHi: Double): Column = {
+    def rank16(c: Column, lo: Double, hi: Double): Column =
+      least(lit(65535), greatest(lit(0),
+        floor((c.cast("double") - lit(lo)) / lit(math.max(hi - lo, 1e-300)) * lit(65536.0))
+          .cast("long")))
+    val (ra, rb) = (rank16(a, aLo, aHi), rank16(b, bLo, bHi))
+    (0 until 16).map { i =>
+      val abit = shiftleft(shiftright(ra, i).bitwiseAND(lit(1L)), 2 * i + 1)
+      val bbit = shiftleft(shiftright(rb, i).bitwiseAND(lit(1L)), 2 * i)
+      abit.bitwiseOR(bbit)
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Rewrite `df` z-ordered by the given 32-bit z-value column: range
+    * repartition so each output file owns a contiguous z-range, sort
+    * within, and write with small row groups so the min/max granularity
+    * matches the target scan selectivity. `rowGroupBytes` is the pruning
+    * granule: smaller groups prune tighter and cost more footer entries
+    * (parquet's usual trade).
+    */
+  def zorderWrite(df: DataFrame, z: Column, path: String,
+      numFiles: Int, rowGroupBytes: Long): Unit =
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite")
+      .option("parquet.block.size", rowGroupBytes.toString)
+      .parquet(path)
+
+  /** Per-row-group (min, max, rows) of two INT64 columns, straight from
+    * the parquet footers — exactly the statistics the reader's row-group
+    * filter consults, so "stats disjoint from the predicate box" IS
+    * "row group never read".
+    */
+  def rowGroupStats(spark: org.apache.spark.sql.SparkSession, path: String,
+      colA: String, colB: String): Seq[((Long, Long), (Long, Long), Long)] = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(path).getFileSystem(conf)
+    val files = fs.listStatus(new Path(path))
+      .filter(f => f.getPath.getName.endsWith(".parquet"))
+    files.toSeq.flatMap { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
+      try {
+        import scala.jdk.CollectionConverters._
+        reader.getFooter.getBlocks.asScala.toSeq.map { bl =>
+          def mm(name: String): (Long, Long) = {
+            val cc = bl.getColumns.asScala
+              .find(_.getPath.toDotString == name).get
+            val st = cc.getStatistics
+            (st.genericGetMin.asInstanceOf[Number].longValue(),
+              st.genericGetMax.asInstanceOf[Number].longValue())
+          }
+          (mm(colA), mm(colB), bl.getRowCount)
+        }
+      } finally reader.close()
+    }
+  }
+}
