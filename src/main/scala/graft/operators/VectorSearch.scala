@@ -105,6 +105,33 @@ object VectorSearch {
       .select("query_id", "rank", "neighbor_id", "cos", "qcos")
   }
 
+  /** HARD-NEGATIVE MINING (contrastive-training data prep; public
+    * literature: DPR, Karpukhin et al. 2020 — the "hard negatives come
+    * from the retriever itself" recipe): for each query vector, the top-k
+    * most similar corpus vectors with a DIFFERENT label. Both frames
+    * carry (id, v, label); a label mismatch implies an id mismatch, so
+    * the label predicate is the whole join condition. Same plan contract
+    * as [[cosineTopK]]: the bounded query set broadcasts, the corpus only
+    * scans — and the label filter runs inside the scan stage, so excluded
+    * same-class pairs never rank. At corpus scale, restrict candidates
+    * first (a `bucket` column + an equi-join, as in
+    * [[cosineTopKBucketed]]) and apply the same label predicate there.
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = prep(queries, "query_id", "v1", "n1")
+      .withColumnRenamed("label", "query_label")
+    val c = prep(corpus, "neighbor_id", "v2", "n2")
+      .withColumnRenamed("label", "neighbor_label")
+    val scored = broadcast(q).join(c, col("query_label") =!= col("neighbor_label"))
+      .withColumn("cos",
+        round(expr("graft_dot(v1, v2)") / (col("n1") * col("n2")), 4))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "neighbor_label", "cos")
+  }
+
   /** Bucketed ANN top-k: candidates restrict to the query's bucket, then
     * rank by exact cosine — the equi-join plan that survives a 100x
     * corpus (the quadratic work only happens within buckets). Recall is

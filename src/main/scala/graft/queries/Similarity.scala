@@ -669,8 +669,45 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** n8: hard-negative mining — for each query vector, the TopK most
+    * similar corpus vectors with a DIFFERENT label (the contrastive-
+    * training negatives a retriever mines from itself). Operator:
+    * `VectorSearch.hardNegatives`; the label predicate is the entire
+    * join condition (a label mismatch implies an id mismatch).
+    */
+  def hardNegativesTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+      .select(col("vec_id").as("id"), asDouble("embedding").as("v"),
+        col("label"))
+    graft.operators.VectorSearch
+      .hardNegatives(e.filter(col("id") < NumQueries), e, TopK)
+      .orderBy("query_id", "rank")
+  }
+
+  val hardNegativesTopKSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, label, v,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    c.label AS neighbor_label,
+       |    round(list_dot_product(q.v, c.v) / (q.norm * c.norm), 4) AS cos
+       |  FROM n q JOIN n c ON q.label <> c.label
+       |  WHERE q.vec_id < $NumQueries)
+       |SELECT query_id, rank, neighbor_id, neighbor_label, cos
+       |FROM (SELECT *, CAST(row_number() OVER (
+       |        PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+       |      FROM scored)
+       |WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n7_ivf_index_topk" -> (ivfIndexTopK _),
+    "n8_hard_negatives" -> (hardNegativesTopK _),
     "n5_quantize" -> (quantize _),
     "n1_brute_force_topk" -> (bruteForceTopK _),
     "n2_lsh_bucket_topk" -> (lshBucketTopK _),
@@ -681,6 +718,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     // the persisted index must reproduce the from-scratch IVF exactly
     "n7_ivf_index_topk" -> ivfTopKSql,
+    "n8_hard_negatives" -> hardNegativesTopKSql,
     "n5_quantize" -> quantizeSql,
     "n1_brute_force_topk" -> bruteForceTopKSql,
     "n2_lsh_bucket_topk" -> lshBucketTopKSql,
