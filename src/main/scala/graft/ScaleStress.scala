@@ -73,8 +73,8 @@ object ScaleStress {
     "t18_weighted_sample", "t19_bm25_search", "t20_pack_sequences",
     "t21_source_cap", "t22_cluster_cap", "z4_heavy_hitters",
     "j1_asof_attribution", "j3_asof_exec", "j2_range_correlation",
-    "e2_user_sessions",
-    "q1_pricing_summary", "q3_shipping_priority",
+    "e2_user_sessions", "e5_incremental_rollup", "n8_hard_negatives",
+    "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
     "q5_local_supplier_volume", "q9_product_profit")
 
   /** SemDeDup's K schedule. Total cost = centroid assignment (n·K dot
@@ -329,6 +329,133 @@ object ScaleStress {
           val rows = materialize(SparkEntry.queries("j4_fuzzy_match")(spark, dir))
           val sec = (System.nanoTime() - q0) / 1e9
           println(s"""{"scale":$k,"variant":"j4","query":"j4_fuzzy_match","sec":${f2(sec)},"rows":$rows}""")
+        }
+        spark.stop()
+        return
+      }
+
+    // Top-k aggregate experiment (SPARK_GRAFT_W5=k1,k2,...): the same
+    // per-customer top-3 over the x{k} orders table spelled two ways in
+    // the same session — the native graft_topk heap aggregate (no sort
+    // anywhere, k pairs per group per partition cross the exchange) vs
+    // the row_number window (two sorts around the exchange, with
+    // Catalyst's WindowGroupLimit map-side pruning — the strongest
+    // built-in form). Identical output (w5's gate pins it vs DuckDB);
+    // the gap here is purely machinery.
+    sys.env.get("SPARK_GRAFT_W5").map(_.split(",").map(_.trim.toInt).toSeq)
+      .foreach { ks =>
+        import org.apache.spark.sql.functions.col
+        ks.foreach { k =>
+          val dir = s"target/scale/x$k"
+          generate(spark, baseDir, dir, k)
+          generateTpch(spark, baseDir, dir, k)
+          def run(label: String, df: DataFrame): Unit = {
+            spark.catalog.clearCache(); System.gc()
+            val q0 = System.nanoTime()
+            val rows = materialize(df)
+            val sec = (System.nanoTime() - q0) / 1e9
+            println(s"""{"scale":$k,"variant":"w5","form":"$label","sec":${f2(sec)},"rows":$rows}""")
+          }
+          graft.core.Tables(spark, dir).orders
+            .createOrReplaceTempView("w5_scale_orders")
+          run("graft_topk_agg", spark.sql(
+            """SELECT o_custkey, p.pos + 1 AS rank, p.col.id, p.col.score
+              |FROM (SELECT o_custkey, graft_topk(3, o_totalprice, o_orderkey) AS top
+              |      FROM w5_scale_orders GROUP BY o_custkey)
+              |LATERAL VIEW posexplode(top) p""".stripMargin))
+          run("row_number_window", spark.sql(
+            """SELECT o_custkey, rank, o_orderkey, o_totalprice
+              |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+              |        row_number() OVER (PARTITION BY o_custkey
+              |          ORDER BY o_totalprice DESC, o_orderkey) AS rank
+              |      FROM w5_scale_orders)
+              |WHERE rank <= 3""".stripMargin))
+        }
+        spark.stop()
+        return
+      }
+
+    // Incremental-rollup ingest experiment (SPARK_GRAFT_E5=k1,k2,...):
+    // Rollups.fold's claim is the d14 one for aggregates — per-ingest cost
+    // is DELTA-sized while the state grows with history. Build the rollup
+    // state from the x{k} events corpus (untimed), then time folding the
+    // SAME base-sized delta (sf0.1 events, ids and ts offset above every
+    // replica) into it. A flat curve across k is the claim.
+    sys.env.get("SPARK_GRAFT_E5").map(_.split(",").map(_.trim.toInt).toSeq)
+      .foreach { ks =>
+        import org.apache.spark.sql.functions.{col, date_trunc, expr}
+        val keys = Seq("hour", "event_type")
+        def hourly(df: DataFrame): DataFrame = df.select(
+          date_trunc("hour", col("ts")).as("hour"),
+          col("event_type"), col("value"))
+        ks.foreach { k =>
+          val dir = s"target/scale/x$k"
+          generate(spark, baseDir, dir, k)
+          generateEvents(spark, baseDir, dir, k)
+          val state = graft.operators.Rollups.fold(
+            hourly(spark.read.parquet(s"$dir/events.parquet")),
+            graft.operators.Rollups.emptyRollup(spark,
+              Seq("hour" -> org.apache.spark.sql.types.TimestampType,
+                "event_type" -> org.apache.spark.sql.types.StringType)),
+            keys).localCheckpoint()
+          val stateRows = state.count()
+          val delta = hourly(graft.core.Tables(spark, baseDir).events
+            .withColumn("ts", expr("timestampadd(DAY, 80000, ts)")))
+          spark.catalog.clearCache(); System.gc()
+          val q0 = System.nanoTime()
+          val next = graft.operators.Rollups.fold(delta, state, keys)
+          val nextRows = materialize(next)
+          val sec = (System.nanoTime() - q0) / 1e9
+          println(s"""{"scale":$k,"variant":"e5_ingest","sec":${f2(sec)},"state_rows":$stateRows,"state_rows_after":$nextRows}""")
+        }
+        spark.stop()
+        return
+      }
+
+    // Z-order layout experiment (SPARK_GRAFT_L1=k1,k2,...): the layout
+    // claim splits like n7 — the REWRITE costs one range shuffle of the
+    // corpus (paid once, timed separately), and the box PROBE costs the
+    // stats-intersecting row groups only. For each k: rewrite the x{k}
+    // events corpus z-ordered over (user_id, ts), time the l1 box probe
+    // against it, and record the footer-level fraction of rows in
+    // intersecting row groups — the I/O the reader cannot skip. The probe
+    // matches only replica-0 rows (later replicas shift user ids and
+    // years), so result size is constant while the corpus grows: a flat
+    // probe curve with a shrinking read fraction is the claim.
+    sys.env.get("SPARK_GRAFT_L1").map(_.split(",").map(_.trim.toInt).toSeq)
+      .foreach { ks =>
+        import org.apache.spark.sql.functions.{col, date_format, round => fround, to_timestamp, lit, unix_timestamp}
+        ks.foreach { k =>
+          val dir = s"target/scale/x$k"
+          generate(spark, baseDir, dir, k)
+          generateEvents(spark, baseDir, dir, k)
+          val ld = s"target/scale/zorder_x$k"
+          spark.catalog.clearCache(); System.gc()
+          val b0 = System.nanoTime()
+          graft.queries.Layout.buildZorderLayout(spark, dir, ld)
+          val buildSec = (System.nanoTime() - b0) / 1e9
+          // footer-level prune fraction for the l1 box (user_id 5-9 x 3 days)
+          val tLo = java.sql.Timestamp.valueOf("2024-01-10 00:00:00").getTime / 1000
+          val tHi = java.sql.Timestamp.valueOf("2024-01-13 00:00:00").getTime / 1000
+          val gs = graft.operators.DataLayout.rowGroupStats(
+            spark, ld, "user_id", "ts")
+          val total = gs.map(_._3).sum.toDouble
+          val hit = gs.filter { case ((uMin, uMax), (tsMin, tsMax), _) =>
+            // parquet timestamp stats are micros since epoch
+            uMax >= 5 && uMin <= 9 &&
+              tsMax / 1000000 >= tLo && tsMin / 1000000 < tHi
+          }.map(_._3).sum.toDouble
+          spark.catalog.clearCache(); System.gc()
+          val p0 = System.nanoTime()
+          val rows = materialize(spark.read.parquet(ld)
+            .filter(col("user_id").between(5, 9) &&
+              col("ts") >= to_timestamp(lit("2024-01-10 00:00:00")) &&
+              col("ts") < to_timestamp(lit("2024-01-13 00:00:00")))
+            .select(col("event_id"), col("user_id"),
+              date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+              col("event_type"), fround(col("value"), 2).as("value")))
+          val probeSec = (System.nanoTime() - p0) / 1e9
+          println(s"""{"scale":$k,"variant":"l1","build_sec":${f2(buildSec)},"probe_sec":${f2(probeSec)},"rows":$rows,"row_groups":${gs.size},"read_fraction":${f2(hit / total * 100)}}""")
         }
         spark.stop()
         return

@@ -57,14 +57,27 @@ object DataLayout {
     * (parquet's usual trade).
     */
   def zorderWrite(df: DataFrame, z: Column, path: String,
-      numFiles: Int, rowGroupBytes: Long): Unit =
-    df.withColumn("__z", z)
+      numFiles: Int, rowGroupBytes: Long): Unit = {
+    // INT96 timestamps (the legacy default) carry NO min/max statistics
+    // and the reader disables predicate pushdown on them — an
+    // INT96-timestamped layout silently defeats the entire point of the
+    // rewrite. Pin TIMESTAMP_MICROS for the write, restore after.
+    val spark = df.sparkSession
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try df.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite")
       .option("parquet.block.size", rowGroupBytes.toString)
       .parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 
   /** Per-row-group (min, max, rows) of two INT64 columns, straight from
     * the parquet footers — exactly the statistics the reader's row-group
@@ -89,6 +102,11 @@ object DataLayout {
             val cc = bl.getColumns.asScala
               .find(_.getPath.toDotString == name).get
             val st = cc.getStatistics
+            // a null min/max (e.g. an INT96 column) means the reader
+            // cannot prune this group either — surface it loudly rather
+            // than report a pruning capability the scan doesn't have
+            require(st != null && st.genericGetMin != null && st.genericGetMax != null,
+              s"column $name carries no row-group statistics (INT96 timestamp?)")
             (st.genericGetMin.asInstanceOf[Number].longValue(),
               st.genericGetMax.asInstanceOf[Number].longValue())
           }

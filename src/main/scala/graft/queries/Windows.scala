@@ -115,13 +115,49 @@ object Windows {
       |WHERE p_retailprice > type_avg
       |ORDER BY p_partkey""".stripMargin
 
+  /** w5: per-customer top-3 orders by price through the NATIVE top-k
+    * AGGREGATE (`graft_topk`, functions/TopKAgg.scala) — same results as
+    * the row_number window spelling (the oracle), different machinery: no
+    * sort anywhere, partial k-heaps combine map-side, and the exchange
+    * carries at most k pairs per (customer, input partition) however hot
+    * a customer is. The SQL surface is exercised deliberately — the
+    * aggregate resolves through the GraftExtensions registration, the
+    * cluster-wide path.
+    */
+  def topOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).orders.createOrReplaceTempView("w5_orders")
+    spark.sql(
+      """SELECT o_custkey, CAST(p.pos + 1 AS BIGINT) AS rank,
+        |  p.col.id AS o_orderkey, round(p.col.score, 2) AS o_totalprice
+        |FROM (SELECT o_custkey,
+        |        graft_topk(3, o_totalprice, o_orderkey) AS top
+        |      FROM w5_orders GROUP BY o_custkey)
+        |LATERAL VIEW posexplode(top) p
+        |ORDER BY o_custkey, rank""".stripMargin)
+  }
+
+  /** The tie rule differs between the heap (score DESC, id ASC) and a
+    * naive `ORDER BY o_totalprice DESC` window (id order unspecified), so
+    * the oracle pins the identical total order explicitly.
+    */
+  val topOrdersPerCustomerSql: String =
+    """SELECT o_custkey, rank, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |        CAST(row_number() OVER (PARTITION BY o_custkey
+      |          ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank
+      |      FROM orders)
+      |WHERE rank <= 3
+      |ORDER BY o_custkey, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w5_topk_orders_agg" -> (topOrdersPerCustomer _),
     "w1_latest_order_per_customer" -> (latestOrderPerCustomer _),
     "w2_part_price_rank" -> (partPriceRank _),
     "w3_customer_order_gaps" -> (customerOrderGaps _),
     "w4_above_avg_parts" -> (aboveAvgParts _))
 
   val oracles: Map[String, String] = Map(
+    "w5_topk_orders_agg" -> topOrdersPerCustomerSql,
     "w1_latest_order_per_customer" -> latestOrderPerCustomerSql,
     "w2_part_price_rank" -> partPriceRankSql,
     "w3_customer_order_gaps" -> customerOrderGapsSql,
