@@ -66,6 +66,7 @@ object ScaleStress {
   private val Queries = Seq(
     "d1_exact_dedup", "d2_minhash_lsh", "d5_ngram_jaccard",
     "d9_dup_clusters", "d10_contamination_rate", "t14_corpus_curation",
+    "d8_decontaminate", "d15_bloom_decontaminate",
     "d12_dedup_verdicts", "d13_fuzzy_decontaminate",
     "d14_incremental_verdicts",
     "n2_lsh_bucket_topk", "n4_ivf_topk", "d11_semantic_dedup",

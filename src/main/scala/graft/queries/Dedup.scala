@@ -824,7 +824,7 @@ object Dedup {
     * prunes to the 1-in-97 eval docs AT THE SCAN via the pushed doc_id
     * filter, so its "second derivation" reads ~1% of the corpus).
     */
-  private def docGramHashes(spark: SparkSession, dir: String): DataFrame = {
+  private[queries] def docGramHashes(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.spread(
       Tables(spark, dir).documents.select("doc_id", "text"))
       .select(col("doc_id"), split(col("text"), " ").as("t"))
@@ -912,6 +912,46 @@ object Dedup {
        |WHERE g.doc_id % $EvalMod != 0
        |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  /** d15: BLOOM-PRUNED decontamination — d8's semantics for the regime
+    * where the eval gram set is too big to broadcast as an exact hash set
+    * (decontaminating against MANY benchmark suites at once: tens of
+    * millions of grams = gigabytes as a hash-join table, ~10 bits/key as
+    * a bloom sketch). The corpus scan is prefiltered by a broadcast bloom
+    * of the eval hashes (built distributed via `stat.bloomFilter` — the
+    * same sketch Spark's own InjectRuntimeFilter pushes into shuffle
+    * joins), then the few survivors meet the eval set in an EXACT join
+    * that removes the false positives. Blooms have no false negatives, so
+    * the result is bit-identical to d8 — the oracle IS d8's SQL, which
+    * makes the gate prove the sketch path exact, not approximately right.
+    *
+    * Scale shape: the full training corpus pays one in-scan bloom probe
+    * per gram (no shuffle, sketch broadcast once); only the contaminated
+    * fraction + fpp·(clean fraction) of grams reach the verify join — at
+    * a mostly-clean 100 TB corpus that join's input is eval-sized, not
+    * corpus-sized, whichever join strategy the verify then picks. The
+    * verify join is deliberately NOT broadcast-hinted: in the target
+    * regime the eval set exceeds the broadcast threshold and the
+    * surviving-gram shuffle is the plan; at fixture scale AQE may
+    * broadcast it anyway — both are correct.
+    */
+  def bloomDecontaminate(spark: SparkSession, dir: String,
+      fpp: Double = 0.03): DataFrame = {
+    val grams = docGramHashes(spark, dir)
+    val evalGrams = grams.filter(col("doc_id") % EvalMod === 0)
+      .select("h").distinct()
+    // expectedNumItems is metadata a pipeline knows (benchmark sizes are
+    // fixed); here it costs one count over the eval slice
+    val bf = evalGrams.stat.bloomFilter("h", evalGrams.count(), fpp)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((h: Long) => bfB.value.mightContainLong(h))
+    grams.filter(col("doc_id") % EvalMod =!= 0)
+      .filter(mightContain(col("h")))
+      .join(evalGrams, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
   /** CONTAMINATION RATE — the audit twin of [[decontaminate d8]]: instead
     * of flagging training docs, report PER EVAL DOC how much of it leaked
     * into the training corpus (distinct-gram fraction) — the number an
@@ -980,7 +1020,8 @@ object Dedup {
     "d11_semantic_dedup" -> ((s: SparkSession, d: String) => semanticDedup(s, d)),
     "d12_dedup_verdicts" -> (nearDupVerdicts _),
     "d13_fuzzy_decontaminate" -> (fuzzyDecontaminate _),
-    "d14_incremental_verdicts" -> (incrementalVerdictsQuery _))
+    "d14_incremental_verdicts" -> (incrementalVerdictsQuery _),
+    "d15_bloom_decontaminate" -> ((s: SparkSession, d: String) => bloomDecontaminate(s, d)))
 
   val oracles: Map[String, String] = Map(
     "d10_contamination_rate" -> contaminationRateSql,
@@ -996,5 +1037,6 @@ object Dedup {
     "d11_semantic_dedup" -> semanticDedupSql,
     "d12_dedup_verdicts" -> nearDupVerdictsSql,
     "d13_fuzzy_decontaminate" -> fuzzyDecontaminateSql,
-    "d14_incremental_verdicts" -> nearDupVerdictsSql)
+    "d14_incremental_verdicts" -> nearDupVerdictsSql,
+    "d15_bloom_decontaminate" -> decontaminateSql)
 }
