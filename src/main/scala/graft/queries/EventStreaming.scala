@@ -186,7 +186,60 @@ object EventStreaming {
       s"st10_mem_${runSeq.incrementAndGet()}", OutputMode.Append())
       .orderBy("purchase_id", "error_id")
 
+  /** st11: STREAMING rollup maintenance — e5's `Rollups.fold` driven by
+    * `foreachBatch`, the same operator powering both the nightly batch
+    * refresh and the continuous stream (the lambda-architecture collapse:
+    * one state shape, one fold, two drivers). The events zone is re-split
+    * into four INTERLEAVED files (hash of event_id, NOT time ranges) and
+    * replayed one file per micro-batch, so hours arrive out of order and
+    * partially, across batches — and because the fold is a commutative
+    * monoid, the drained state still equals e1's one-shot SQL exactly,
+    * with NO watermark and no update-mode state store: order and batching
+    * independence is algebra, not bookkeeping. Contrast st2, which needs
+    * Spark's windowed state machinery because it must EMIT results
+    * mid-stream; the fold pattern instead owns a queryable state table at
+    * every batch boundary (what a serving layer reads), at the cost of
+    * the collapse living in foreachBatch.
+    */
+  def streamRollupFold(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Rollups
+    val base = s"target/st11/run_${runSeq.incrementAndGet()}"
+    graft.core.FsUtil.deleteRecursively(base)
+    graft.core.Tables(spark, dir).events
+      .repartition(4, org.apache.spark.sql.functions.pmod(col("event_id"),
+        org.apache.spark.sql.functions.lit(4)))
+      .write.parquet(s"$base/in")
+    val keys = Seq("hour", "event_type")
+    var state = Rollups.emptyRollup(spark,
+      Seq("hour" -> org.apache.spark.sql.types.TimestampType,
+        "event_type" -> org.apache.spark.sql.types.StringType))
+    val stream = spark.readStream
+      .schema(graft.core.Tables(spark, dir).events.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$base/in")
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        state = Rollups.fold(
+          batch.select(
+            org.apache.spark.sql.functions.date_trunc("hour", col("ts")).as("hour"),
+            col("event_type"), col("value")),
+          state, keys).localCheckpoint()
+        ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    state.select(
+      org.apache.spark.sql.functions
+        .date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
+      col("event_type"), col("n_events"),
+      org.apache.spark.sql.functions.round(col("total_value"), 2).as("total_value"))
+      .orderBy("hour_ts", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st11_stream_rollup_fold" -> (streamRollupFold _),
     "st8_stream_heavy_hitters" -> (streamHeavyHitters _),
     "st10_stream_range_join" -> (streamRangeCorrelation _),
     "st2_stream_hourly" -> (streamHourly _),
@@ -197,6 +250,7 @@ object EventStreaming {
     "st9_stream_near_dedup" -> (streamNearDedup _))
 
   val oracles: Map[String, String] = Map(
+    "st11_stream_rollup_fold" -> Events.hourlyRollupSql,
     "st8_stream_heavy_hitters" -> Sketches.heavyHittersSql,
     "st10_stream_range_join" -> Temporal.rangeCorrelationSql,
     "st2_stream_hourly" -> Events.hourlyRollupSql,
