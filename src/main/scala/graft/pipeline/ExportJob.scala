@@ -84,6 +84,20 @@ object ExportJob {
     */
   val IncrementalShards = 16
 
+  /** Salt of the stable shard key — shared by the incremental export and
+    * the targeted delete, which must compute the SAME doc→shard mapping
+    * (the delete's pruning correctness rests on it).
+    */
+  val IncrementalSalt = "graft-export|"
+
+  /** The stable shard of one doc id, driver-side — the JVM twin of the
+    * assignment expression in [[writeTrainingShardsIncremental]]
+    * (Hash60Util.hash IS the graft_hash60 expression's kernel, so the two
+    * cannot disagree).
+    */
+  def shardOf(docId: Long): Long =
+    graft.functions.Hash60Util.hash(IncrementalSalt + docId) % IncrementalShards
+
   /** INCREMENTAL re-export — the opt-in alternative mode the
     * [[writeTrainingShards]] contract note points at: shard by a STABLE
     * salted content-key hash (t7's mechanism — `hash60(salt||doc_id) mod
@@ -116,7 +130,7 @@ object ExportJob {
     val docs = graft.core.Tables(spark, dir).documents
       .select("doc_id", "text", "lang", "source")
     val assigned = docs.withColumn("shard_id",
-      pmod(hash60(concat(lit("graft-export|"), col("doc_id").cast("string"))),
+      pmod(hash60(concat(lit(IncrementalSalt), col("doc_id").cast("string"))),
         lit(IncrementalShards.toLong)))
     // stage once: fingerprint pass + (filtered) write pass share the scan
     assigned.persist()
@@ -153,6 +167,87 @@ object ExportJob {
       writeManifest(outDir, fps)
     } finally assigned.unpersist()
     assigned
+  }
+
+  /** TARGETED DELETE (right-to-be-forgotten) over an incremental export
+    * zone: remove the given doc ids from the shards WITHOUT scanning the
+    * zone — the stable shard key makes each victim's shard computable
+    * driver-side, so the job reads ONLY the victims' shard directories
+    * and rewrites only those that actually lost a row (an id absent from
+    * the zone leaves its shard's fingerprint, and therefore its files,
+    * untouched). A GDPR request of any realistic size touches a handful
+    * of the N shards; every other directory is never listed, read, or
+    * rewritten — same untouched-mtime contract as the incremental export,
+    * the spec pins it.
+    *
+    * The victim list is a DRIVER-side Seq by design: deletion requests are
+    * human-scale (thousands of ids, not billions) — the same driver-side-
+    * metadata precedent as this file's 16-row fingerprint collect. A
+    * corpus-scale delete (drop a whole source) is not this operator; that
+    * is a re-export with the source filtered upstream.
+    *
+    * The manifest is updated to the POST-delete fingerprints of the
+    * rewritten shards, which keeps the next incremental export honest: a
+    * source that still contains the victims will show those shards as
+    * changed (and reinstate them — the zone delete is for when the source
+    * of truth dropped them first, or the zone outlives its source);
+    * unaffected shards still fingerprint-match and skip.
+    *
+    * A shard emptied by the delete is removed entirely (dynamic overwrite
+    * writes nothing for it — same explicit-directory-drop as the
+    * incremental export's emptied-shard path).
+    */
+  def deleteFromShards(spark: SparkSession, outDir: String,
+      docIds: Seq[Long]): Unit = {
+    if (docIds.isEmpty) return
+    val byShard = docIds.distinct.groupBy(shardOf)
+    val affected = byShard.keySet.toSeq.sorted
+    val victims = docIds.toSet
+    // read ONLY the affected shard directories; basePath re-derives the
+    // shard_id partition column from the paths
+    val kept = spark.read
+      .option("basePath", outDir)
+      .json(affected.map(k => s"$outDir/shard_id=$k"): _*)
+      .filter(!col("doc_id").isin(victims.toSeq: _*))
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+        col("lang"), col("source"), col("shard_id").cast("long").as("shard_id"))
+    kept.persist()
+    try {
+      // post-delete fingerprints of the affected shards (same row_fp as
+      // the export pass — N rows to the driver, not data)
+      val fps = kept
+        .withColumn("row_fp", hash60(concat_ws("\u0001",
+          col("doc_id").cast("string"), col("text"), col("lang"), col("source"))))
+        .groupBy("shard_id")
+        .agg(expr("bit_xor(row_fp)").as("fp"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => r.getAs[Long]("shard_id") ->
+          (r.getAs[Long]("fp"), r.getAs[Long]("n"))).toMap
+      // rewrite only the shards whose content actually changed (an id in
+      // the request that is absent from the zone leaves its shard's
+      // fingerprint — and therefore its files — untouched): the honest
+      // cost is READ |affected shards|, REWRITE |shards that lost a row|
+      val prevAll = readManifest(outDir)
+      val changed = fps.keySet.filter(k => !prevAll.get(k).contains(fps(k)))
+      if (changed.nonEmpty) {
+        kept.filter(col("shard_id").isin(changed.toSeq: _*))
+          .hint("rebalance", col("shard_id"))
+          .sortWithinPartitions("shard_id", "doc_id")
+          .write
+          .mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .option("maxRecordsPerFile", MaxRecordsPerFile)
+          .option("compression", "gzip")
+          .partitionBy("shard_id")
+          .json(outDir)
+      }
+      val emptied = affected.filterNot(fps.keySet)
+      for (gone <- emptied) {
+        val d = new File(outDir, s"shard_id=$gone")
+        if (d.isDirectory) { d.listFiles().foreach(_.delete()); d.delete() }
+      }
+      writeManifest(outDir, prevAll -- emptied ++ fps)
+    } finally kept.unpersist()
   }
 
   /** Manifest name; the leading underscore keeps it invisible to Spark's

@@ -520,7 +520,7 @@ object Dedup {
        |GROUP BY a.vec_id, a.cell
        |ORDER BY a.vec_id""".stripMargin
 
-  val semanticDedupSql: String = semanticDedupSqlFor(8)
+  lazy val semanticDedupSql: String = semanticDedupSqlFor(8)
 
   /** Cross-document repeated substrings (the boilerplate/substring-dedup
     * pass): hash every 64-char window at stride 32 and report windows seen
@@ -747,8 +747,13 @@ object Dedup {
     clusterMemo.getOrElseUpdate((spark, dir),
       connectedComponents(pairsFor(spark, dir).select("d1", "d2")))
 
-  val dupClustersSql: String =
-    s"""WITH RECURSIVE $simhashSigsSql,
+  /** The d9 transitive-closure chain as a reusable CTE block ending in
+    * `clusters(doc_id, cluster_id)` — shared verbatim by the d9 oracle and
+    * t24's leakage-safe split so the two cannot drift. Callers prepend
+    * `WITH RECURSIVE `.
+    */
+  lazy val dupClustersSqlCte: String =
+    s"""$simhashSigsSql,
        |pairs AS (
        |  SELECT a.doc_id AS d1, b.doc_id AS d2
        |  FROM sims a JOIN sims b ON a.doc_id < b.doc_id
@@ -759,9 +764,14 @@ object Dedup {
        |reach(src, dst) AS (
        |  SELECT src, dst FROM sym
        |  UNION
-       |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
-       |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+       |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+       |clusters AS (
+       |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+       |  FROM reach GROUP BY src)""".stripMargin
+
+  lazy val dupClustersSql: String =
+    s"""WITH RECURSIVE $dupClustersSqlCte
+       |SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id""".stripMargin
 
   /** Eval-set docs for decontamination: doc_id ≡ 0 (mod EvalMod) stands in
     * for "the held-out benchmark corpus" (in production: a separate table).

@@ -481,7 +481,7 @@ object Sampling {
        |ORDER BY vec_id""".stripMargin
   }
 
-  val clusterCapSql: String = clusterCapSqlFor(Similarity.NumCells)
+  lazy val clusterCapSql: String = clusterCapSqlFor(Similarity.NumCells)
 
   // ------------------------------------------------------------------ x3
 
@@ -508,7 +508,94 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  // ----------------------------------------------------------------- t24
+
+  /** Train fraction (in tenths) for the leakage-safe split. */
+  val SplitSalt = "graft-split|"
+  val SplitTrainTenths = 8
+
+  /** t24: LEAKAGE-SAFE train/eval split — the split decision is made per
+    * NEAR-DUP CLUSTER (d9's connected components), not per document, so
+    * two near-duplicate documents can never straddle the boundary. A
+    * per-doc random split leaks: a train doc's near-copy in eval inflates
+    * benchmarks exactly like d8/d10-style contamination, but no gram
+    * overlap check can catch it after the fact — the split itself has to
+    * be group-atomic. group_id = the doc's cluster representative (its own
+    * id when unpaired); split = salted hash of group_id mod 10, 8 tenths
+    * to train — every member hashes the same value by construction.
+    *
+    * Scale shape: the expensive part (pair generation + components) is
+    * d9's already-measured shape, shared via the session memo when a prior
+    * query in the session computed it; the split itself is one join of the
+    * corpus against the cluster frame (only docs that ARE in clusters —
+    * small; broadcast at scale) plus a per-row hash. Deterministic at any
+    * parallelism: same corpus, same split, on every rerun and cluster size
+    * — the property that makes the eval comparable across experiments.
+    */
+  def leakageSplit(spark: SparkSession, dir: String): DataFrame = {
+    VectorOps.register(spark)
+    val docs = Tables(spark, dir).documents.select("doc_id")
+    docs.join(Dedup.clustersFor(spark, dir), Seq("doc_id"), "left")
+      .withColumn("group_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split",
+        when(pmod(hash60(concat(lit(SplitSalt), col("group_id").cast("string"))),
+          lit(10L)) < SplitTrainTenths, "train").otherwise("eval"))
+      .select("doc_id", "group_id", "split")
+      .orderBy("doc_id")
+  }
+
+  lazy val leakageSplitSql: String =
+    s"""WITH RECURSIVE ${Dedup.dupClustersSqlCte},
+       |grp AS (
+       |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS group_id
+       |  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id)
+       |SELECT doc_id, group_id,
+       |  CASE WHEN ${hash60Sql(s"'$SplitSalt' || CAST(group_id AS VARCHAR)")}
+       |    % 10 < $SplitTrainTenths THEN 'train' ELSE 'eval' END AS split
+       |FROM grp ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------------- x4
+
+  val DeleteRoot = "/root/repo/target/fixtures-export/delete-shards"
+
+  /** Victim selector for the x4 fixture: every doc_id ≡ 0 (mod 83) — a
+    * deterministic stand-in for "the ids in today's deletion requests".
+    */
+  val DeleteMod = 83L
+
+  /** x4: TARGETED DELETE roundtrip — build an incremental export zone,
+    * delete the victim ids through `ExportJob.deleteFromShards` (which
+    * rewrites ONLY the shards the stable hash maps the victims to), and
+    * read the zone back. The oracle is simply the source corpus minus the
+    * victims: the zone after a targeted delete must be indistinguishable
+    * from an export that never contained them. The driver-side victim
+    * list is the GDPR-request shape — ids, not data (see the operator's
+    * scaladoc for the scale contract).
+    */
+  def deleteRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.FsUtil.deleteRecursively(DeleteRoot)
+    graft.pipeline.ExportJob.writeTrainingShardsIncremental(spark, dir, DeleteRoot)
+    val victims = Tables(spark, dir).documents
+      .filter(pmod(col("doc_id"), lit(DeleteMod)) === 0L)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    graft.pipeline.ExportJob.deleteFromShards(spark, DeleteRoot, victims)
+    spark.read.json(DeleteRoot)
+      .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+        col("source"), col("shard_id").cast("long").as("shard_id"))
+      .orderBy("doc_id")
+  }
+
+  val deleteRoundtripSql: String =
+    s"""SELECT doc_id, lang, source,
+       |  ${hash60Sql(s"'${graft.pipeline.ExportJob.IncrementalSalt}' || CAST(doc_id AS VARCHAR)")}
+       |    % ${graft.pipeline.ExportJob.IncrementalShards} AS shard_id
+       |FROM documents
+       |WHERE doc_id % $DeleteMod <> 0
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x4_delete_roundtrip" -> (deleteRoundtrip _),
+    "t24_leakage_split" -> (leakageSplit _),
     "t12_token_mix" -> (tokenMix _),
     "t7_hash_sample" -> (hashSample _),
     "t8_token_shards" -> (tokenShards _),
@@ -521,6 +608,8 @@ object Sampling {
     "x3_export_roundtrip" -> (exportRoundtrip _))
 
   val oracles: Map[String, String] = Map(
+    "x4_delete_roundtrip" -> deleteRoundtripSql,
+    "t24_leakage_split" -> leakageSplitSql,
     "t12_token_mix" -> tokenMixSql,
     "t7_hash_sample" -> hashSampleSql,
     "t8_token_shards" -> tokenShardsSql,

@@ -705,7 +705,84 @@ object Similarity {
        |WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
 
+  // ----------------------------------------------------------------- n9
+
+  /** RRF constant (Cormack/Clarke/Buettcher SIGIR'09's c=60), per-leg pool
+    * depth, and fused report size for the hybrid retrieval query.
+    */
+  val RrfC = 60
+  val RrfPool = 20
+  val RrfTopK = 10
+
+  /** n9: HYBRID RETRIEVAL — each query arrives in two modalities (its
+    * keyword form and its embedding form, the standard hybrid-search
+    * setup), runs both retrieval legs, and fuses the two ranked lists by
+    * reciprocal rank (graft.operators.RankFusion). The fixture pins the
+    * query embeddings to vec_id = query_id of the t19 keyword queries;
+    * the dense leg excludes the query's own vector (the query IS that
+    * row), the lexical leg has no self to exclude (its query is a keyword
+    * set, not a document).
+    *
+    * Scale shape: each leg's cost is its own already-measured query shape
+    * (t19's matching-terms-only inverted probe, n1's broadcast-query
+    * corpus scan — swap in n2/n4/n7's bucketed probes at corpus scale,
+    * the operator only needs (query_id, doc_id, rank)); fusion itself
+    * touches ≤ |Q|·pool·2 rows. The fused score is an exact BIGINT
+    * fixed-point sum, so no float-summation-order noise can flip a rank
+    * (see RankFusion's scaladoc).
+    */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val qids = TextAnalysis.Bm25Queries.map(_._1)
+    val lex = TextAnalysis.bm25Ranked(spark, dir, RrfPool)
+      .select("query_id", "doc_id", "rank")
+    val e = Tables(spark, dir).embeddings
+      .select(col("vec_id").as("id"), asDouble("embedding").as("v"))
+    val den = graft.operators.VectorSearch
+      .cosineTopK(e.filter(col("id").isin(qids: _*)), e, RrfPool)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    graft.operators.RankFusion.rrf(Seq(lex, den), RrfC, RrfTopK)
+      .orderBy("query_id", "rank")
+  }
+
+  lazy val hybridRrfSql: String = {
+    val qids = TextAnalysis.Bm25Queries.map(_._1).mkString(", ")
+    val term = graft.operators.RankFusion.termSql(RrfC, "rank")
+    s"""${TextAnalysis.bm25RankedSqlCte},
+       |emb AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |nv AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM emb),
+       |dscored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+       |    round(list_dot_product(q.v, c.v) / (q.norm * c.norm), 4) AS cos
+       |  FROM nv q JOIN nv c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id IN ($qids)),
+       |dranked AS (
+       |  SELECT query_id, doc_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, doc_id) AS rank
+       |  FROM dscored),
+       |contrib AS (
+       |  SELECT query_id, doc_id, $term AS term FROM ranked
+       |  WHERE rank <= $RrfPool
+       |  UNION ALL
+       |  SELECT query_id, doc_id, $term AS term FROM dranked
+       |  WHERE rank <= $RrfPool),
+       |fused AS (
+       |  SELECT query_id, doc_id, CAST(sum(term) AS BIGINT) AS rrf_e9
+       |  FROM contrib GROUP BY query_id, doc_id)
+       |SELECT query_id, rank, doc_id, rrf_e9
+       |FROM (SELECT *, CAST(row_number() OVER (
+       |        PARTITION BY query_id ORDER BY rrf_e9 DESC, doc_id) AS BIGINT) AS rank
+       |      FROM fused)
+       |WHERE rank <= $RrfTopK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "n9_hybrid_rrf" -> (hybridRrf _),
     "n7_ivf_index_topk" -> (ivfIndexTopK _),
     "n8_hard_negatives" -> (hardNegativesTopK _),
     "n5_quantize" -> (quantize _),
@@ -716,6 +793,7 @@ object Similarity {
     "n6_quantized_rescore" -> (quantizedRescoreTopK _))
 
   val oracles: Map[String, String] = Map(
+    "n9_hybrid_rrf" -> hybridRrfSql,
     // the persisted index must reproduce the from-scratch IVF exactly
     "n7_ivf_index_topk" -> ivfTopKSql,
     "n8_hard_negatives" -> hardNegativesTopKSql,

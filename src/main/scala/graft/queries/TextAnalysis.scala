@@ -466,7 +466,7 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val corpusCurationSql: String =
+  lazy val corpusCurationSql: String =
     s"""SELECT d.doc_id,
        |  CASE
        |    WHEN c.cluster_id IS NOT NULL AND c.cluster_id != d.doc_id
@@ -594,7 +594,15 @@ object TextAnalysis {
     * index — materialize it once (t9's shape) and this query becomes a
     * probe of |q| postings lists; the ranking math is unchanged.
     */
-  def bm25Search(spark: SparkSession, dir: String): DataFrame = {
+  def bm25Search(spark: SparkSession, dir: String): DataFrame =
+    bm25Ranked(spark, dir, Bm25TopK).orderBy("query_id", "rank")
+
+  /** The ranked list behind t19 with a caller-chosen depth `k` — the
+    * lexical leg the n9 hybrid fusion consumes at a deeper pool than the
+    * t19 report shape. Same scoring, same tie-break; t19 is exactly
+    * `bm25Ranked(_, _, Bm25TopK)` plus its output ordering.
+    */
+  def bm25Ranked(spark: SparkSession, dir: String, k: Int): DataFrame = {
     import spark.implicits._
     val terms = Bm25Queries.flatMap(_._2).distinct
     val qdf = broadcast(Bm25Queries
@@ -625,12 +633,15 @@ object TextAnalysis {
       .partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
     scored
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= Bm25TopK)
+      .filter(col("rank") <= k)
       .select("query_id", "rank", "doc_id", "score")
-      .orderBy("query_id", "rank")
   }
 
-  val bm25SearchSql: String = {
+  /** The t19 CTE chain up to `ranked`, with the rank cutoff left to the
+    * caller — shared verbatim between the t19 oracle and n9's lexical leg
+    * so the two cannot drift.
+    */
+  lazy val bm25RankedSqlCte: String = {
     val qvals = Bm25Queries
       .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
       .mkString(", ")
@@ -662,13 +673,86 @@ object TextAnalysis {
        |  SELECT query_id, doc_id, score,
        |    row_number() OVER (PARTITION BY query_id
        |      ORDER BY score DESC, doc_id) AS rank
-       |  FROM scored)
+       |  FROM scored)""".stripMargin
+  }
+
+  lazy val bm25SearchSql: String =
+    s"""$bm25RankedSqlCte
        |SELECT query_id, rank, doc_id, score FROM ranked
        |WHERE rank <= $Bm25TopK
        |ORDER BY query_id, rank""".stripMargin
+
+  // ----------------------------------------------------------------- t23
+
+  /** Character n-gram widths and per-width report size for the seed-vocab
+    * counting pass.
+    */
+  val VocabMinN = 2
+  val VocabMaxN = 4
+  val VocabTopK = 30
+
+  /** t23: SEED-VOCABULARY INDUCTION — the corpus-wide counting pass a
+    * WordPiece/BPE tokenizer build starts from (Wu et al. 2016; Sennrich
+    * et al. 2016): every word-internal character n-gram (n = 2..4) of the
+    * lowercased corpus, counted, top 30 per width. Real vocab induction
+    * iterates merges on these counts; the COUNTING pass is the data-scale
+    * part (it touches every character of the corpus), the merge loop runs
+    * over the resulting vocab-sized table driver-side — so this query is
+    * the piece that has to be a distributed engine operator.
+    *
+    * Scale shape: the double explode (token, then position) emits one row
+    * per character position per width — the honest cost of the pass — and
+    * dies immediately into a hash aggregate whose map side collapses each
+    * partition to its DISTINCT grams before anything shuffles. The shuffle
+    * therefore carries |vocab per partition|, not |corpus positions|
+    * (bounded: ≤ alphabet^4 keys regardless of corpus size), and the final
+    * top-k window runs over the global vocab table only. No UDFs — the
+    * explode chain is sequence/substring, all codegen.
+    */
+  def seedVocab(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir).documents
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+    val grams = toks
+      .select(col("tok"),
+        explode(expr(s"sequence(${VocabMinN}L, ${VocabMaxN}L)")).as("n"))
+      .filter(length(col("tok")) >= col("n"))
+      .select(col("n"),
+        explode(expr("sequence(1, length(tok) - n + 1)")).as("p"), col("tok"))
+      .select(col("n"),
+        expr("substring(tok, CAST(p AS INT), CAST(n AS INT))").as("gram"))
+    val counted = grams.groupBy("n", "gram").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("n").orderBy(col("cnt").desc, col("gram"))
+    counted
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= VocabTopK)
+      .select("n", "rank", "gram", "cnt")
+      .orderBy("n", "rank")
   }
 
+  val seedVocabSql: String =
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+       |widths AS (
+       |  SELECT tok, unnest(generate_series($VocabMinN, $VocabMaxN)) AS n
+       |  FROM toks),
+       |pos AS (
+       |  SELECT n, tok, unnest(generate_series(1, len(tok) - n + 1)) AS p
+       |  FROM widths WHERE len(tok) >= n),
+       |grams AS (
+       |  SELECT n, substring(tok, CAST(p AS INT), CAST(n AS INT)) AS gram
+       |  FROM pos),
+       |counted AS (
+       |  SELECT n, gram, count(*) AS cnt FROM grams GROUP BY n, gram),
+       |ranked AS (
+       |  SELECT n, gram, cnt, CAST(row_number() OVER (PARTITION BY n
+       |    ORDER BY cnt DESC, gram) AS BIGINT) AS rank FROM counted)
+       |SELECT n, rank, gram, cnt FROM ranked
+       |WHERE rank <= $VocabTopK
+       |ORDER BY n, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t23_seed_vocab" -> (seedVocab _),
     "t19_bm25_search" -> (bm25Search _),
     "t16_unigram_ppl" -> (unigramPpl _),
     "t14_corpus_curation" -> (corpusCuration _),
@@ -684,6 +768,7 @@ object TextAnalysis {
     "t9_tfidf_top_terms" -> (tfidfTopTerms _))
 
   val oracles: Map[String, String] = Map(
+    "t23_seed_vocab" -> seedVocabSql,
     "t19_bm25_search" -> bm25SearchSql,
     "t16_unigram_ppl" -> unigramPplSql,
     "t14_corpus_curation" -> corpusCurationSql,

@@ -156,4 +156,61 @@ class ExportJobSpec extends SparkTestBase {
       assert(t0(d) === m, s"shard $d rewrote on an unrelated drop")
     assert(spark.read.json(out).count() === (first.length - victimIds.size).toLong)
   }
+
+  test("targeted delete removes victims, touches only their shards, prunes emptied ones") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val corpus = scratch("del-corpus")
+    docs.write.mode("overwrite").parquet(s"$corpus/documents.parquet")
+    val out = scratch("del-export")
+    val first = ExportJob.writeTrainingShardsIncremental(spark, corpus, out).collect()
+
+    // victims: two docs from one shard, plus EVERY doc of another shard
+    // (so one shard rewrites and one disappears); a third id not in the
+    // zone at all must be a no-op for its shard
+    val byShard = first.groupBy(_.getAs[Long]("shard_id"))
+    val (trimShard, trimRows) = byShard.maxBy(_._2.length)
+    val (dropShard, dropRows) = byShard.minBy(_._2.length)
+    assert(trimShard != dropShard)
+    val trimmed = trimRows.take(2).map(_.getAs[Long]("doc_id"))
+    val dropped = dropRows.map(_.getAs[Long]("doc_id"))
+    val absentId = Iterator.from(1000000).map(_.toLong)
+      .find(id => ExportJob.shardOf(id) != trimShard &&
+        ExportJob.shardOf(id) != dropShard).get
+    assert(trimmed.forall(id => ExportJob.shardOf(id) === trimShard),
+      "driver-side shardOf disagrees with the export's assignment")
+
+    Thread.sleep(1100)
+    val t0 = shardMtimes(out)
+    ExportJob.deleteFromShards(spark, out, (trimmed ++ dropped :+ absentId).toSeq)
+
+    // victims gone, survivors byte-identical
+    val back = spark.read.json(out)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val victims = (trimmed ++ dropped).toSet
+    assert(victims.forall(!back.contains(_)), "a victim survived the delete")
+    val survivors = first.filterNot(r => victims(r.getAs[Long]("doc_id")))
+    assert(back.size === survivors.length)
+    assert(survivors.forall(r =>
+      back(r.getAs[Long]("doc_id")) === r.getAs[String]("text")))
+
+    // emptied shard pruned; trimmed shard rewritten; every other untouched
+    val t1 = shardMtimes(out)
+    assert(!new File(out, s"shard_id=$dropShard").exists(),
+      "fully-deleted shard directory left behind")
+    assert(t1(s"shard_id=$trimShard") > t0(s"shard_id=$trimShard"))
+    for ((d, m) <- t0 if d != s"shard_id=$trimShard" && d != s"shard_id=$dropShard")
+      assert(t1(d) === m, s"shard $d rewrote without containing a victim")
+
+    // manifest stays honest: a re-export from the UNCHANGED source sees
+    // exactly the two affected shards as changed (reinstating the victims)
+    Thread.sleep(1100)
+    ExportJob.writeTrainingShardsIncremental(spark, corpus, out)
+    val t2 = shardMtimes(out)
+    assert(t2(s"shard_id=$trimShard") > t1(s"shard_id=$trimShard"))
+    assert(new File(out, s"shard_id=$dropShard").exists())
+    for ((d, m) <- t1 if d != s"shard_id=$trimShard" && d != s"shard_id=$dropShard")
+      assert(t2(d) === m, s"shard $d rewrote on re-export after delete")
+    assert(spark.read.json(out).count() === first.length.toLong)
+  }
 }
