@@ -76,7 +76,8 @@ object ScaleStress {
     "j1_asof_attribution", "j3_asof_exec", "j2_range_correlation",
     "e2_user_sessions", "e5_incremental_rollup", "n8_hard_negatives",
     "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
-    "q5_local_supplier_volume", "q9_product_profit")
+    "q5_local_supplier_volume", "q9_product_profit",
+    "n9_hybrid_rrf", "t23_seed_vocab", "t24_leakage_split")
 
   /** SemDeDup's K schedule. Total cost = centroid assignment (n·K dot
     * products — the coarse quantizer is brute-force nearest-centroid) plus
@@ -457,6 +458,38 @@ object ScaleStress {
               col("event_type"), fround(col("value"), 2).as("value")))
           val probeSec = (System.nanoTime() - p0) / 1e9
           println(s"""{"scale":$k,"variant":"l1","build_sec":${f2(buildSec)},"probe_sec":${f2(probeSec)},"rows":$rows,"row_groups":${gs.size},"read_fraction":${f2(hit / total * 100)}}""")
+        }
+        spark.stop()
+        return
+      }
+
+    // Targeted-delete experiment (SPARK_GRAFT_X4=k1,k2,...): x4's scale
+    // claim is that a fixed-size deletion request costs the AFFECTED
+    // shards — read |affected|, rewrite |changed| — while the zone grows.
+    // For each k: build the incremental export zone from the x{k} corpus
+    // (timed separately: the amortized cost a pipeline already pays), then
+    // delete the SAME four base doc ids (timed). Both curves grow with the
+    // corpus — a shard is 1/16th of it — but the delete's slope must stay
+    // ~|affected|/16 of the build's; a delete that secretly rescans the
+    // zone would track the build curve instead.
+    sys.env.get("SPARK_GRAFT_X4").map(_.split(",").map(_.trim.toInt).toSeq)
+      .foreach { ks =>
+        val victimIds = Seq(83L, 166L, 249L, 332L)
+        val shards = victimIds.map(graft.pipeline.ExportJob.shardOf).distinct
+        ks.foreach { k =>
+          val dir = s"target/scale/x$k"
+          generate(spark, baseDir, dir, k)
+          val zone = s"target/scale/export_x$k"
+          graft.core.FsUtil.deleteRecursively(zone)
+          spark.catalog.clearCache(); System.gc()
+          val b0 = System.nanoTime()
+          graft.pipeline.ExportJob.writeTrainingShardsIncremental(spark, dir, zone)
+          val buildSec = (System.nanoTime() - b0) / 1e9
+          spark.catalog.clearCache(); System.gc()
+          val d0 = System.nanoTime()
+          graft.pipeline.ExportJob.deleteFromShards(spark, zone, victimIds)
+          val delSec = (System.nanoTime() - d0) / 1e9
+          println(s"""{"scale":$k,"variant":"x4","build_sec":${f2(buildSec)},"delete_sec":${f2(delSec)},"affected_shards":${shards.size},"total_shards":${graft.pipeline.ExportJob.IncrementalShards}}""")
         }
         spark.stop()
         return

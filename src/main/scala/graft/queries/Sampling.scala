@@ -593,7 +593,61 @@ object Sampling {
        |WHERE doc_id % $DeleteMod <> 0
        |ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------------------------- x5
+
+  /** Deterministic "next snapshot" for the x5 fixture: drop ids ≡ 0 mod
+    * 97, append a marker to ids ≡ 0 mod 89, re-add ids ≡ 0 mod 101 shifted
+    * by +10000 — removed/modified/added populations that overlap (a
+    * removed id may also match the modify rule; removal wins because the
+    * row is simply absent from the new side).
+    */
+  val DiffRemoveMod = 97L
+  val DiffModifyMod = 89L
+  val DiffAddMod = 101L
+  val DiffAddShift = 10000L
+
+  /** x5: CORPUS DIFF between two snapshot versions — which documents were
+    * added/removed/modified (graft.operators.CorpusDiff bound to the
+    * documents table against a deterministically perturbed "next
+    * release"). The operator reduces both sides to (doc_id, digest) in the
+    * scan, so the full-outer join moves 16-byte digests, never text, and
+    * the output is diff-sized (unchanged rows are filtered inside the
+    * operator) — see CorpusDiff's scaladoc for the scale contract.
+    */
+  def corpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents.select("doc_id", "text")
+    val next = docs
+      .filter(pmod(col("doc_id"), lit(DiffRemoveMod)) =!= 0L)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(DiffModifyMod)) === 0L,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      .unionAll(docs
+        .filter(pmod(col("doc_id"), lit(DiffAddMod)) === 0L)
+        .select((col("doc_id") + DiffAddShift).as("doc_id"), col("text")))
+    graft.operators.CorpusDiff.diff(docs, next).orderBy("doc_id")
+  }
+
+  val corpusDiffSql: String =
+    s"""WITH o AS (SELECT doc_id, md5(text) AS old_md5 FROM documents),
+       |n AS (
+       |  SELECT doc_id,
+       |    md5(CASE WHEN doc_id % $DiffModifyMod = 0 THEN text || ' v2'
+       |             ELSE text END) AS new_md5
+       |  FROM documents WHERE doc_id % $DiffRemoveMod <> 0
+       |  UNION ALL
+       |  SELECT doc_id + $DiffAddShift, md5(text) FROM documents
+       |  WHERE doc_id % $DiffAddMod = 0),
+       |j AS (
+       |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       |    CASE WHEN o.doc_id IS NULL THEN 'added'
+       |         WHEN n.doc_id IS NULL THEN 'removed'
+       |         WHEN o.old_md5 <> n.new_md5 THEN 'modified' END AS status
+       |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+       |SELECT doc_id, status FROM j WHERE status IS NOT NULL
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x5_corpus_diff" -> (corpusDiff _),
     "x4_delete_roundtrip" -> (deleteRoundtrip _),
     "t24_leakage_split" -> (leakageSplit _),
     "t12_token_mix" -> (tokenMix _),
@@ -608,6 +662,7 @@ object Sampling {
     "x3_export_roundtrip" -> (exportRoundtrip _))
 
   val oracles: Map[String, String] = Map(
+    "x5_corpus_diff" -> corpusDiffSql,
     "x4_delete_roundtrip" -> deleteRoundtripSql,
     "t24_leakage_split" -> leakageSplitSql,
     "t12_token_mix" -> tokenMixSql,

@@ -194,4 +194,15 @@ class OperatorApiSpec extends SparkTestBase {
       .collect().map(_.getAs[Long]("neighbor_id")).toSet
     assert(got === Set(1L), "bucketed search must not see other buckets")
   }
+
+  test("CorpusDiff.diff: added/removed/modified only — unchanged rows never surface") {
+    import spark.implicits._
+    val old = Seq((1L, "same"), (2L, "will change"), (3L, "will vanish"))
+      .toDF("doc_id", "text").repartition(3)
+    val next = Seq((1L, "same"), (2L, "changed"), (4L, "brand new"))
+      .toDF("doc_id", "text").repartition(2)
+    val got = CorpusDiff.diff(old, next).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(2L -> "modified", 3L -> "removed", 4L -> "added"))
+  }
 }

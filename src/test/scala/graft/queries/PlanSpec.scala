@@ -178,4 +178,34 @@ class PlanSpec extends SparkTestBase {
       "token stream must not shuffle for the candidate join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("seed vocab (t23): no join; grams partial-aggregate map-side before any exchange") {
+    val p = plan("t23_seed_vocab")
+    assert(!p.contains("Join"), "t23 must not join anything")
+    // the position-explode rows must die into a partial hash aggregate in
+    // the SCAN stage — the exchange then carries per-partition vocab, not
+    // per-character rows (the whole 100 TB argument of the counting pass)
+    val partial = p.indexOf("partial_count")
+    val exchange = p.indexOf("Exchange hashpartitioning")
+    assert(partial >= 0, "no map-side partial aggregation in the plan")
+    assert(exchange >= 0 && partial > exchange,
+      "partial aggregate must run upstream of the gram exchange " +
+        "(executedPlan prints top-down: the scan-side partial appears after)")
+  }
+
+  test("hybrid fusion (n9): the only nested-loop is the dense leg's broadcast query scan; fusion adds no extra join") {
+    val p = plan("n9_hybrid_rrf")
+    assert(!p.contains("CartesianProduct"))
+    // the dense leg is n1's broadcast-query corpus scan (legal at any
+    // corpus size: the query side is a constant-size broadcast); the
+    // lexical leg and the fusion itself must stay hash-only
+    val nl = "BroadcastNestedLoopJoin"
+    assert(p.indexOf(nl) === p.lastIndexOf(nl),
+      "more than one nested-loop join — something beyond the dense leg degenerated")
+  }
+
+  test("leakage split (t24): the corpus-vs-clusters join never degenerates to cartesian or nested-loop") {
+    val p = plan("t24_leakage_split")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
 }
