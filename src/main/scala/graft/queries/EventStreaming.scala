@@ -130,6 +130,24 @@ object EventStreaming {
         sum(col("hit").cast("long")).as("n_hit_bands"))
       .orderBy("doc_id")
 
+  /** st12: streaming CDC verdicts (streaming x5). The previous snapshot's
+    * digests seed the state store via the initial-state overload; the new
+    * snapshot (the same deterministic perturbation x5 applies, built on
+    * the STREAM) replays through, and each doc is classified added/
+    * modified at arrival. Gate: x5's oracle restricted to upserts —
+    * arrival-driven CDC cannot see an absence (DocumentStreams.cdcVerdicts
+    * scaladoc), so `removed` stays batch x5's job.
+    */
+  def streamCdc(spark: SparkSession, dir: String): DataFrame = {
+    val old = graft.core.Tables(spark, dir).documents.select("doc_id", "text")
+    val stream = DocumentStreams.readDocuments(spark, dir)
+      .select("doc_id", "text")
+    EventStreams.replayToTable(
+      DocumentStreams.cdcVerdicts(Sampling.nextSnapshotOf(stream), old).toDF(),
+      s"st12_mem_${runSeq.incrementAndGet()}", OutputMode.Append())
+      .orderBy("doc_id")
+  }
+
   /** st9: streaming near-dup detection (streaming d12). Each arriving
     * document is flagged at arrival against the (band, band-hash) ledger —
     * the ingest-time LSH dedup decision — and the replayed zone's verdicts
@@ -239,6 +257,7 @@ object EventStreaming {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st12_stream_cdc" -> (streamCdc _),
     "st11_stream_rollup_fold" -> (streamRollupFold _),
     "st8_stream_heavy_hitters" -> (streamHeavyHitters _),
     "st10_stream_range_join" -> (streamRangeCorrelation _),
@@ -250,6 +269,7 @@ object EventStreaming {
     "st9_stream_near_dedup" -> (streamNearDedup _))
 
   val oracles: Map[String, String] = Map(
+    "st12_stream_cdc" -> Sampling.corpusDiffUpsertsSql,
     "st11_stream_rollup_fold" -> Events.hourlyRollupSql,
     "st8_stream_heavy_hitters" -> Sketches.heavyHittersSql,
     "st10_stream_range_join" -> Temporal.rangeCorrelationSql,

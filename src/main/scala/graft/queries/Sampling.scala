@@ -614,9 +614,12 @@ object Sampling {
     * the output is diff-sized (unchanged rows are filtered inside the
     * operator) — see CorpusDiff's scaladoc for the scale contract.
     */
-  def corpusDiff(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir).documents.select("doc_id", "text")
-    val next = docs
+  /** The deterministic next-snapshot perturbation over any (doc_id, text)
+    * frame — batch OR streaming (pure column ops + a self-union, legal on
+    * both): the shared fixture of x5 and its streaming twin st12.
+    */
+  def nextSnapshotOf(docs: DataFrame): DataFrame =
+    docs
       .filter(pmod(col("doc_id"), lit(DiffRemoveMod)) =!= 0L)
       .withColumn("text",
         when(pmod(col("doc_id"), lit(DiffModifyMod)) === 0L,
@@ -624,10 +627,17 @@ object Sampling {
       .unionAll(docs
         .filter(pmod(col("doc_id"), lit(DiffAddMod)) === 0L)
         .select((col("doc_id") + DiffAddShift).as("doc_id"), col("text")))
-    graft.operators.CorpusDiff.diff(docs, next).orderBy("doc_id")
+
+  def corpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents.select("doc_id", "text")
+    graft.operators.CorpusDiff.diff(docs, nextSnapshotOf(docs)).orderBy("doc_id")
   }
 
-  val corpusDiffSql: String =
+  /** The x5 oracle with a caller-chosen extra status predicate — shared
+    * with st12, whose arrival-driven CDC sees upserts (added/modified)
+    * but, like any log-less CDC, cannot observe an absence.
+    */
+  private def corpusDiffSqlWhere(extra: String): String =
     s"""WITH o AS (SELECT doc_id, md5(text) AS old_md5 FROM documents),
        |n AS (
        |  SELECT doc_id,
@@ -643,8 +653,14 @@ object Sampling {
        |         WHEN n.doc_id IS NULL THEN 'removed'
        |         WHEN o.old_md5 <> n.new_md5 THEN 'modified' END AS status
        |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
-       |SELECT doc_id, status FROM j WHERE status IS NOT NULL
+       |SELECT doc_id, status FROM j WHERE status IS NOT NULL$extra
        |ORDER BY doc_id""".stripMargin
+
+  val corpusDiffSql: String = corpusDiffSqlWhere("")
+
+  /** Upserts-only restatement of the x5 oracle (st12's gate). */
+  val corpusDiffUpsertsSql: String =
+    corpusDiffSqlWhere(" AND status <> 'removed'")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x5_corpus_diff" -> (corpusDiff _),

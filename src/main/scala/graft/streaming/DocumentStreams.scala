@@ -97,6 +97,62 @@ object DocumentStreams {
       .groupBy("text_md5")
       .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
 
+  final case class DocDigest(doc_id: Long, new_md5: String)
+  final case class CdcVerdict(doc_id: Long, status: String)
+
+  /** STREAMING CDC against a snapshot (the stream side of x5's corpus
+    * diff): the previous snapshot's per-doc digests are loaded as the
+    * state store's INITIAL STATE, and each arriving document of the new
+    * snapshot is classified AT ARRIVAL — `added` (no prior digest),
+    * `modified` (digest differs), or silence (unchanged) — the upsert
+    * feed a downstream incremental consumer (d14's dedup ledger, e5's
+    * rollup fold, x4's shard rewrite) actually wants.
+    *
+    * Arrival-driven CDC cannot observe an ABSENCE, so `removed` is out of
+    * scope by construction (the standard log-less CDC contract: deletions
+    * need tombstone records or an end-of-stream sweep — which is exactly
+    * batch x5). The st12 gate therefore shares x5's oracle restricted to
+    * upserts.
+    *
+    * Shape: digests are computed IN-ROW before the stateful step, so
+    * neither shuffle nor state ever holds text — state is one 32-char
+    * digest per live doc_id, seeded batch-free via the initial-state
+    * overload (no warm-up replay of the old corpus through the stream).
+    * Re-upserts across batches compare against the CURRENT ledger value
+    * and update it, so a doc modified twice emits `modified` twice and an
+    * idempotent redelivery emits nothing. Append mode: verdicts never
+    * retract. Same unbounded-ledger posture as [[dedupGroups]] — the
+    * ledger IS the product; a horizon-bounded variant would evict via
+    * event-time timeout like [[dedupWithinWatermark]].
+    */
+  def cdcVerdicts(newDocs: DataFrame, oldSnapshot: DataFrame): Dataset[CdcVerdict] = {
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    val initial = oldSnapshot
+      .select(col("doc_id"), md5(col("text")).as("old_md5"))
+      .as[(Long, String)]
+      .groupByKey(_._1).mapValues(_._2)
+    newDocs
+      .select(col("doc_id"), md5(col("text")).as("new_md5")).as[DocDigest]
+      .groupByKey(_.doc_id)
+      .flatMapGroupsWithState[String, CdcVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout, initial) {
+        case (id, rows, state: GroupState[String]) =>
+          var cur = state.getOption
+          val out = rows.flatMap { r =>
+            val verdict = cur match {
+              case None => Some("added")
+              case Some(m) if m != r.new_md5 => Some("modified")
+              case _ => None
+            }
+            cur = Some(r.new_md5)
+            verdict.map(CdcVerdict(id, _))
+          }.toVector
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+
   final case class BandRow(doc_id: Long, band: Int, bh: Long)
   final case class BandHit(doc_id: Long, band: Int, bh: Long, hit: Boolean)
 
