@@ -593,6 +593,69 @@ object Sampling {
        |WHERE doc_id % $DeleteMod <> 0
        |ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------------------------- t25
+
+  /** Token budget and salt for the temperature mix. */
+  val TempMixBudget = 20000L
+  val TempMixSalt = "graft-mix|"
+
+  /** t25: TEMPERATURE-SCALED SOURCE MIXING — the α<1 mixture weighting a
+    * multi-source pretraining corpus uses to keep big sources from
+    * drowning small ones (GPT-3 / The Pile recipe): source weight ∝
+    * tokens^α, here α = 1/2 so every quantity stays INTEGER-EXACT across
+    * engines — `floor(sqrt(bigint))` is reproducible because IEEE sqrt is
+    * correctly rounded, and everything after it is integer multiply/DIV
+    * (the RankFusion fixed-point discipline applied to sampling rates).
+    * Per source: rate_permille = min(1000, (1000·B·w_s) DIV (Σw·tok_s))
+    * — expected kept tokens ≈ budget·w_s/Σw — then each doc keeps iff its
+    * salted hash lands under its source's rate (t7's deterministic
+    * mechanism, so the draw is reproducible at any parallelism and on any
+    * corpus superset restricted to the same docs).
+    *
+    * Scale shape: one per-source token aggregate (|sources| rows — tiny),
+    * weights broadcast back, then a pure scan filter. The corpus is
+    * never shuffled; the only exchange carries |sources| partial sums.
+    */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    VectorOps.register(spark)
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val bySource = docs.groupBy("source").agg(sum("n_tok").as("tok_s"))
+      .withColumn("w", expr("CAST(floor(sqrt(tok_s)) AS BIGINT)"))
+    val totalW = bySource.agg(sum("w")).first().getLong(0)
+    val rates = bySource.withColumn("rate_permille",
+      least(lit(1000L),
+        expr(s"(1000 * $TempMixBudget * w) DIV ($totalW * tok_s)")))
+      .select("source", "rate_permille")
+    docs.join(broadcast(rates), "source")
+      .filter(pmod(hash60(concat(lit(TempMixSalt), col("doc_id").cast("string"))),
+        lit(1000L)) < col("rate_permille"))
+      .select("doc_id", "source", "n_tok", "rate_permille")
+      .orderBy("doc_id")
+  }
+
+  val temperatureMixSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |by_source AS (
+       |  SELECT source, sum(n_tok) AS tok_s,
+       |    CAST(floor(sqrt(sum(n_tok))) AS BIGINT) AS w
+       |  FROM docs GROUP BY source),
+       |tw AS (SELECT sum(w) AS total_w FROM by_source),
+       |rates AS (
+       |  SELECT source,
+       |    least(1000, (1000 * $TempMixBudget * w) // (tw.total_w * tok_s))
+       |      AS rate_permille
+       |  FROM by_source, tw)
+       |SELECT d.doc_id, d.source, d.n_tok, r.rate_permille
+       |FROM docs d JOIN rates r USING (source)
+       |WHERE ${hash60Sql(s"'$TempMixSalt' || CAST(doc_id AS VARCHAR)")}
+       |  % 1000 < r.rate_permille
+       |ORDER BY d.doc_id""".stripMargin
+
   // ----------------------------------------------------------------- x5
 
   /** Deterministic "next snapshot" for the x5 fixture: drop ids ≡ 0 mod
@@ -663,6 +726,7 @@ object Sampling {
     corpusDiffSqlWhere(" AND status <> 'removed'")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t25_temperature_mix" -> (temperatureMix _),
     "x5_corpus_diff" -> (corpusDiff _),
     "x4_delete_roundtrip" -> (deleteRoundtrip _),
     "t24_leakage_split" -> (leakageSplit _),
@@ -678,6 +742,7 @@ object Sampling {
     "x3_export_roundtrip" -> (exportRoundtrip _))
 
   val oracles: Map[String, String] = Map(
+    "t25_temperature_mix" -> temperatureMixSql,
     "x5_corpus_diff" -> corpusDiffSql,
     "x4_delete_roundtrip" -> deleteRoundtripSql,
     "t24_leakage_split" -> leakageSplitSql,

@@ -191,4 +191,29 @@ class CheckpointRecoverySpec extends SparkTestBase {
     assertSame(EventStreaming.collapseNearDup(updates.drop("batch_id")),
       Dedup.nearDupVerdicts(spark, DocsSfDir))
   }
+
+  test("st12 cdc: crash after batch 4, restart from checkpoint, verdicts equal batch x5 upserts") {
+    val zone = docsZone("rec_cdc_zone")
+    val old = spark.read.parquet(s"$DocsSfDir/documents.parquet")
+      .select("doc_id", "text")
+    val (updates, firstRestart) = crashAndRecover("rec_cdc", () =>
+      DocumentStreams.cdcVerdicts(
+        graft.queries.Sampling.nextSnapshotOf(
+          DocumentStreams.readDocuments(spark, zone, glob = "*.parquet",
+            maxFilesPerTrigger = Some(1)).select("doc_id", "text")),
+        old).toDF(),
+      mode = "append")
+    assert(firstRestart === Poison)
+    // the CDC-specific recovery hazard: the INITIAL-STATE snapshot digests
+    // of docs that had not yet arrived before the crash must survive the
+    // restart — a doc arriving after it can only read `modified` (rather
+    // than a spurious `added`) if its pre-loaded ledger entry recovered
+    assert(updates.filter(col("batch_id") > Poison &&
+      col("status") === "modified").count() > 0,
+      "no post-restart arrival was classified against the recovered snapshot state")
+    val want = graft.operators.CorpusDiff
+      .diff(old, graft.queries.Sampling.nextSnapshotOf(old))
+      .filter(col("status") =!= "removed").orderBy("doc_id")
+    assertSame(updates.drop("batch_id").orderBy("doc_id"), want)
+  }
 }
