@@ -303,6 +303,30 @@ object StreamScaleStress {
         Some(graft.operators.TextDedup.nearDupVerdicts(
           spark.read.parquet(docZone))))
 
+      // st12: streaming CDC against the snapshot ledger. State is seeded
+      // with EVERY doc's digest via the initial-state overload, so
+      // state_rows_max ≈ distinct docs + adds — the one stream whose state
+      // is snapshot-sized on batch ONE rather than grown by arrivals; cost
+      // per batch is digest-compare only. Twin = batch x5 minus `removed`
+      // (arrival-driven CDC cannot see absences).
+      run("st12_cdc", {
+          val old = spark.read.parquet(docZone).select("doc_id", "text")
+          DocumentStreams.cdcVerdicts(
+            graft.queries.Sampling.nextSnapshotOf(
+              DocumentStreams.readDocuments(spark, docZone,
+                glob = "*.parquet", maxFilesPerTrigger = Some(1))
+                .select("doc_id", "text")),
+            old).toDF()
+        },
+        OutputMode.Append(),
+        df => df,
+        Some {
+          val old = spark.read.parquet(docZone).select("doc_id", "text")
+          graft.operators.CorpusDiff
+            .diff(old, graft.queries.Sampling.nextSnapshotOf(old))
+            .filter(col("status") =!= "removed")
+        })
+
       // st8: the token-frequency ledger over char-bijected replicas is the
       // DISJOINT-vocabulary worst case (each replica's tokens are unique by
       // the bijection), so state must grow exactly linearly with k — the

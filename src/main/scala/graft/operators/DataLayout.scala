@@ -115,4 +115,49 @@ object DataLayout {
       } finally reader.close()
     }
   }
+
+  final case class CompactionReport(
+    filesBefore: Int, bytesBefore: Long, filesAfter: Int)
+
+  /** Small-file COMPACTION — the lakehouse OPTIMIZE maintenance pass: a
+    * zone accreted through many incremental writes (streaming
+    * micro-batches, per-delivery dynamic-overwrite merges, x4-style
+    * targeted rewrites) degenerates into thousands of tiny files whose
+    * per-file open/footer/seek cost comes to dominate every scan; this
+    * rewrites it into ~`targetBytes`-sized files without changing a row.
+    *
+    * File count is computed from the DRIVER-side file listing (sizes and
+    * counts — metadata, never data): n = ceil(bytes / targetBytes). The
+    * rewrite is one shuffle of the zone. With `partitionCols` the
+    * repartition hashes on exactly those columns, so each partition
+    * value's rows land in ONE task → one file per Hive directory (a
+    * skewed value still caps per-file rows via `maxRecordsPerFile`);
+    * without, a plain round-robin repartition gives n near-equal files.
+    * At 100 TB this runs per-partition (compact yesterday's directories),
+    * not as one global rewrite — same amortization contract as the
+    * z-order pass above.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, zoneDir: String,
+      outDir: String, targetBytes: Long,
+      partitionCols: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 0L): CompactionReport = {
+    def parquetFiles(d: java.io.File): Seq[java.io.File] =
+      if (d.isDirectory) d.listFiles().toSeq.flatMap(parquetFiles)
+      else if (d.getName.endsWith(".parquet")) Seq(d)
+      else Nil
+    val before = parquetFiles(new java.io.File(zoneDir))
+    val bytes = before.map(_.length).sum
+    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(zoneDir)
+    val staged =
+      if (partitionCols.isEmpty) df.repartition(n)
+      else df.repartition(n, partitionCols.map(org.apache.spark.sql.functions.col): _*)
+    val w = staged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+    val w2 = if (maxRecordsPerFile > 0)
+      w.option("maxRecordsPerFile", maxRecordsPerFile) else w
+    (if (partitionCols.isEmpty) w2 else w2.partitionBy(partitionCols: _*))
+      .parquet(outDir)
+    CompactionReport(before.size, bytes,
+      parquetFiles(new java.io.File(outDir)).size)
+  }
 }

@@ -59,6 +59,28 @@ object Events {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** e6: the SAME sessionization through Spark's built-in `session_window`
+    * aggregation — the prefer-built-ins rule made executable: where a
+    * native operator expresses the semantics, use it and let Catalyst own
+    * the plan (one merging-session hash aggregate; no lag window, no
+    * self-ordering pass), and pin it to the hand-rolled twin's oracle.
+    *
+    * Boundary calibration: `session_window(ts, d)` merges events with
+    * gap < d (a gap of exactly d BREAKS), while e2's lag formulation
+    * breaks only on gap > 30min (exactly 30min stays merged). On
+    * microsecond timestamps the two coincide EXACTLY at
+    * d = 30min + 1µs: gap < 30min+1µs ⟺ gap ≤ 30min ⟺ not(gap > 30min).
+    * No fixture luck involved — the equivalence is integer arithmetic.
+    */
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes 1 microsecond"))
+      .agg(count(lit(1)).as("n_ev"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_ev").as("n_events"))
+      .orderBy("user_id")
+
   /** Per-user conditional aggregation (manual pivot over event types). */
   def userTypePivot(spark: SparkSession, dir: String): DataFrame = {
     def cnt(t: String) = sum(when(col("event_type") === t, 1L).otherwise(0L))
@@ -147,6 +169,7 @@ object Events {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e6_session_windows" -> (sessionWindows _),
     "e1_hourly_rollup" -> (hourlyRollup _),
     "e5_incremental_rollup" -> (incrementalRollup _),
     "e2_user_sessions" -> (userSessions _),
@@ -154,6 +177,7 @@ object Events {
     "e4_props_extract" -> (propsExtract _))
 
   val oracles: Map[String, String] = Map(
+    "e6_session_windows" -> userSessionsSql,
     "e1_hourly_rollup" -> hourlyRollupSql,
     "e5_incremental_rollup" -> hourlyRollupSql,
     "e2_user_sessions" -> userSessionsSql,

@@ -73,9 +73,47 @@ object Layout {
       |  AND ts < TIMESTAMP '2024-01-13 00:00:00'
       |ORDER BY event_id""".stripMargin
 
+  // ------------------------------------------------------------------ l2
+
+  /** l2: COMPACTION roundtrip — fragment the events table into 64 tiny
+    * files (the shape a zone reaches after months of micro-batch
+    * appends), compact to ~quarter-of-zone target files through
+    * `DataLayout.compact`, and read the compacted zone back. The oracle
+    * is the original table: compaction must be row-for-row invisible.
+    * The file-count arithmetic and the one-file-per-partition-dir
+    * contract are DataLayoutSpec's job; the gate checks the rows.
+    */
+  def compactRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val frag = "target/compact/" + dir.replaceAll("[^A-Za-z0-9.]", "_") + "_frag"
+    val out = "target/compact/" + dir.replaceAll("[^A-Za-z0-9.]", "_") + "_out"
+    graft.core.FsUtil.deleteRecursively(frag)
+    graft.core.FsUtil.deleteRecursively(out)
+    Tables(spark, dir).events.repartition(64)
+      .write.mode("overwrite").parquet(frag)
+    val report = DataLayout.compact(spark, frag, out,
+      targetBytes = new java.io.File(frag).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.length).sum / 4)
+    require(report.filesAfter < report.filesBefore,
+      s"compaction did not reduce file count: $report")
+    spark.read.parquet(out)
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+        col("event_type"), round(col("value"), 2).as("value"))
+      .orderBy("event_id")
+  }
+
+  val compactRoundtripSql: String =
+    """SELECT event_id, user_id,
+      | strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+      | event_type, round(value, 2) AS value
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "l2_compact_roundtrip" -> (compactRoundtrip _),
     "l1_zorder_scan" -> (zorderScan _))
 
   val oracles: Map[String, String] = Map(
+    "l2_compact_roundtrip" -> compactRoundtripSql,
     "l1_zorder_scan" -> zorderScanSql)
 }

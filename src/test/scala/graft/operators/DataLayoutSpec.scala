@@ -71,4 +71,48 @@ class DataLayoutSpec extends SparkTestBase {
     assert(pushed.contains("GreaterThanOrEqual(a,") && pushed.contains("LessThanOrEqual(b,"),
       s"expected both box predicates pushed, got: $pushed")
   }
+
+  test("compact: file count = ceil(bytes/target); rows byte-identical") {
+    val frag = scratch("compact-frag")
+    val out = scratch("compact-out")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.repartition(32).write.mode("overwrite").parquet(frag)
+    def pq(d: java.io.File): Seq[java.io.File] =
+      if (d.isDirectory) d.listFiles().toSeq.flatMap(pq)
+      else if (d.getName.endsWith(".parquet")) Seq(d) else Nil
+    val bytes = pq(new java.io.File(frag)).map(_.length).sum
+    val r = DataLayout.compact(spark, frag, out, targetBytes = bytes / 3 + 1)
+    assert(r.filesBefore === 32)
+    assert(r.filesAfter === math.ceil(bytes.toDouble / (bytes / 3 + 1)).toInt)
+    assert(r.filesAfter < r.filesBefore)
+    val a = docs.orderBy("doc_id").collect().toSeq
+    val b = spark.read.parquet(out).orderBy("doc_id").collect().toSeq
+    assert(a === b, "compaction changed rows")
+  }
+
+  test("compact with partition columns: one file per Hive directory") {
+    import org.apache.spark.sql.functions.col
+    val frag = scratch("compact-part-frag")
+    val out = scratch("compact-part-out")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.repartition(16).write.mode("overwrite")
+      .partitionBy("lang").parquet(frag)
+    val langDirs = new java.io.File(frag).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("lang="))
+    assert(langDirs.forall(_.listFiles().count(_.getName.endsWith(".parquet")) > 1),
+      "fixture zone not fragmented enough to test compaction")
+    DataLayout.compact(spark, frag, out, targetBytes = 1L << 30,
+      partitionCols = Seq("lang"))
+    val outDirs = new java.io.File(out).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("lang="))
+    assert(outDirs.map(_.getName).sorted === langDirs.map(_.getName).sorted)
+    outDirs.foreach { d =>
+      assert(d.listFiles().count(_.getName.endsWith(".parquet")) === 1,
+        s"${d.getName} not compacted to one file")
+    }
+    val a = docs.select("doc_id", "text", "lang").orderBy("doc_id").collect().toSeq
+    val b = spark.read.parquet(out).select("doc_id", "text", "lang")
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
 }
