@@ -148,6 +148,40 @@ object EventStreaming {
       .orderBy("doc_id")
   }
 
+  /** st13: STREAM-STATIC ENRICHMENT — the one join family the st* set
+    * had not covered: each arriving document joins a STATIC dimension
+    * (per-source corpus statistics, computed batch-side) — the
+    * enrichment shape every ingest pipeline runs (attach source
+    * metadata, crawl config, quality priors to arriving rows). The
+    * static side re-resolves per micro-batch and BROADCASTS (tiny by
+    * definition: dimensions are bounded, streams are not), so the join
+    * is stateless — no state store, no watermark, Append mode, each
+    * arrival enriched exactly once. Oracle: the same join in one batch
+    * SQL statement.
+    */
+  def streamEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val dim = graft.core.Tables(spark, dir).documents
+      .groupBy("source")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("source_docs"),
+        sum("n_chars").as("source_chars"))
+    val stream = DocumentStreams.readDocuments(spark, dir)
+      .select("doc_id", "source", "n_chars")
+    EventStreams.replayToTable(
+      stream.join(broadcast(dim), "source")
+        .select("doc_id", "source", "n_chars", "source_docs", "source_chars"),
+      s"st13_mem_${runSeq.incrementAndGet()}", OutputMode.Append())
+      .orderBy("doc_id")
+  }
+
+  val streamEnrichSql: String =
+    """SELECT d.doc_id, d.source, d.n_chars, s.source_docs, s.source_chars
+      |FROM documents d
+      |JOIN (SELECT source, count(*) AS source_docs,
+      |        sum(n_chars) AS source_chars
+      |      FROM documents GROUP BY source) s USING (source)
+      |ORDER BY d.doc_id""".stripMargin
+
   /** st9: streaming near-dup detection (streaming d12). Each arriving
     * document is flagged at arrival against the (band, band-hash) ledger —
     * the ingest-time LSH dedup decision — and the replayed zone's verdicts
@@ -257,6 +291,7 @@ object EventStreaming {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st13_stream_enrich" -> (streamEnrich _),
     "st12_stream_cdc" -> (streamCdc _),
     "st11_stream_rollup_fold" -> (streamRollupFold _),
     "st8_stream_heavy_hitters" -> (streamHeavyHitters _),
@@ -269,6 +304,7 @@ object EventStreaming {
     "st9_stream_near_dedup" -> (streamNearDedup _))
 
   val oracles: Map[String, String] = Map(
+    "st13_stream_enrich" -> streamEnrichSql,
     "st12_stream_cdc" -> Sampling.corpusDiffUpsertsSql,
     "st11_stream_rollup_fold" -> Events.hourlyRollupSql,
     "st8_stream_heavy_hitters" -> Sketches.heavyHittersSql,
