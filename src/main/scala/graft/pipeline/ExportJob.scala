@@ -200,22 +200,86 @@ object ExportJob {
   def deleteFromShards(spark: SparkSession, outDir: String,
       docIds: Seq[Long]): Unit = {
     if (docIds.isEmpty) return
-    val byShard = docIds.distinct.groupBy(shardOf)
-    val affected = byShard.keySet.toSeq.sorted
+    val affected = docIds.distinct.map(shardOf).distinct.sorted
     val victims = docIds.toSet
-    // read ONLY the affected shard directories; basePath re-derives the
-    // shard_id partition column from the paths
-    val kept = spark.read
-      .option("basePath", outDir)
-      .json(affected.map(k => s"$outDir/shard_id=$k"): _*)
+    val kept = readShards(spark, outDir, affected)
       .filter(!col("doc_id").isin(victims.toSeq: _*))
+    rewriteAffectedShards(spark, outDir, affected, kept)
+  }
+
+  /** Row-level UPSERT (MERGE INTO) over an incremental export zone: the
+    * upsert frame's rows REPLACE same-id rows and ADD new ids, touching
+    * only the shards the stable hash maps those ids to -- the row-granular
+    * completion of the zone-maintenance family (incremental re-export is
+    * source-driven and corpus-shaped; this is delta-driven and
+    * delta-shaped, the MERGE a CDC upsert feed like st12's lands with).
+    *
+    * Unlike the delete, the upsert payload is DATA-sized, so nothing about
+    * it goes through the driver except the affected shard-id list (at most
+    * [[IncrementalShards]] values): the replace is a distributed left-anti
+    * join of the affected shards' rows against the upsert keys, then a
+    * union with the upserts. Idempotent by fingerprint: re-landing the
+    * same upsert finds every affected shard's post-merge fingerprint equal
+    * to the manifest and rewrites nothing (the redelivery contract,
+    * spec-pinned).
+    */
+  def upsertShards(spark: SparkSession, outDir: String,
+      upserts: DataFrame): Unit = {
+    VectorOps.register(spark)
+    val up = upserts
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+        col("lang"), col("source"))
+      .withColumn("shard_id",
+        pmod(hash60(concat(lit(IncrementalSalt), col("doc_id").cast("string"))),
+          lit(IncrementalShards.toLong)))
+    up.persist()
+    try {
+      val affected = up.select("shard_id").distinct()
+        .collect().map(_.getAs[Long]("shard_id")).sorted.toSeq
+      val existing = readShards(spark, outDir, affected)
+      val kept = existing.join(up.select("doc_id"), Seq("doc_id"), "left_anti")
+      rewriteAffectedShards(spark, outDir, affected,
+        kept.unionByName(up.select(kept.columns.map(col): _*)))
+    } finally up.unpersist()
+  }
+
+  /** Read ONLY the given shard directories of a zone (skipping ids whose
+    * directory does not exist yet -- an upsert may target an empty shard);
+    * basePath re-derives the shard_id partition column from the paths.
+    */
+  private def readShards(spark: SparkSession, outDir: String,
+      shardIds: Seq[Long]): DataFrame = {
+    val dirs = shardIds.map(k => s"$outDir/shard_id=$k")
+      .filter(p => new File(p).isDirectory)
+    if (dirs.isEmpty) {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("lang", StringType), StructField("source", StringType),
+          StructField("shard_id", LongType))))
+    } else spark.read
+      .option("basePath", outDir)
+      .json(dirs: _*)
       .select(col("doc_id").cast("long").as("doc_id"), col("text"),
         col("lang"), col("source"), col("shard_id").cast("long").as("shard_id"))
-    kept.persist()
+  }
+
+  /** Shared tail of [[deleteFromShards]]/[[upsertShards]]: given the
+    * post-operation content of the AFFECTED shards, fingerprint it (at
+    * most [[IncrementalShards]] driver rows, not data), rewrite only the
+    * shards whose fingerprint actually changed, drop the ones that
+    * emptied, and update the manifest -- so an id absent from the zone
+    * (delete) or a byte-identical redelivery (upsert) leaves every file
+    * and mtime untouched. The honest cost is READ |affected shards|,
+    * REWRITE |shards that changed|.
+    */
+  private def rewriteAffectedShards(spark: SparkSession, outDir: String,
+      affected: Seq[Long], content: DataFrame): Unit = {
+    content.persist()
     try {
-      // post-delete fingerprints of the affected shards (same row_fp as
-      // the export pass — N rows to the driver, not data)
-      val fps = kept
+      val fps = content
         .withColumn("row_fp", hash60(concat_ws("\u0001",
           col("doc_id").cast("string"), col("text"), col("lang"), col("source"))))
         .groupBy("shard_id")
@@ -223,14 +287,10 @@ object ExportJob {
         .collect()
         .map(r => r.getAs[Long]("shard_id") ->
           (r.getAs[Long]("fp"), r.getAs[Long]("n"))).toMap
-      // rewrite only the shards whose content actually changed (an id in
-      // the request that is absent from the zone leaves its shard's
-      // fingerprint — and therefore its files — untouched): the honest
-      // cost is READ |affected shards|, REWRITE |shards that lost a row|
       val prevAll = readManifest(outDir)
       val changed = fps.keySet.filter(k => !prevAll.get(k).contains(fps(k)))
       if (changed.nonEmpty) {
-        kept.filter(col("shard_id").isin(changed.toSeq: _*))
+        content.filter(col("shard_id").isin(changed.toSeq: _*))
           .hint("rebalance", col("shard_id"))
           .sortWithinPartitions("shard_id", "doc_id")
           .write
@@ -247,7 +307,7 @@ object ExportJob {
         if (d.isDirectory) { d.listFiles().foreach(_.delete()); d.delete() }
       }
       writeManifest(outDir, prevAll -- emptied ++ fps)
-    } finally kept.unpersist()
+    } finally content.unpersist()
   }
 
   /** Manifest name; the leading underscore keeps it invisible to Spark's

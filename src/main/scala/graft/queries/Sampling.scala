@@ -725,7 +725,48 @@ object Sampling {
   val corpusDiffUpsertsSql: String =
     corpusDiffSqlWhere(" AND status <> 'removed'")
 
+  // ----------------------------------------------------------------- x6
+
+  val UpsertRoot = "/root/repo/target/fixtures-export/upsert-shards"
+
+  /** x6: row-level UPSERT roundtrip — build an incremental export zone,
+    * land the x5 perturbation's UPSERT HALF (the %89 modifications and
+    * the %101 shifted additions — the same frame st12's CDC would emit
+    * the verdicts for) through `ExportJob.upsertShards`, and read the
+    * zone back with content digests exposed, so the gate proves the NEW
+    * text landed and everything else stayed byte-stable. Oracle: the
+    * corpus with the same modification applied plus the added rows.
+    */
+  def upsertRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.FsUtil.deleteRecursively(UpsertRoot)
+    graft.pipeline.ExportJob.writeTrainingShardsIncremental(spark, dir, UpsertRoot)
+    val docs = Tables(spark, dir).documents
+      .select("doc_id", "text", "lang", "source")
+    val upserts = docs
+      .filter(pmod(col("doc_id"), lit(DiffModifyMod)) === 0L)
+      .withColumn("text", concat(col("text"), lit(" v2")))
+      .unionByName(docs
+        .filter(pmod(col("doc_id"), lit(DiffAddMod)) === 0L)
+        .withColumn("doc_id", col("doc_id") + DiffAddShift))
+    graft.pipeline.ExportJob.upsertShards(spark, UpsertRoot, upserts)
+    spark.read.json(UpsertRoot)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        md5(col("text")).as("text_md5"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  val upsertRoundtripSql: String =
+    s"""SELECT doc_id,
+       |  md5(CASE WHEN doc_id % $DiffModifyMod = 0 THEN text || ' v2'
+       |           ELSE text END) AS text_md5, source
+       |FROM documents
+       |UNION ALL
+       |SELECT doc_id + $DiffAddShift, md5(text), source FROM documents
+       |WHERE doc_id % $DiffAddMod = 0
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x6_upsert_roundtrip" -> (upsertRoundtrip _),
     "t25_temperature_mix" -> (temperatureMix _),
     "x5_corpus_diff" -> (corpusDiff _),
     "x4_delete_roundtrip" -> (deleteRoundtrip _),
@@ -742,6 +783,7 @@ object Sampling {
     "x3_export_roundtrip" -> (exportRoundtrip _))
 
   val oracles: Map[String, String] = Map(
+    "x6_upsert_roundtrip" -> upsertRoundtripSql,
     "t25_temperature_mix" -> temperatureMixSql,
     "x5_corpus_diff" -> corpusDiffSql,
     "x4_delete_roundtrip" -> deleteRoundtripSql,

@@ -213,4 +213,50 @@ class ExportJobSpec extends SparkTestBase {
       assert(t2(d) === m, s"shard $d rewrote on re-export after delete")
     assert(spark.read.json(out).count() === first.length.toLong)
   }
+
+  test("upsert merges row-level changes into only their shards; redelivery is a no-op") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select("doc_id", "text", "lang", "source")
+    val corpus = scratch("ups-corpus")
+    docs.write.mode("overwrite").parquet(s"$corpus/documents.parquet")
+    val out = scratch("ups-export")
+    val first = ExportJob.writeTrainingShardsIncremental(spark, corpus, out).collect()
+
+    // upsert: modify one existing doc, add one brand-new id
+    val modId = first.head.getAs[Long]("doc_id")
+    val newId = 999999L
+    val upserts = docs.filter(col("doc_id") === modId)
+      .withColumn("text", concat(col("text"), lit(" PATCHED")))
+      .unionByName(docs.filter(col("doc_id") === modId)
+        .withColumn("doc_id", lit(newId)))
+    val touched = Set(ExportJob.shardOf(modId), ExportJob.shardOf(newId))
+
+    Thread.sleep(1100)
+    val t0 = shardMtimes(out)
+    ExportJob.upsertShards(spark, out, upserts)
+    val t1 = shardMtimes(out)
+
+    // only the touched shards moved; untouched dirs keep their mtimes
+    for ((d, m) <- t0)
+      if (touched.exists(k => d == s"shard_id=$k"))
+        assert(t1(d) > m, s"touched shard $d was not rewritten")
+      else assert(t1(d) === m, s"shard $d rewrote without an upserted row")
+
+    // content: modified text landed, new row present, everything else intact
+    val back = spark.read.json(out)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(back.size === first.length + 1)
+    assert(back(modId).endsWith(" PATCHED"))
+    assert(back(newId) === back(modId).stripSuffix(" PATCHED"))
+    assert(first.filter(_.getAs[Long]("doc_id") != modId)
+      .forall(r => back(r.getAs[Long]("doc_id")) === r.getAs[String]("text")))
+
+    // redelivery: landing the SAME upsert again must rewrite nothing —
+    // every affected shard's post-merge fingerprint equals the manifest
+    Thread.sleep(1100)
+    ExportJob.upsertShards(spark, out, upserts)
+    assert(shardMtimes(out) === t1, "idempotent redelivery rewrote a shard")
+  }
 }
