@@ -77,7 +77,7 @@ object ScaleStress {
     "e2_user_sessions", "e5_incremental_rollup", "n8_hard_negatives",
     "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
     "q5_local_supplier_volume", "q9_product_profit",
-    "n9_hybrid_rrf", "t23_seed_vocab", "t24_leakage_split")
+    "n9_hybrid_rrf", "t23_seed_vocab", "t24_leakage_split", "e7_funnel")
 
   /** SemDeDup's K schedule. Total cost = centroid assignment (n·K dot
     * products — the coarse quantizer is brute-force nearest-centroid) plus
@@ -489,7 +489,18 @@ object ScaleStress {
           val d0 = System.nanoTime()
           graft.pipeline.ExportJob.deleteFromShards(spark, zone, victimIds)
           val delSec = (System.nanoTime() - d0) / 1e9
-          println(s"""{"scale":$k,"variant":"x4","build_sec":${f2(buildSec)},"delete_sec":${f2(delSec)},"affected_shards":${shards.size},"total_shards":${graft.pipeline.ExportJob.IncrementalShards}}""")
+          // x6 leg: land a fixed 4-row patch (re-adding the deleted ids
+          // with marker text) — same affected shards, same fixed request
+          // size against the growing zone
+          val patch = spark.read.parquet(s"$dir/documents.parquet")
+            .filter(col("doc_id").isin(victimIds: _*))
+            .select(col("doc_id"), concat(col("text"), lit(" PATCH")).as("text"),
+              col("lang"), col("source"))
+          spark.catalog.clearCache(); System.gc()
+          val u0 = System.nanoTime()
+          graft.pipeline.ExportJob.upsertShards(spark, zone, patch)
+          val upSec = (System.nanoTime() - u0) / 1e9
+          println(s"""{"scale":$k,"variant":"x4","build_sec":${f2(buildSec)},"delete_sec":${f2(delSec)},"upsert_sec":${f2(upSec)},"affected_shards":${shards.size},"total_shards":${graft.pipeline.ExportJob.IncrementalShards}}""")
         }
         spark.stop()
         return

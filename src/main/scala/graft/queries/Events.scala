@@ -81,6 +81,59 @@ object Events {
       .agg(count(lit(1)).as("n_sessions"), sum("n_ev").as("n_events"))
       .orderBy("user_id")
 
+  /** e7: CONVERSION FUNNEL — view → click → purchase in strict temporal
+    * order per user (each stage's timestamp must follow the PREVIOUS
+    * stage's, not merely exist): the staged-minimum shape every product
+    * analytics stack runs. Three aggregate+join stages over a SHRINKING
+    * user frame: stage k's per-user minimum broadcasts back against the
+    * next stage's single-type slice of the scan, so the corpus is
+    * filtered by event type before any join and each stage's join side
+    * is users-surviving-so-far (monotonically smaller). Output: the
+    * converted users with their stage timestamps and total lag.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events.select("user_id", "ts", "event_type")
+    def stage(slice: DataFrame, prev: DataFrame, prevTs: String,
+        outTs: String): DataFrame =
+      slice.join(broadcast(prev), "user_id")
+        .filter(col("ts") > col(prevTs))
+        .groupBy((prev.columns :+ "user_id").distinct.map(col): _*)
+        .agg(min("ts").as(outTs))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("view_ts"))
+    val c = stage(ev.filter(col("event_type") === "click"), v, "view_ts", "click_ts")
+    val p = stage(ev.filter(col("event_type") === "purchase"), c, "click_ts", "purchase_ts")
+    p.select(col("user_id"),
+        date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss").as("view_ts"),
+        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+        date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        (unix_timestamp(col("purchase_ts")) - unix_timestamp(col("view_ts")))
+          .as("funnel_seconds"))
+      .orderBy("user_id")
+  }
+
+  val funnelSql: String =
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS view_ts FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, v.view_ts, min(e.ts) AS click_ts
+      |  FROM events e JOIN v USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > v.view_ts
+      |  GROUP BY e.user_id, v.view_ts),
+      |p AS (
+      |  SELECT e.user_id, c.view_ts, c.click_ts, min(e.ts) AS purchase_ts
+      |  FROM events e JOIN c USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+      |  GROUP BY e.user_id, c.view_ts, c.click_ts)
+      |SELECT user_id,
+      |  strftime(view_ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+      |  strftime(click_ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+      |  strftime(purchase_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+      |  CAST(floor(date_part('epoch', purchase_ts))
+      |    - floor(date_part('epoch', view_ts)) AS BIGINT) AS funnel_seconds
+      |FROM p ORDER BY user_id""".stripMargin
+
   /** Per-user conditional aggregation (manual pivot over event types). */
   def userTypePivot(spark: SparkSession, dir: String): DataFrame = {
     def cnt(t: String) = sum(when(col("event_type") === t, 1L).otherwise(0L))
@@ -169,6 +222,7 @@ object Events {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e7_funnel" -> (funnel _),
     "e6_session_windows" -> (sessionWindows _),
     "e1_hourly_rollup" -> (hourlyRollup _),
     "e5_incremental_rollup" -> (incrementalRollup _),
@@ -177,6 +231,7 @@ object Events {
     "e4_props_extract" -> (propsExtract _))
 
   val oracles: Map[String, String] = Map(
+    "e7_funnel" -> funnelSql,
     "e6_session_windows" -> userSessionsSql,
     "e1_hourly_rollup" -> hourlyRollupSql,
     "e5_incremental_rollup" -> hourlyRollupSql,

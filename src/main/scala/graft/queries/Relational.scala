@@ -370,7 +370,42 @@ object Relational {
       |GROUP BY 1, 2
       |ORDER BY nation, l_year""".stripMargin
 
+  /** q11: METADATA-ONLY table stats — full-table COUNT/MIN/MAX answered
+    * from parquet FOOTERS, not data pages (`spark.sql.parquet
+    * .aggregatePushdown`; the plan shows `PushedAggregation` and the scan
+    * reads zero row groups' worth of column data). At 100 TB this is the
+    * difference between a catalog-refresh job that touches metadata and
+    * one that scans the lake: row counts and column bounds are exactly
+    * what footers already store. Constraints are structural — no filter,
+    * no grouping, and timestamp columns are excluded from footer min/max
+    * pushdown (hence the long/double columns here).
+    *
+    * Aggregate pushdown exists only in the DataSource V2 parquet reader,
+    * and removing parquet from `useV1SourceList` is session-global — so
+    * the query plans in an ISOLATED child session (same SparkContext,
+    * executors, and cache; the d9 CC-loop conf-isolation prescription)
+    * and the caller's session never sees either conf. PlanSpec pins the
+    * `PushedAggregation` marker so a silent fallback to a scanning plan
+    * fails CI.
+    */
+  def metadataStats(spark: SparkSession, dir: String): DataFrame = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.sources.useV1SourceList", "")
+    s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    Tables(s2, dir).lineitem
+      .agg(count(lit(1)).as("n_rows"),
+        min("l_orderkey").as("min_key"), max("l_orderkey").as("max_key"),
+        round(max("l_extendedprice"), 2).as("max_price"))
+  }
+
+  val metadataStatsSql: String =
+    """SELECT count(*) AS n_rows,
+      | min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
+      | round(max(l_extendedprice), 2) AS max_price
+      |FROM lineitem""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q11_metadata_stats" -> (metadataStats _),
     "q1_pricing_summary" -> (pricingSummary _),
     "q2_min_cost_supplier" -> (minCostSupplier _),
     "q3_shipping_priority" -> (shippingPriority _),
@@ -383,6 +418,7 @@ object Relational {
     "q10_returned_item_revenue" -> (returnedItemRevenue _))
 
   val oracles: Map[String, String] = Map(
+    "q11_metadata_stats" -> metadataStatsSql,
     "q1_pricing_summary" -> pricingSummarySql,
     "q2_min_cost_supplier" -> minCostSupplierSql,
     "q3_shipping_priority" -> shippingPrioritySql,

@@ -208,4 +208,11 @@ class PlanSpec extends SparkTestBase {
     val p = plan("t24_leakage_split")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("metadata stats (q11): aggregates are served from parquet footers, not data pages") {
+    val p = plan("q11_metadata_stats")
+    assert(p.contains("PushedAggregation: [COUNT(*), MIN(l_orderkey), " +
+      "MAX(l_orderkey), MAX(l_extendedprice)]"),
+      "the footer-pushdown plan silently fell back to a scanning aggregate:\n" + p)
+  }
 }
