@@ -192,6 +192,26 @@ class CheckpointRecoverySpec extends SparkTestBase {
       Dedup.nearDupVerdicts(spark, DocsSfDir))
   }
 
+  test("st10 range join: crash after batch 4, restart from checkpoint, pairs equal batch j2") {
+    val zone = eventsZone("rec_range_zone")
+    def evs() = EventStreams.readEvents(spark, zone, glob = "*.parquet",
+      maxFilesPerTrigger = Some(1))
+    val (pairs, firstRestart) = crashAndRecover("rec_range", () =>
+      EventStreams.rangeJoin(evs(), evs(), windowUs = 60000000L,
+        delay = "5 days"),
+      mode = "append")
+    assert(firstRestart === Poison)
+    // two-sided symmetric-hash state must recover: a pair whose purchase
+    // side arrived before the crash and whose error side arrived after
+    // (or vice versa) can only exist if the buffered side survived
+    val t = pairs.drop("batch_id")
+    val want = Temporal.rangeCorrelation(spark, SfDir)
+      .select("purchase_id", "error_id", "lag_us")
+    assertSame(
+      t.orderBy("purchase_id", "error_id"),
+      want.orderBy("purchase_id", "error_id"))
+  }
+
   test("st12 cdc: crash after batch 4, restart from checkpoint, verdicts equal batch x5 upserts") {
     val zone = docsZone("rec_cdc_zone")
     val old = spark.read.parquet(s"$DocsSfDir/documents.parquet")
