@@ -222,6 +222,11 @@ object ExportJob {
     * same upsert finds every affected shard's post-merge fingerprint equal
     * to the manifest and rewrites nothing (the redelivery contract,
     * spec-pinned).
+    *
+    * Precondition: `doc_id` is unique WITHIN the upsert frame (standard
+    * MERGE semantics — a batch with two rows for one key has no
+    * well-defined winner; collapse upstream, e.g. st12's max-version
+    * collapse, before landing). Duplicate keys are landed as-is.
     */
   def upsertShards(spark: SparkSession, outDir: String,
       upserts: DataFrame): Unit = {
