@@ -765,7 +765,65 @@ object Sampling {
        |WHERE doc_id % $DiffAddMod = 0
        |ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------------------------- x7
+
+  /** x7: SNAPSHOT DRIFT REPORT — per-dimension distribution counts of
+    * the current corpus vs the same deterministic "next release" the x5
+    * diff uses (graft.operators.CorpusDrift bound to the documents
+    * table): language mix, source mix, and a 100-char length histogram,
+    * old and new side by side with absences as zero. x5 answers WHICH
+    * rows changed; x7 answers whether the SHAPE of the corpus moved —
+    * the release-gate signal (a source doubling, a language vanishing, a
+    * length distribution collapsing). Each side is one scan with the
+    * dimensions exploded in-row; the join is dimension-sized.
+    */
+  def driftReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .select("doc_id", "text", "lang", "source")
+    val next = docs
+      .filter(pmod(col("doc_id"), lit(DiffRemoveMod)) =!= 0L)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(DiffModifyMod)) === 0L,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      .unionByName(docs
+        .filter(pmod(col("doc_id"), lit(DiffAddMod)) === 0L)
+        .withColumn("doc_id", col("doc_id") + DiffAddShift))
+    val dims = Seq(
+      "lang" -> col("lang"),
+      "source" -> col("source"),
+      "len_x100" -> expr("length(text) DIV 100"))
+    graft.operators.CorpusDrift.report(docs, next, dims)
+      .orderBy("dim", "value")
+  }
+
+  val driftReportSql: String = {
+    def dimsOf(src: String) =
+      s"""SELECT 'lang' AS dim, lang AS value FROM $src
+         |  UNION ALL SELECT 'source', source FROM $src
+         |  UNION ALL SELECT 'len_x100', CAST(length(text) // 100 AS VARCHAR)
+         |    FROM $src""".stripMargin
+    s"""WITH n_src AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % $DiffModifyMod = 0 THEN text || ' v2'
+       |         ELSE text END AS text, lang, source
+       |  FROM documents WHERE doc_id % $DiffRemoveMod <> 0
+       |  UNION ALL
+       |  SELECT doc_id + $DiffAddShift, text, lang, source FROM documents
+       |  WHERE doc_id % $DiffAddMod = 0),
+       |o AS (${dimsOf("documents")}),
+       |n AS (${dimsOf("n_src")}),
+       |oc AS (SELECT dim, value, count(*) AS old_n FROM o GROUP BY dim, value),
+       |nc AS (SELECT dim, value, count(*) AS new_n FROM n GROUP BY dim, value)
+       |SELECT coalesce(oc.dim, nc.dim) AS dim,
+       |  coalesce(oc.value, nc.value) AS value,
+       |  coalesce(old_n, 0) AS old_n, coalesce(new_n, 0) AS new_n
+       |FROM oc FULL OUTER JOIN nc
+       |  ON oc.dim = nc.dim AND oc.value = nc.value
+       |ORDER BY dim, value""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x7_drift_report" -> (driftReport _),
     "x6_upsert_roundtrip" -> (upsertRoundtrip _),
     "t25_temperature_mix" -> (temperatureMix _),
     "x5_corpus_diff" -> (corpusDiff _),
@@ -783,6 +841,7 @@ object Sampling {
     "x3_export_roundtrip" -> (exportRoundtrip _))
 
   val oracles: Map[String, String] = Map(
+    "x7_drift_report" -> driftReportSql,
     "x6_upsert_roundtrip" -> upsertRoundtripSql,
     "t25_temperature_mix" -> temperatureMixSql,
     "x5_corpus_diff" -> corpusDiffSql,

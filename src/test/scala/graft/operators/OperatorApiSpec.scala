@@ -195,6 +195,27 @@ class OperatorApiSpec extends SparkTestBase {
     assert(got === Set(1L), "bucketed search must not see other buckets")
   }
 
+  test("CorpusDrift.report: per-dim counts with absences as zero on either side") {
+    import spark.implicits._
+    val old = Seq(("en", 50), ("en", 150), ("fr", 50))
+      .toDF("lang", "n_chars")
+    val next = Seq(("en", 50), ("de", 250))
+      .toDF("lang", "n_chars")
+    val got = CorpusDrift.report(old, next, Seq(
+      "lang" -> col("lang"),
+      "len_x100" -> expr("n_chars DIV 100")))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got === Map(
+      ("lang", "en") -> (2L, 1L),
+      ("lang", "fr") -> (1L, 0L), // vanished language: zero on the new side
+      ("lang", "de") -> (0L, 1L), // new language: zero on the old side
+      ("len_x100", "0") -> (2L, 1L),
+      ("len_x100", "1") -> (1L, 0L),
+      ("len_x100", "2") -> (0L, 1L)))
+  }
+
   test("CorpusDiff.diff: added/removed/modified only — unchanged rows never surface") {
     import spark.implicits._
     val old = Seq((1L, "same"), (2L, "will change"), (3L, "will vanish"))
