@@ -166,4 +166,31 @@ object TemporalJoins {
       .filter(abs(col(leftTs) - col(rightTs)) <= window)
       .drop("__bucket")
   }
+
+  /** Temporal ANTI-join: left rows with NO right row within `window` (per
+    * `keys`) — the complement of [[boundedRange]] and the ops/debugging
+    * shape ("purchases with no nearby error", "requests with no matching
+    * log line"). Same covering-bucket machinery, so the matching stage is
+    * the same equi-join that never degenerates to an inequality plan; the
+    * matched LEFT IDS are then distinct'd (bounded by |left| — the
+    * covering-bucket fan-out dies here) and removed by one left-anti join
+    * on `leftId`. `leftTs`/`rightTs` must be distinct column names (they
+    * meet inside one joined frame).
+    */
+  def boundedRangeAnti(
+      left: DataFrame,
+      right: DataFrame,
+      leftId: String,
+      leftTs: String,
+      rightTs: String,
+      window: Long,
+      keys: Seq[String] = Nil): DataFrame = {
+    require(leftTs != rightTs, "leftTs and rightTs must be distinct names")
+    val matched = boundedRange(
+        left.select((keys :+ leftId :+ leftTs).distinct.map(col): _*),
+        right.select((keys :+ rightTs).distinct.map(col): _*),
+        leftTs, rightTs, window, keys)
+      .select(leftId).distinct()
+    left.join(matched, Seq(leftId), "left_anti")
+  }
 }

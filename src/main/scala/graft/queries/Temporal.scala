@@ -137,14 +137,47 @@ object Temporal {
       |  ON abs(epoch_us(p.ts) - epoch_us(e.ts)) <= 60000000
       |ORDER BY purchase_id, error_id""".stripMargin
 
+  /** j5: the temporal ANTI-join — purchases with NO error within 60s
+    * (the complement of j2, and the shape incident triage actually asks:
+    * which operations ran CLEAN). Same covering-bucket equi-join for the
+    * matching stage, matched ids distinct'd, one left-anti join back —
+    * DuckDB's oracle states it as the textbook NOT EXISTS inequality.
+    */
+  def unmatchedPurchases(spark: SparkSession, dir: String): DataFrame = {
+    val WindowUs = 60000000L
+    val ev = Tables(spark, dir).events
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts"),
+        unix_micros(col("ts")).as("p_us"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(unix_micros(col("ts")).as("e_us"))
+    graft.operators.TemporalJoins.boundedRangeAnti(
+        purchases, errors, leftId = "purchase_id",
+        leftTs = "p_us", rightTs = "e_us", window = WindowUs)
+      .select(col("purchase_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"))
+      .orderBy("purchase_id")
+  }
+
+  val unmatchedPurchasesSql: String =
+    """SELECT p.event_id AS purchase_id,
+      |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts
+      |FROM events p
+      |WHERE p.event_type = 'purchase' AND NOT EXISTS (
+      |  SELECT 1 FROM events e WHERE e.event_type = 'error'
+      |    AND abs(epoch_us(p.ts) - epoch_us(e.ts)) <= 60000000)
+      |ORDER BY purchase_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j1_asof_attribution" -> (asofAttribution _),
     "j2_range_correlation" -> (rangeCorrelation _),
+    "j5_unmatched_purchases" -> (unmatchedPurchases _),
     "j3_asof_exec" -> (asofAttributionExec _))
 
   val oracles: Map[String, String] = Map(
     "j1_asof_attribution" -> asofAttributionSql,
     "j2_range_correlation" -> rangeCorrelationSql,
+    "j5_unmatched_purchases" -> unmatchedPurchasesSql,
     // same semantics, same oracle: the exec path must match DuckDB's ASOF
     // exactly as the window formulation does
     "j3_asof_exec" -> asofAttributionSql)

@@ -93,6 +93,38 @@ class TemporalJoinsSpec extends SparkTestBase {
     }
   }
 
+  test("boundedRangeAnti is the exact complement of boundedRange's matched left set") {
+    import spark.implicits._
+    val leftRows = rows(200, 4)
+    val rightRows = rows(200, 4)
+    val left = leftRows.toDF("k", "lts", "lid").repartition(6)
+    val right = rightRows.toDF("k", "rts", "rid").repartition(3)
+    val w = 35L
+
+    for (keyed <- Seq(true, false)) {
+      val anti = TemporalJoins.boundedRangeAnti(left, right, "lid",
+          "lts", "rts", w, keys = if (keyed) Seq("k") else Nil)
+        .select("lid").collect().map(_.getLong(0)).toSet
+      val matched = (for {
+        (lk, lt, lid) <- leftRows
+        (rk, rt, _) <- rightRows
+        if (!keyed || lk == rk) && math.abs(lt - rt) <= w
+      } yield lid).toSet
+      assert(anti === leftRows.map(_._3).toSet -- matched, s"keyed=$keyed")
+      // complement: disjoint and jointly exhaustive, exactly one row each
+      assert((anti & matched).isEmpty)
+      // boundary: a right row at EXACTLY window distance still matches
+      // (<= semantics), so such a left row must NOT appear in the anti set
+      val exact = Seq((0L, 1000L, 900L)).toDF("k", "lts", "lid")
+      val probe = Seq((0L, 1000L + w)).toDF("k", "rts")
+      assert(TemporalJoins.boundedRangeAnti(exact, probe, "lid",
+        "lts", "rts", w).count() === 0L)
+      assert(TemporalJoins.boundedRangeAnti(exact,
+        Seq((0L, 1000L + w + 1)).toDF("k", "rts"), "lid",
+        "lts", "rts", w).count() === 1L)
+    }
+  }
+
   test("asOf plans one exchange chain and no join operator") {
     import spark.implicits._
     val probe = rows(50, 3).toDF("k", "ts", "pid")
