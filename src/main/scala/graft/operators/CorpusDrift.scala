@@ -23,8 +23,11 @@ object CorpusDrift {
   /** Per-(dim, value) counts of one snapshot; `dims` maps a dimension
     * name to the column expression that computes its value (any type —
     * values are cast to string so every dimension shares one schema).
+    * Public because the streaming drift monitor (st14) runs THIS stage as
+    * a streaming aggregation — the in-row dim explode and the count are
+    * mode-agnostic.
     */
-  private def counts(snapshot: DataFrame,
+  def dimCounts(snapshot: DataFrame,
       dims: Seq[(String, Column)]): DataFrame = {
     val pairs = array(dims.map { case (name, c) =>
       struct(lit(name).as("dim"), c.cast("string").as("value"))
@@ -44,8 +47,8 @@ object CorpusDrift {
     */
   def report(oldSnapshot: DataFrame, newSnapshot: DataFrame,
       dims: Seq[(String, Column)]): DataFrame =
-    counts(oldSnapshot, dims).withColumnRenamed("n", "old_n")
-      .join(counts(newSnapshot, dims).withColumnRenamed("n", "new_n"),
+    dimCounts(oldSnapshot, dims).withColumnRenamed("n", "old_n")
+      .join(dimCounts(newSnapshot, dims).withColumnRenamed("n", "new_n"),
         Seq("dim", "value"), "full_outer")
       .select(col("dim"), col("value"),
         coalesce(col("old_n"), lit(0L)).as("old_n"),

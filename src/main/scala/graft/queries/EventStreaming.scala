@@ -148,6 +148,37 @@ object EventStreaming {
       .orderBy("doc_id")
   }
 
+  /** st14: STREAMING DRIFT MONITOR (streaming x7). The new release
+    * arrives as a stream; its per-(dim, value) counts run as a streaming
+    * aggregation (CorpusDrift.dimCounts — the in-row dim explode is
+    * mode-agnostic, the count ledger is st8's vocabulary-ledger shape
+    * bounded by the dimensions' value domains), collapsed by max (counts
+    * are monotone per key in Update mode) and joined against the STATIC
+    * old snapshot's counts — so the drift table is live at every batch
+    * boundary instead of waiting for a batch job over the finished
+    * release. Shared x7 oracle on the drained replay.
+    */
+  def streamDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.core.Tables(spark, dir).documents
+      .select("doc_id", "text", "lang", "source")
+    val oldCounts = graft.operators.CorpusDrift
+      .dimCounts(docs, Sampling.DriftDims).withColumnRenamed("n", "old_n")
+    val stream = DocumentStreams.readDocuments(spark, dir)
+      .select("doc_id", "text", "lang", "source")
+    val updates = EventStreams.replayToTable(
+      graft.operators.CorpusDrift.dimCounts(
+        Sampling.nextSnapshotFullOf(stream), Sampling.DriftDims),
+      s"st14_mem_${runSeq.incrementAndGet()}", OutputMode.Update())
+    updates.groupBy("dim", "value").agg(max("n").as("new_n"))
+      .join(broadcast(oldCounts), Seq("dim", "value"), "full_outer")
+      .select(col("dim"), col("value"),
+        org.apache.spark.sql.functions.coalesce(col("old_n"),
+          org.apache.spark.sql.functions.lit(0L)).as("old_n"),
+        org.apache.spark.sql.functions.coalesce(col("new_n"),
+          org.apache.spark.sql.functions.lit(0L)).as("new_n"))
+      .orderBy("dim", "value")
+  }
+
   /** st13: STREAM-STATIC ENRICHMENT — the one join family the st* set
     * had not covered: each arriving document joins a STATIC dimension
     * (per-source corpus statistics, computed batch-side) — the
@@ -291,6 +322,7 @@ object EventStreaming {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st14_stream_drift" -> (streamDrift _),
     "st13_stream_enrich" -> (streamEnrich _),
     "st12_stream_cdc" -> (streamCdc _),
     "st11_stream_rollup_fold" -> (streamRollupFold _),
@@ -304,6 +336,7 @@ object EventStreaming {
     "st9_stream_near_dedup" -> (streamNearDedup _))
 
   val oracles: Map[String, String] = Map(
+    "st14_stream_drift" -> Sampling.driftReportSql,
     "st13_stream_enrich" -> streamEnrichSql,
     "st12_stream_cdc" -> Sampling.corpusDiffUpsertsSql,
     "st11_stream_rollup_fold" -> Events.hourlyRollupSql,

@@ -777,10 +777,12 @@ object Sampling {
     * length distribution collapsing). Each side is one scan with the
     * dimensions exploded in-row; the join is dimension-sized.
     */
-  def driftReport(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir).documents
-      .select("doc_id", "text", "lang", "source")
-    val next = docs
+  /** The x5 perturbation over FULL document rows (text modified,
+    * lang/source carried) — shared by x7 and its streaming twin st14;
+    * pure column ops + a self-union, legal on batch and streaming frames.
+    */
+  def nextSnapshotFullOf(docs: DataFrame): DataFrame =
+    docs
       .filter(pmod(col("doc_id"), lit(DiffRemoveMod)) =!= 0L)
       .withColumn("text",
         when(pmod(col("doc_id"), lit(DiffModifyMod)) === 0L,
@@ -788,11 +790,17 @@ object Sampling {
       .unionByName(docs
         .filter(pmod(col("doc_id"), lit(DiffAddMod)) === 0L)
         .withColumn("doc_id", col("doc_id") + DiffAddShift))
-    val dims = Seq(
-      "lang" -> col("lang"),
-      "source" -> col("source"),
-      "len_x100" -> expr("length(text) DIV 100"))
-    graft.operators.CorpusDrift.report(docs, next, dims)
+
+  /** The x7/st14 monitored dimensions. */
+  val DriftDims: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+    "lang" -> col("lang"),
+    "source" -> col("source"),
+    "len_x100" -> expr("length(text) DIV 100"))
+
+  def driftReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .select("doc_id", "text", "lang", "source")
+    graft.operators.CorpusDrift.report(docs, nextSnapshotFullOf(docs), DriftDims)
       .orderBy("dim", "value")
   }
 
