@@ -327,6 +327,41 @@ object StreamScaleStress {
             .filter(col("status") =!= "removed")
         })
 
+      // st14: streaming drift monitor. The ledger is (dim, value) counts —
+      // lang/source domains are FIXED while len_x100 grows only with the
+      // longest document, so state is effectively constant in corpus size
+      // (the opposite extreme from st8's linear vocabulary ledger); cost
+      // per batch is the in-row dim explode. Twin = batch x7 on the same
+      // corpus.
+      run("st14_drift", {
+          graft.operators.CorpusDrift.dimCounts(
+            graft.queries.Sampling.nextSnapshotFullOf(
+              DocumentStreams.readDocuments(spark, docZone,
+                glob = "*.parquet", maxFilesPerTrigger = Some(1))
+                .select("doc_id", "text", "lang", "source")),
+            graft.queries.Sampling.DriftDims)
+        },
+        OutputMode.Update(),
+        updates => {
+          val docs = spark.read.parquet(docZone)
+            .select("doc_id", "text", "lang", "source")
+          val oldCounts = graft.operators.CorpusDrift
+            .dimCounts(docs, graft.queries.Sampling.DriftDims)
+            .withColumnRenamed("n", "old_n")
+          updates.groupBy("dim", "value").agg(max("n").as("new_n"))
+            .join(broadcast(oldCounts), Seq("dim", "value"), "full_outer")
+            .select(col("dim"), col("value"),
+              coalesce(col("old_n"), lit(0L)).as("old_n"),
+              coalesce(col("new_n"), lit(0L)).as("new_n"))
+        },
+        Some {
+          val docs = spark.read.parquet(docZone)
+            .select("doc_id", "text", "lang", "source")
+          graft.operators.CorpusDrift.report(docs,
+            graft.queries.Sampling.nextSnapshotFullOf(docs),
+            graft.queries.Sampling.DriftDims)
+        })
+
       // st8: the token-frequency ledger over char-bijected replicas is the
       // DISJOINT-vocabulary worst case (each replica's tokens are unique by
       // the bijection), so state must grow exactly linearly with k — the
