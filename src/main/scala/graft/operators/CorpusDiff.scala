@@ -19,12 +19,24 @@ import org.apache.spark.sql.functions._
   */
 object CorpusDiff {
 
+  /** Null-safe content digest. A bare `md5(NULL)` is NULL, which the join
+    * below cannot tell apart from "row absent on this side" — a null-text
+    * doc present in both snapshots would misclassify as `added`. Coalesce
+    * to a sentinel outside the normal text space (a NUL byte never appears
+    * in cleaned corpus text) so null text digests like any other content:
+    * same-null on both sides → unchanged, null↔text → modified. Shared
+    * with the streaming CDC twin so batch diff and arrival-driven CDC
+    * agree on every document.
+    */
+  def contentDigest(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    md5(coalesce(text, lit("\u0000")))
+
   /** Diff two (doc_id, text) frames. Returns (doc_id, status) with status
     * in {added, removed, modified}, one row per changed id.
     */
   def diff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
-    val o = oldDocs.select(col("doc_id"), md5(col("text")).as("old_md5"))
-    val n = newDocs.select(col("doc_id"), md5(col("text")).as("new_md5"))
+    val o = oldDocs.select(col("doc_id"), contentDigest(col("text")).as("old_md5"))
+    val n = newDocs.select(col("doc_id"), contentDigest(col("text")).as("new_md5"))
     o.join(n, Seq("doc_id"), "full_outer")
       .withColumn("status",
         when(col("old_md5").isNull, "added")

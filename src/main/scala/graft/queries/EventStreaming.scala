@@ -209,7 +209,7 @@ object EventStreaming {
     """SELECT d.doc_id, d.source, d.n_chars, s.source_docs, s.source_chars
       |FROM documents d
       |JOIN (SELECT source, count(*) AS source_docs,
-      |        sum(n_chars) AS source_chars
+      |        CAST(sum(n_chars) AS BIGINT) AS source_chars
       |      FROM documents GROUP BY source) s USING (source)
       |ORDER BY d.doc_id""".stripMargin
 

@@ -647,7 +647,8 @@ object Sampling {
        |tw AS (SELECT sum(w) AS total_w FROM by_source),
        |rates AS (
        |  SELECT source,
-       |    least(1000, (1000 * $TempMixBudget * w) // (tw.total_w * tok_s))
+       |    CAST(least(1000, (1000 * $TempMixBudget * w)
+       |               // (tw.total_w * tok_s)) AS BIGINT)
        |      AS rate_permille
        |  FROM by_source, tw)
        |SELECT d.doc_id, d.source, d.n_tok, r.rate_permille
@@ -659,15 +660,25 @@ object Sampling {
   // ----------------------------------------------------------------- x5
 
   /** Deterministic "next snapshot" for the x5 fixture: drop ids ≡ 0 mod
-    * 97, append a marker to ids ≡ 0 mod 89, re-add ids ≡ 0 mod 101 shifted
-    * by +10000 — removed/modified/added populations that overlap (a
+    * 97, append a marker to ids ≡ 0 mod 89, re-add ids ≡ 0 mod 101 under a
+    * fresh id — removed/modified/added populations that overlap (a
     * removed id may also match the modify rule; removal wins because the
-    * row is simply absent from the new side).
+    * row is simply absent from the new side). Added rows take id
+    * `-(doc_id + 1)`: real doc_ids are non-negative, so the added
+    * namespace is disjoint at EVERY corpus size (a fixed `+shift` offset
+    * collides with real ids once max(doc_id) reaches the shift, which the
+    * x100 stress corpus does), and the mapping needs no corpus statistic,
+    * so it stays legal on a streaming frame (st12 reuses it).
     */
   val DiffRemoveMod = 97L
   val DiffModifyMod = 89L
   val DiffAddMod = 101L
-  val DiffAddShift = 10000L
+
+  /** Spark-side fresh-id mapping for added rows; mirror of [[addedIdSql]]. */
+  private def addedId(c: org.apache.spark.sql.Column) = -(c + 1L)
+
+  /** DuckDB-side fresh-id mapping for added rows. */
+  private val addedIdSql = "-(doc_id + 1)"
 
   /** x5: CORPUS DIFF between two snapshot versions — which documents were
     * added/removed/modified (graft.operators.CorpusDiff bound to the
@@ -689,7 +700,7 @@ object Sampling {
           concat(col("text"), lit(" v2"))).otherwise(col("text")))
       .unionAll(docs
         .filter(pmod(col("doc_id"), lit(DiffAddMod)) === 0L)
-        .select((col("doc_id") + DiffAddShift).as("doc_id"), col("text")))
+        .select(addedId(col("doc_id")).as("doc_id"), col("text")))
 
   def corpusDiff(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents.select("doc_id", "text")
@@ -708,7 +719,7 @@ object Sampling {
        |             ELSE text END) AS new_md5
        |  FROM documents WHERE doc_id % $DiffRemoveMod <> 0
        |  UNION ALL
-       |  SELECT doc_id + $DiffAddShift, md5(text) FROM documents
+       |  SELECT $addedIdSql, md5(text) FROM documents
        |  WHERE doc_id % $DiffAddMod = 0),
        |j AS (
        |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
@@ -747,7 +758,7 @@ object Sampling {
       .withColumn("text", concat(col("text"), lit(" v2")))
       .unionByName(docs
         .filter(pmod(col("doc_id"), lit(DiffAddMod)) === 0L)
-        .withColumn("doc_id", col("doc_id") + DiffAddShift))
+        .withColumn("doc_id", addedId(col("doc_id"))))
     graft.pipeline.ExportJob.upsertShards(spark, UpsertRoot, upserts)
     spark.read.json(UpsertRoot)
       .select(col("doc_id").cast("long").as("doc_id"),
@@ -761,7 +772,7 @@ object Sampling {
        |           ELSE text END) AS text_md5, source
        |FROM documents
        |UNION ALL
-       |SELECT doc_id + $DiffAddShift, md5(text), source FROM documents
+       |SELECT $addedIdSql, md5(text), source FROM documents
        |WHERE doc_id % $DiffAddMod = 0
        |ORDER BY doc_id""".stripMargin
 
@@ -789,7 +800,7 @@ object Sampling {
           concat(col("text"), lit(" v2"))).otherwise(col("text")))
       .unionByName(docs
         .filter(pmod(col("doc_id"), lit(DiffAddMod)) === 0L)
-        .withColumn("doc_id", col("doc_id") + DiffAddShift))
+        .withColumn("doc_id", addedId(col("doc_id"))))
 
   /** The x7/st14 monitored dimensions. */
   val DriftDims: Seq[(String, org.apache.spark.sql.Column)] = Seq(
@@ -816,7 +827,7 @@ object Sampling {
        |         ELSE text END AS text, lang, source
        |  FROM documents WHERE doc_id % $DiffRemoveMod <> 0
        |  UNION ALL
-       |  SELECT doc_id + $DiffAddShift, text, lang, source FROM documents
+       |  SELECT $addedIdSql, text, lang, source FROM documents
        |  WHERE doc_id % $DiffAddMod = 0),
        |o AS (${dimsOf("documents")}),
        |n AS (${dimsOf("n_src")}),

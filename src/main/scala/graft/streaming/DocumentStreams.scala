@@ -128,12 +128,13 @@ object DocumentStreams {
   def cdcVerdicts(newDocs: DataFrame, oldSnapshot: DataFrame): Dataset[CdcVerdict] = {
     val spark = newDocs.sparkSession
     import spark.implicits._
+    val digest = graft.operators.CorpusDiff.contentDigest _
     val initial = oldSnapshot
-      .select(col("doc_id"), md5(col("text")).as("old_md5"))
+      .select(col("doc_id"), digest(col("text")).as("old_md5"))
       .as[(Long, String)]
       .groupByKey(_._1).mapValues(_._2)
     newDocs
-      .select(col("doc_id"), md5(col("text")).as("new_md5")).as[DocDigest]
+      .select(col("doc_id"), digest(col("text")).as("new_md5")).as[DocDigest]
       .groupByKey(_.doc_id)
       .flatMapGroupsWithState[String, CdcVerdict](
         OutputMode.Append, GroupStateTimeout.NoTimeout, initial) {

@@ -97,6 +97,23 @@ def main(sf_dir, out_dir):
             print(f"  [FAIL-SCHEMA] {name}: spark={sorted(gcols)} duckdb={sorted(wcols)}")
             n_fail += 1
             continue
+        # Dtype parity — the driver hashes PANDAS values, so a DuckDB
+        # HUGEINT (sum(), // division) arriving as float64 hashes
+        # "121543.0" against Spark's int64 "121543" and fails the driver
+        # even when canon() above string-matches. Compare dtype KIND
+        # (int vs float vs object...) per column; width differences
+        # (int32 vs int64) render identically and are fine.
+        gdt = {c: d.kind for c, d in
+               con.sql(f"SELECT * FROM '{os.path.join(out_dir, name)}/*.parquet'")
+               .df().dtypes.items()}
+        wdt = {c: d.kind for c, d in con.sql(oracles[name]).df().dtypes.items()}
+        kind_bad = [c for c in gdt if gdt[c] != wdt[c]]
+        if kind_bad:
+            print(f"  [FAIL-DTYPE] {name}: " + ", ".join(
+                f"{c}: spark={gdt[c]} duckdb={wdt[c]}" for c in kind_bad)
+                + " (cast the oracle output, e.g. CAST(sum(...) AS BIGINT))")
+            n_fail += 1
+            continue
         g, w = canon(grows, gcols), canon(wrows, wcols)
         if g == w:
             print(f"  [PASS] {name}: {len(g)} rows")
