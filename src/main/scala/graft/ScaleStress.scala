@@ -514,7 +514,7 @@ object ScaleStress {
     sys.env.get("SPARK_GRAFT_SKEW").map(_.toInt).foreach { k =>
       val dir = s"target/scale/x${k}skew"
       generate(spark, baseDir, dir, k, boilerplate = true)
-      Dedup.clearMemos(); spark.catalog.clearCache(); System.gc()
+      Dedup.clearMemos(); graft.queries.Similarity.clearQuantMemo(); spark.catalog.clearCache(); System.gc()
       val q0 = System.nanoTime()
       val rows = materialize(SparkEntry.queries("d5_ngram_jaccard")(spark, dir))
       val sec = (System.nanoTime() - q0) / 1e9
@@ -543,7 +543,7 @@ object ScaleStress {
           val ledgerRows = ledger.count()
           val batch = spark.read.parquet(s"$baseDir/documents.parquet")
             .withColumn("doc_id", col("doc_id") + (200L * IdOffset))
-          Dedup.clearMemos(); spark.catalog.clearCache(); System.gc()
+          Dedup.clearMemos(); graft.queries.Similarity.clearQuantMemo(); spark.catalog.clearCache(); System.gc()
           val q0 = System.nanoTime()
           val (v, next) = graft.operators.TextDedup.incrementalVerdicts(batch, ledger)
           val rows = materialize(v)
@@ -638,7 +638,7 @@ object ScaleStress {
         (1 to reps).foreach { _ =>
           // cold per rep: no memoized signatures, no cached frames, fresh
           // GC baseline — the curve must measure end-to-end per-query cost
-          Dedup.clearMemos()
+          Dedup.clearMemos(); graft.queries.Similarity.clearQuantMemo()
           spark.catalog.clearCache()
           System.gc()
           val q0 = System.nanoTime()

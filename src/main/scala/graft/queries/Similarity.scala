@@ -294,6 +294,25 @@ object Similarity {
     (1 to lloydIters).foldLeft(seedCentroids(e, numCells))(
       (c, _) => lloydRoundLiteral(e, c))
 
+  /** [[refinedCentroids]] memoized per (session, corpus dir, K, rounds) —
+    * the Dedup.sigsFor discipline: n4, d11 and n7's index build all
+    * cluster the SAME corpus on the SAME schedule, and a Verify/Bench run
+    * invokes them back to back, so the Lloyd rounds (each a full-corpus
+    * aggregate + a K·Dim-row collect) run once per session instead of once
+    * per consumer. The memo entry is K·Dim doubles of driver-side metadata
+    * — centroids, never data. ScaleStress clears it alongside Dedup's
+    * memos so scaling curves stay cold-timed.
+    */
+  private val quantMemo = new scala.collection.concurrent.TrieMap[
+    (SparkSession, String, Int, Int), Seq[Centroid]]
+
+  private[graft] def clearQuantMemo(): Unit = quantMemo.clear()
+
+  private def refinedCentroidsFor(spark: SparkSession, dir: String,
+      e: DataFrame, numCells: Int, lloydIters: Int): Seq[Centroid] =
+    quantMemo.getOrElseUpdate((spark, dir, numCells, lloydIters),
+      refinedCentroids(e, numCells, lloydIters))
+
   /** nprobe is the recall/cost dial: each extra probed cell adds ~n/K
     * candidates per query. The oracle-checked entry runs [[NumProbe]] with
     * [[LloydIters]] refinement rounds; AnnRecallSpec measures recall@k at
@@ -311,7 +330,7 @@ object Similarity {
     // corpus-side work (Lloyd rounds, inverted-list assignment) is widened;
     // the query side stays on the raw scan so its vec_id filter pushes down
     val e = widen(e0)
-    val cents = refinedCentroids(e, numCells, lloydIters)
+    val cents = refinedCentroidsFor(spark, dir, e, numCells, lloydIters)
 
     // inverted lists: each vector's nearest refined centroid, inline — the
     // corpus scan CARRIES v/norm through, so the old re-join with e (a full
@@ -399,7 +418,7 @@ object Similarity {
     val e = widen(Tables(spark, dir).embeddings
       .select(col("vec_id"), asDouble("embedding").as("v"))
       .withColumn("norm", sqrt(expr("graft_dot(v, v)"))))
-    val cents = refinedCentroids(e, numCells, lloydIters)
+    val cents = refinedCentroidsFor(spark, dir, e, numCells, lloydIters)
     e.withColumn("cell", cellExpr(cents, col("v"), col("norm")))
   }
 
@@ -600,8 +619,11 @@ object Similarity {
     */
   def ivfIndexTopK(spark: SparkSession, dir: String): DataFrame = {
     val idx = indexDirFor(dir)
-    buildIvfIndex(spark, dir, idx)
-    probeIvfIndex(spark, dir, idx, NumProbe)
+    // build returns the centroids it just wrote (doubles round-trip parquet
+    // exactly), so the in-process build→probe path skips the read-back job;
+    // a standalone probe ([[probeIvfIndex]]) still reads them from the index
+    val cents = buildIvfIndex(spark, dir, idx)
+    probeWithCents(spark, dir, idx, cents, NumProbe)
   }
 
   private[queries] def indexDirFor(dir: String): String =
@@ -611,13 +633,13 @@ object Similarity {
     * the build, the x3 export precedent — a sink query's cost IS its sink.
     */
   def buildIvfIndex(spark: SparkSession, dir: String, indexDir: String,
-      numCells: Int = NumCells, lloydIters: Int = LloydIters): Unit = {
+      numCells: Int = NumCells, lloydIters: Int = LloydIters): Seq[Centroid] = {
     VectorOps.register(spark)
     import spark.implicits._
     val e = widen(Tables(spark, dir).embeddings
       .select(col("vec_id"), asDouble("embedding").as("v"))
       .withColumn("norm", sqrt(expr("graft_dot(v, v)"))))
-    val cents = refinedCentroids(e, numCells, lloydIters)
+    val cents = refinedCentroidsFor(spark, dir, e, numCells, lloydIters)
     cents.map(c => (c.cid, c.cv.toSeq, c.cnorm)).toDF("cid", "cv", "cnorm")
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$indexDir/centroids.parquet")
@@ -625,6 +647,7 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("norm"), col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexDir/cells")
+    cents
   }
 
   /** Probe the persisted index: standalone — centroids come back from the
@@ -639,26 +662,44 @@ object Similarity {
       .collect().toSeq
       .map(r => Centroid(r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
       .sortBy(_.cid)
-    val q = Tables(spark, dir).embeddings
+    probeWithCents(spark, dir, indexDir, cents, nprobe)
+  }
+
+  /** The probe body against already-held centroids. ONE driver collect
+    * builds the whole probe plan — each query's nprobe cells (the same
+    * TopCells kernel the build used) together with its vector and norm,
+    * ≤ |Q|·nprobe rows of metadata — where the previous shape ran a
+    * separate probed-cells job and then re-scanned the embeddings table
+    * twice more inside the scoring job (once for the probe side, once for
+    * the query side). The collected rows serve all three uses: the
+    * pruning predicate (partition filter on the cell directories), the
+    * broadcast probe relation, and the query vectors themselves — so the
+    * scoring job touches ONLY the probed index partitions.
+    */
+  private def probeWithCents(spark: SparkSession, dir: String,
+      indexDir: String, cents: Seq[Centroid], nprobe: Int): DataFrame = {
+    VectorOps.register(spark)
+    import spark.implicits._
+    val probeRows = Tables(spark, dir).embeddings
       .select(col("vec_id"), asDouble("embedding").as("v"))
       .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
       .filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("v1"), col("norm").as("n1"))
-    val probe = q.select(col("query_id"),
+      .select(col("vec_id").as("query_id"),
         explode(TopCells.cellsCol(
           cents.map(c => (c.cid, c.cv, c.cnorm)), nprobe,
-          col("v1"), col("n1"))).as("cell"))
-    // the probed cell ids (≤ |Q|·nprobe values — driver-side metadata, the
-    // partition-key-gather class) become the scan's pruning predicate
-    val probedCells = probe.select("cell").distinct()
-      .collect().map(_.getLong(0)).toSeq
+          col("v"), col("norm"))).as("cell"),
+        col("v").as("v1"), col("norm").as("n1"))
+      .collect()
+    val probedCells = probeRows.map(_.getLong(1)).distinct.toSeq
+    val probe = probeRows.toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2), r.getDouble(3)))
+      .toDF("query_id", "cell", "v1", "n1")
     val corpus = spark.read.parquet(s"$indexDir/cells")
       .withColumn("cell", col("cell").cast("long"))
       .filter(col("cell").isin(probedCells: _*))
       .select(col("vec_id"), col("v").as("v2"), col("norm").as("n2"), col("cell"))
     val scored = corpus.join(broadcast(probe), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
-      .join(broadcast(q), Seq("query_id"))
       .withColumn("cos", round(expr(dotExpr) / (col("n1") * col("n2")), 4))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))
     scored
