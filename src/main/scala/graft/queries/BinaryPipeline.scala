@@ -23,6 +23,19 @@ object BinaryPipeline {
   val InterimRoot = "/root/repo/target/fixtures-bin/interim/images"
   val ShrRoot = "/root/repo/target/fixtures-bin/shr/products"
 
+  /** c3's own interim/shr zones. The photo-rendered pipeline MUST NOT
+    * share paths with the stub-rendered one (c2): CropJob.run caches its
+    * crops frame, and Spark's CacheManager matches by ANALYZED PLAN — a
+    * same-path rerun is served the PREVIOUS query's cached crops, so c3
+    * ran over c2's stub pixels whenever c2 executed first in the same
+    * session (caught when a fresh-session run produced different aHashes
+    * than a full Verify sweep). Distinct paths make the plans distinct,
+    * which both defeats the stale cache hit and decouples the two
+    * queries' on-disk zones in either execution order.
+    */
+  val PhotoInterimRoot = "/root/repo/target/fixtures-bin/interim-photo/images"
+  val PhotoShrRoot = "/root/repo/target/fixtures-bin/shr-photo/products"
+
   private val W = StubRasterizer.PageWidth
   private val H = StubRasterizer.PageHeight
 
@@ -32,7 +45,8 @@ object BinaryPipeline {
     * stale-state-masks-truth failure mode Verify's out-dir clearing fixes.
     */
   private def resetZones(): Unit =
-    Seq(RawRoot, InterimRoot, ShrRoot, s"$RawRoot/../pro/json")
+    Seq(RawRoot, InterimRoot, ShrRoot, PhotoInterimRoot, PhotoShrRoot,
+      s"$RawRoot/../pro/json")
       .foreach(graft.core.FsUtil.deleteRecursively)
 
   // ------------------------------------------------------------------ c1
@@ -137,9 +151,11 @@ object BinaryPipeline {
     * per image, dup discovery is a groupBy on the hash — pixels never
     * shuffle and are decoded exactly once. Pages render through
     * PhotoRasterizer (seeded gradient+noise), so the hash sees continuous
-    * photographic-like luminance, not flat fills. No SQL oracle (DuckDB
-    * cannot decode JPEG) → driver rows-only check; pixel-level semantics
-    * are spec-tested (determinism, re-encode stability, near-dup across
+    * photographic-like luminance, not flat fills. Oracle: the pinned
+    * expected-value table [[cropAhashSql]] (DuckDB cannot decode JPEG, so
+    * recomputation is impossible — but the pipeline is deterministic, so
+    * the expected hashes are constants); pixel-level semantics are
+    * spec-tested (determinism, re-encode stability, near-dup across
     * resize, separation of distinct photos).
     */
   def cropAhash(spark: SparkSession, dir: String): DataFrame = {
@@ -150,8 +166,9 @@ object BinaryPipeline {
     // fills: the perceptual hash must see realistic luminance
     ConvertJob.writeImages(
       ConvertJob.pages(ConvertJob.readPdfs(spark, RawRoot), PhotoRasterizer),
-      InterimRoot)
-    val crops = CropJob.run(spark, InterimRoot, ProductPipeline.SilverGlob, ShrRoot)
+      PhotoInterimRoot)
+    val crops = CropJob.run(spark, PhotoInterimRoot, ProductPipeline.SilverGlob,
+      PhotoShrRoot)
     val ah = udf((b: Array[Byte]) => ImageOps.aHash(b))
     val k = split(col("page_key"), "/")
     crops
@@ -170,6 +187,45 @@ object BinaryPipeline {
         col("n_same_hash"))
       .orderBy("province", "date_range", "page", "crop_file")
   }
+
+  /** c3's oracle is an EXPECTED-VALUE table, not a recomputation: DuckDB
+    * cannot decode JPEG, but the whole c3 pipeline is deterministic —
+    * seeded PhotoRasterizer pages, fixed silver-JSON crop geometry, and
+    * in-JVM javax.imageio codecs — so the aHash of every fixture crop is
+    * a stable constant. The values were produced by one audited run of
+    * the pipeline (and reproduce bit-identically in a fresh session);
+    * pinning them gates hash/codec/geometry regressions and the grouping
+    * arithmetic, while the pixel-level SEMANTICS (determinism, re-encode
+    * stability, resize tolerance, photo separation) are spec-tested in
+    * ImageOpsSpec. Note the real perceptual collision the fixture
+    * carries: two near-linear gradient crops from DIFFERENT provinces
+    * pool to the same 8×8 sign pattern (n_same_hash = 2) — the
+    * cross-page dup group the dedup demo is about.
+    */
+  val cropAhashSql: String =
+    """SELECT * FROM (VALUES
+      |  ('Eastern_Cape', '20_February_-_22_February_2026', 'page_1',
+      |   '0_Koo_Baked_Beans.jpg', '00000005ffffffff', CAST(1 AS BIGINT)),
+      |  ('Eastern_Cape', '20_February_-_22_February_2026', 'page_1',
+      |   '1_Koo_Chakalaka_Mild.jpg', '000000007fffffff', 2),
+      |  ('Eastern_Cape', '20_February_-_22_February_2026', 'page_1',
+      |   '2_Fresh_Coriander_Bunch.jpg', 'fffffffffc000000', 1),
+      |  ('Eastern_Cape', '20_February_-_22_February_2026', 'page_1',
+      |   '3_Smoked_Ham_100g_x_3.jpg', 'c00000000007ffff', 1),
+      |  ('Eastern_Cape', '20_February_-_22_February_2026', 'page_1',
+      |   '4_Avo_Single.jpg', 'fffffffffe000000', 1),
+      |  ('Gauteng', '13_February_-_15_February_2026', 'page_1',
+      |   '0_Clover_Cheese_Assorted.jpg', '000000007fffffff', 2),
+      |  ('Gauteng', '13_February_-_15_February_2026', 'page_1',
+      |   '1_PnP_UHT_Milk.jpg', 'ffffff8000000000', 1),
+      |  ('Gauteng', '13_February_-_15_February_2026', 'page_1',
+      |   '2_PnP_UHT_Milk_Chocolate.jpg', 'ffffffe000000000', 1),
+      |  ('Gauteng', '13_February_-_15_February_2026', 'page_1',
+      |   '3_PnP_UHT_Milk_Strawberry.jpg', 'fffffff400000000', 1),
+      |  ('Gauteng', '13_February_-_15_February_2026', 'page_2',
+      |   '1_Bulk_Dog_Food.jpg', 'ff0000ffffff0000', 1)
+      |) AS t(province, date_range, page, crop_file, ahash_hex, n_same_hash)
+      |ORDER BY province, date_range, page, crop_file""".stripMargin
 
   // -------------------------------------------------------------- x1/x2
 
@@ -251,6 +307,7 @@ object BinaryPipeline {
   val oracles: Map[String, String] = Map(
     "c1_pdf_pages" -> pdfPagesSql,
     "c2_product_crops" -> productCropsSql,
+    "c3_crop_ahash" -> cropAhashSql,
     "x1_extract_products" -> extractProductsSql,
     "x2_extract_status" -> extractStatusSql)
 }
