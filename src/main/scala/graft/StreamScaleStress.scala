@@ -327,6 +327,31 @@ object StreamScaleStress {
             .filter(col("status") =!= "removed")
         })
 
+      // st12b — the TTL-bounded CDC twin over the timestamped zone: each
+      // arrival re-arms its entry's eviction clock (ttl = 2h ≈ 2 slices),
+      // so the arrival-driven tail of the ledger is evicted DURING the
+      // replay (state_rows_removed > 0) while every verdict still matches
+      // the batch twin — each doc arrives exactly once, classified against
+      // its intact seed before any eviction can touch it (CdcTtlSpec pins
+      // the post-expiry re-arrival semantics this replay doesn't exercise).
+      run("st12b_cdc_ttl", {
+          val old = spark.read.parquet(docZone).select("doc_id", "text")
+          DocumentStreams.cdcVerdictsWithTtl(
+            graft.queries.Sampling.nextSnapshotFullOf(
+              DocumentStreams.readDocumentsWithTs(spark, docZone + "_ts",
+                glob = "*.parquet", maxFilesPerTrigger = Some(1))
+                .select("doc_id", "text", "event_ts")),
+            old, ttlMs = 2L * 3600000L).toDF()
+        },
+        OutputMode.Append(),
+        df => df,
+        Some {
+          val old = spark.read.parquet(docZone).select("doc_id", "text")
+          graft.operators.CorpusDiff
+            .diff(old, graft.queries.Sampling.nextSnapshotOf(old))
+            .filter(col("status") =!= "removed")
+        })
+
       // st14: streaming drift monitor. The ledger is (dim, value) counts —
       // lang/source domains are FIXED while len_x100 grows only with the
       // longest document, so state is effectively constant in corpus size

@@ -154,6 +154,79 @@ object DocumentStreams {
       }
   }
 
+  final case class DocArrival(doc_id: Long, new_md5: String,
+      event_ts: java.sql.Timestamp)
+
+  /** TTL-BOUNDED twin of [[cdcVerdicts]] — the 100 TB state story. The
+    * unbounded ledger above is corpus-sized by contract (one 32-char
+    * digest per live doc — ~40 bytes/doc in RocksDB, so a 10^9-doc corpus
+    * holds ~40 GB across the cluster's stores, partitioned by doc_id);
+    * what actually GROWS over a long-running stream is the arrival-driven
+    * tail: every upserted doc's refreshed entry stays forever. This
+    * variant bounds that tail with an EVENT-TIME TTL: each arrival
+    * re-arms its doc's eviction clock at (event time + ttl), and once the
+    * watermark passes it the entry is dropped — steady-state size is
+    * snapshot + arrival-rate × ttl, not snapshot + total upserts.
+    *
+    * Semantics trade, stated plainly: a doc RE-arriving after its entry
+    * expired reads `added` instead of `modified`/silence — the standard
+    * log-less-CDC cold-cache behavior, and the same re-emit contract as
+    * [[dedupWithinWatermark]]'s post-horizon re-crawl. For the upsert
+    * feed this distinction is immaterial (x6's upsertShards treats added
+    * and modified identically); choose ttl ≥ the redelivery horizon and
+    * verdicts match the unbounded variant exactly (CdcTtlSpec pins both
+    * halves). SEEDED entries whose doc never arrives carry no timeout —
+    * evicting a seed before its doc's first arrival would silently flip
+    * that verdict, so seeds expire only by being refreshed (arrival) or
+    * by re-seeding the stream from the next snapshot (the compaction
+    * path: periodically restart from batch x5's output, which is how the
+    * snapshot side stays current anyway).
+    */
+  def cdcVerdictsWithTtl(newDocs: DataFrame, oldSnapshot: DataFrame,
+      ttlMs: Long, watermarkDelay: String = "0 seconds"): Dataset[CdcVerdict] = {
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    val digest = graft.operators.CorpusDiff.contentDigest _
+    val initial = oldSnapshot
+      .select(col("doc_id"), digest(col("text")).as("old_md5"))
+      .as[(Long, String)]
+      .groupByKey(_._1).mapValues(_._2)
+    newDocs
+      .withWatermark("event_ts", watermarkDelay)
+      .select(col("doc_id"), digest(col("text")).as("new_md5"), col("event_ts"))
+      .as[DocArrival]
+      .groupByKey(_.doc_id)
+      .flatMapGroupsWithState[String, CdcVerdict](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout, initial) {
+        case (id, rows, state: GroupState[String]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var cur = state.getOption
+            var maxTs = Long.MinValue
+            val out = rows.flatMap { r =>
+              maxTs = math.max(maxTs, r.event_ts.getTime)
+              val verdict = cur match {
+                case None => Some("added")
+                case Some(m) if m != r.new_md5 => Some("modified")
+                case _ => None
+              }
+              cur = Some(r.new_md5)
+              verdict.map(CdcVerdict(id, _))
+            }.toVector
+            cur.foreach(state.update)
+            // arm the eviction clock only on arrivals (maxTs set); clamp
+            // above the watermark — a barely-late arrival's (ts + ttl)
+            // must still be a legal (future) timeout
+            if (maxTs != Long.MinValue)
+              state.setTimeoutTimestamp(
+                math.max(maxTs + ttlMs, state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+  }
+
   final case class BandRow(doc_id: Long, band: Int, bh: Long)
   final case class BandHit(doc_id: Long, band: Int, bh: Long, hit: Boolean)
 
