@@ -48,6 +48,32 @@ object Bench {
     SparkEntry.queries.get("q6_revenue_forecast").foreach { fn =>
       try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
+    // STREAMING PROTOCOL FLOOR: every st* entry pays a fixed Structured
+    // Streaming replay tax — checkpoint + state-store setup, micro-batch
+    // scheduling, the memory sink, awaitTermination — before its operator
+    // does any work. Measure that tax directly as a PASS-THROUGH stream
+    // (same file source, no stateful operator) so a reader can subtract
+    // it: st* entry ≈ floor + operator cost, and an st query within ~2×
+    // of the floor is protocol-bound, not plan-bound (the decomposition
+    // SCALING.md's streaming section reads against the oracle ratios).
+    val protocolFloor = {
+      var n = 0
+      def shot(): Option[Double] = {
+        n += 1
+        System.gc()
+        val t0 = System.nanoTime()
+        try {
+          graft.streaming.EventStreams.replayToTable(
+            graft.streaming.EventStreams.readEvents(spark, sfDir)
+              .select("event_id"),
+            s"bench_floor_$n",
+            org.apache.spark.sql.streaming.OutputMode.Append()).count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case _: Throwable => None }
+      }
+      Seq(shot(), shot()).flatten.minOption.getOrElse(-1.0)
+    }
+
     // SPARK_GRAFT_ONLY=q1,q2 limits the run (local iteration aid)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -188,11 +214,11 @@ object Bench {
     // COMPLETE per-query map to a file so the fast half of the suite keeps
     // a timing history across rounds too.
     val detail =
-      s"""{"sf":"$sfName","n_queries":${ok.size},"total":${f3(total)},"failed":$failedJson,"canary":$canaryJson,"passes":$passesJson,"queries":${qjson(ok)}}"""
+      s"""{"sf":"$sfName","n_queries":${ok.size},"total":${f3(total)},"failed":$failedJson,"stream_protocol_floor":${f3(protocolFloor)},"canary":$canaryJson,"passes":$passesJson,"queries":${qjson(ok)}}"""
     val detailPath = java.nio.file.Paths.get("target", "bench_detail.json")
     java.nio.file.Files.createDirectories(detailPath.getParent)
     java.nio.file.Files.write(detailPath, detail.getBytes("UTF-8"))
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${qjson(slowest)},"n_queries":${ok.size},"failed":$failedJson,"canary":$canaryJson,"passes":$passesJson,"sf":"$sfName"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${qjson(slowest)},"n_queries":${ok.size},"failed":$failedJson,"stream_protocol_floor":${f3(protocolFloor)},"canary":$canaryJson,"passes":$passesJson,"sf":"$sfName"}""")
     spark.stop()
   }
 }
