@@ -213,6 +213,31 @@ object EventStreaming {
       |      FROM documents GROUP BY source) s USING (source)
       |ORDER BY d.doc_id""".stripMargin
 
+  /** st15: STREAMING TEMPERATURE MIX (streaming t25) — the one Sampling
+    * operator that had no live twin. The mixture pipeline splits exactly
+    * as production does: the per-source admission rates are PLANNED
+    * offline from the corpus snapshot (|sources| rows — t25's aggregate
+    * half, corpus-wide sums a stream cannot see), and ADMISSION is applied
+    * per arriving document — a broadcast join on source plus the salted
+    * deterministic hash draw, entirely STATELESS, so the stream keeps
+    * scan-speed at ingest and the kept set is reproducible at any
+    * parallelism (the same doc admits identically in batch and at
+    * arrival). Drained replay = batch t25 row-for-row; shared oracle.
+    */
+  def streamTemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorOps.register(spark)
+    val rates = Sampling.temperatureRates(spark, dir)
+    val stream = DocumentStreams.readDocuments(spark, dir)
+      .select(col("doc_id"), col("source"),
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split(col("text"), " "))
+          .cast("long").as("n_tok"))
+    EventStreams.replayToTable(
+      Sampling.admitTempMix(stream, broadcast(rates)),
+      s"st15_mem_${runSeq.incrementAndGet()}", OutputMode.Append())
+      .orderBy("doc_id")
+  }
+
   /** st9: streaming near-dup detection (streaming d12). Each arriving
     * document is flagged at arrival against the (band, band-hash) ledger —
     * the ingest-time LSH dedup decision — and the replayed zone's verdicts
@@ -333,7 +358,8 @@ object EventStreaming {
     "st5_stream_attribution" -> (streamAttribution _),
     "st6_stream_dedup" -> (streamDedup _),
     "st7_stream_chunks" -> (streamChunks _),
-    "st9_stream_near_dedup" -> (streamNearDedup _))
+    "st9_stream_near_dedup" -> (streamNearDedup _),
+    "st15_stream_temperature_mix" -> (streamTemperatureMix _))
 
   val oracles: Map[String, String] = Map(
     "st14_stream_drift" -> Sampling.driftReportSql,
@@ -347,5 +373,6 @@ object EventStreaming {
     "st5_stream_attribution" -> Temporal.asofAttributionSql,
     "st6_stream_dedup" -> Dedup.exactDedupSql,
     "st7_stream_chunks" -> Sampling.docChunksSql,
-    "st9_stream_near_dedup" -> Dedup.nearDupVerdictsSql)
+    "st9_stream_near_dedup" -> Dedup.nearDupVerdictsSql,
+    "st15_stream_temperature_mix" -> Sampling.temperatureMixSql)
 }

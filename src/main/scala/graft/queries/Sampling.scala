@@ -616,23 +616,40 @@ object Sampling {
     * weights broadcast back, then a pure scan filter. The corpus is
     * never shuffled; the only exchange carries |sources| partial sums.
     */
-  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
-    VectorOps.register(spark)
+  /** The per-source admission-rate plan (source, rate_permille) — t25's
+    * "planning" half, computed from the corpus snapshot: |sources| rows.
+    * Exposed separately because the streaming twin (st15) plans rates
+    * offline from the snapshot and applies admission per ARRIVING doc.
+    */
+  def temperatureRates(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tok"))
     val bySource = docs.groupBy("source").agg(sum("n_tok").as("tok_s"))
       .withColumn("w", expr("CAST(floor(sqrt(tok_s)) AS BIGINT)"))
     val totalW = bySource.agg(sum("w")).first().getLong(0)
-    val rates = bySource.withColumn("rate_permille",
+    bySource.withColumn("rate_permille",
       least(lit(1000L),
         expr(s"(1000 * $TempMixBudget * w) DIV ($totalW * tok_s)")))
       .select("source", "rate_permille")
+  }
+
+  /** The per-doc admission test: salted hash under the source's rate —
+    * t7's deterministic draw, stateless, applied identically by the batch
+    * mix (t25) and the stream-ingest mix (st15).
+    */
+  def admitTempMix(docs: DataFrame, rates: DataFrame): DataFrame =
     docs.join(broadcast(rates), "source")
       .filter(pmod(hash60(concat(lit(TempMixSalt), col("doc_id").cast("string"))),
         lit(1000L)) < col("rate_permille"))
       .select("doc_id", "source", "n_tok", "rate_permille")
-      .orderBy("doc_id")
+
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    VectorOps.register(spark)
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    admitTempMix(docs, temperatureRates(spark, dir)).orderBy("doc_id")
   }
 
   val temperatureMixSql: String =
