@@ -131,6 +131,12 @@ class PlanSpec extends SparkTestBase {
       "rank window must partition by source")
     assert(!p21.contains("SinglePartition"),
       "t21 must not funnel the corpus through one partition")
+    // grouped-limit pushdown: the `rk <= cap` filter must compile to a
+    // PARTIAL WindowGroupLimit below the exchange, so each map task ships
+    // at most cap rows per source instead of its whole slice — the t21
+    // shuffle is then ≤ cap·|sources| rows per map task at any corpus size
+    assert(p21.contains(s"row_number(), ${Sampling.CapPerSource}, Partial"),
+      "t21's cap must prune map-side (Partial WindowGroupLimit) before the shuffle")
   }
 
   test("weighted sampling (t18) is a scan + per-partition top-k — no global sort, no join") {
@@ -157,8 +163,8 @@ class PlanSpec extends SparkTestBase {
     val p = plan("t22_cluster_cap")
     assert(!p.contains("Join"),
       "cell assignment must be an inline projection against centroid literals, not a join")
-    assert(p.contains("WindowGroupLimit"),
-      "the cap must prune map-side (WindowGroupLimit) before rows shuffle")
+    assert(p.contains(s"row_number(), ${Sampling.CapPerCell}, Partial"),
+      "the cap must prune map-side (Partial WindowGroupLimit) before rows shuffle")
   }
 
   test("incremental verdicts (d14): the ledger side only ever broadcast-joins — it is scanned, never exchanged") {
