@@ -287,6 +287,9 @@ object ScaleStress {
           val dir = s"target/scale/x$k"
           generate(spark, baseDir, dir, k)
           val idx = s"target/scale/ivf_index_x$k"
+          // cold build: no warm quantizer/index memo may subsidize the
+          // build number this table reports
+          graft.queries.Similarity.clearQuantMemo()
           spark.catalog.clearCache(); System.gc()
           val b0 = System.nanoTime()
           graft.queries.Similarity.buildIvfIndex(spark, dir, idx,
