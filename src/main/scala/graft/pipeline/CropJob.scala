@@ -126,6 +126,14 @@ object CropJob {
     */
   def run(spark: SparkSession, interimRoot: String, silverGlob: String,
           shrRoot: String): DataFrame = {
+    // Drop any cache entries over the input zones first: Spark's
+    // CacheManager matches by ANALYZED PLAN, not file mtimes, so a
+    // previous run's cached crops frame (identical plan, same paths)
+    // would otherwise serve the OLD zone contents to a re-run after new
+    // images/JSON landed — the stale-cache class a photo-vs-stub fixture
+    // mix-up exposed (see BinaryPipeline's photo zones).
+    spark.catalog.refreshByPath(interimRoot)
+    spark.catalog.refreshByPath(silverGlob.takeWhile(c => c != '*' && c != '?'))
     val c = crops(pagesWithKey(readImages(spark, interimRoot)),
       productsWithKey(spark, silverGlob)).cache()
     writeCrops(c, shrRoot)

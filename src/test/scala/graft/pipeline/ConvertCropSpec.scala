@@ -62,6 +62,29 @@ class ConvertCropSpec extends SparkTestBase {
     } finally crops.unpersist()
   }
 
+  test("a re-run reads the CURRENT zone, not a previous run's cached crops") {
+    // Spark's CacheManager matches by analyzed plan: two CropJob.run calls
+    // over the same paths have identical plans, so without the refresh the
+    // second run would serve the FIRST run's pixels after the interim zone
+    // was re-rendered — the stale-cache class that once fed stub pixels to
+    // the perceptual-hash dedup (c3).
+    val raw = scratch("croprerun-raw")
+    val interim = scratch("croprerun-interim")
+    val shr = scratch("croprerun-shr")
+    FixtureBinaries.writeRawPdfs(raw)
+    ConvertJob.run(spark, raw, interim)
+    def firstCrop(df: org.apache.spark.sql.DataFrame): Array[Byte] =
+      df.orderBy("page_key", "i").select("crop").head().getAs[Array[Byte]](0)
+    val v1 = firstCrop(CropJob.run(spark, interim, SilverGlob, shr))
+    // re-render the SAME zone with different pixels (photo vs stub)
+    graft.core.FsUtil.deleteRecursively(interim)
+    ConvertJob.writeImages(
+      ConvertJob.pages(ConvertJob.readPdfs(spark, raw), PhotoRasterizer), interim)
+    val v2 = firstCrop(CropJob.run(spark, interim, SilverGlob, shr))
+    assert(!java.util.Arrays.equals(v1, v2),
+      "second run must re-read the re-rendered zone, not the cached crops")
+  }
+
   test("crop join broadcasts the metadata side so image bytes never shuffle") {
     val raw = scratch("cropplan-raw")
     val interim = scratch("cropplan-interim")
