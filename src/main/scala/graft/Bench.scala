@@ -48,6 +48,9 @@ object Bench {
     SparkEntry.queries.get("q6_revenue_forecast").foreach { fn =>
       try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
+    // SPARK_GRAFT_ONLY=q1,q2 limits the run (local iteration aid)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+
     // STREAMING PROTOCOL FLOOR: every st* entry pays a fixed Structured
     // Streaming replay tax — checkpoint + state-store setup, micro-batch
     // scheduling, the memory sink, awaitTermination — before its operator
@@ -56,7 +59,10 @@ object Bench {
     // it: st* entry ≈ floor + operator cost, and an st query within ~2×
     // of the floor is protocol-bound, not plan-bound (the decomposition
     // SCALING.md's streaming section reads against the oracle ratios).
-    val protocolFloor = {
+    // Skipped (floor = -1) when an ONLY filter selects no streaming
+    // query: a single-query batch iteration shouldn't pay two replays.
+    val wantFloor = only.forall(_.exists(_.startsWith("st")))
+    val protocolFloor = if (!wantFloor) -1.0 else {
       var n = 0
       def shot(): Option[Double] = {
         n += 1
@@ -74,8 +80,6 @@ object Bench {
       Seq(shot(), shot()).flatten.minOption.getOrElse(-1.0)
     }
 
-    // SPARK_GRAFT_ONLY=q1,q2 limits the run (local iteration aid)
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
 

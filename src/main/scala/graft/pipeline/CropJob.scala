@@ -133,7 +133,7 @@ object CropJob {
     // images/JSON landed — the stale-cache class a photo-vs-stub fixture
     // mix-up exposed (see BinaryPipeline's photo zones).
     spark.catalog.refreshByPath(interimRoot)
-    spark.catalog.refreshByPath(silverGlob.takeWhile(c => c != '*' && c != '?'))
+    spark.catalog.refreshByPath(silverGlob.takeWhile(c => !"*?[{".contains(c)))
     val c = crops(pagesWithKey(readImages(spark, interimRoot)),
       productsWithKey(spark, silverGlob)).cache()
     writeCrops(c, shrRoot)

@@ -194,6 +194,10 @@ object BinaryPipeline {
     * in-JVM javax.imageio codecs — so the aHash of every fixture crop is
     * a stable constant. The values were produced by one audited run of
     * the pipeline (and reproduce bit-identically in a fresh session);
+    * the determinism contract is scoped to ONE JDK's javax.imageio JPEG
+    * codec (this environment's fixed OpenJDK 17) — a different
+    * encoder implementation may legitimately shift luminance LSBs, in
+    * which case re-pin the constants from one audited run there;
     * pinning them gates hash/codec/geometry regressions and the grouping
     * arithmetic, while the pixel-level SEMANTICS (determinism, re-encode
     * stability, resize tolerance, photo separation) are spec-tested in

@@ -728,15 +728,20 @@ object Sampling {
     * with st12, whose arrival-driven CDC sees upserts (added/modified)
     * but, like any log-less CDC, cannot observe an absence.
     */
+  // chr(0)-coalesced like CorpusDiff.contentDigest, so a null-text doc
+  // digests identically on both engines (bare md5(NULL) is NULL and would
+  // misread as 'added' here while Spark reports unchanged)
   private def corpusDiffSqlWhere(extra: String): String =
-    s"""WITH o AS (SELECT doc_id, md5(text) AS old_md5 FROM documents),
+    s"""WITH o AS (
+       |  SELECT doc_id, md5(coalesce(text, chr(0))) AS old_md5
+       |  FROM documents),
        |n AS (
        |  SELECT doc_id,
-       |    md5(CASE WHEN doc_id % $DiffModifyMod = 0 THEN text || ' v2'
-       |             ELSE text END) AS new_md5
+       |    md5(coalesce(CASE WHEN doc_id % $DiffModifyMod = 0
+       |                 THEN text || ' v2' ELSE text END, chr(0))) AS new_md5
        |  FROM documents WHERE doc_id % $DiffRemoveMod <> 0
        |  UNION ALL
-       |  SELECT $addedIdSql, md5(text) FROM documents
+       |  SELECT $addedIdSql, md5(coalesce(text, chr(0))) FROM documents
        |  WHERE doc_id % $DiffAddMod = 0),
        |j AS (
        |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,

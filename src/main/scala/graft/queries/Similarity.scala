@@ -301,19 +301,33 @@ object Similarity {
     * aggregate + a K·Dim-row collect) run once per session instead of once
     * per consumer. The memo entry is K·Dim doubles of driver-side metadata
     * — centroids, never data. ScaleStress clears it alongside Dedup's
-    * memos so scaling curves stay cold-timed.
+    * memos so scaling curves stay cold-timed. Keys carry the session's
+    * UUID, not the session object — values are plain doubles, so a
+    * stopped session leaves nothing retained but a short string.
     */
   private val quantMemo = new scala.collection.concurrent.TrieMap[
-    (SparkSession, String, Int, Int), Seq[Centroid]]
+    (String, String, Int, Int), Seq[Centroid]]
 
+  /** Drop the quantizer AND persisted-index memos (one benchmark hook,
+    * mirroring Dedup.clearMemos — both memos exist for the same
+    * build-once-per-session discipline, so cold studies clear both).
+    */
   private[graft] def clearQuantMemo(): Unit = {
     quantMemo.clear()
     indexMemo.clear()
   }
 
+  /** Session identity for memo keys WITHOUT retaining the session object:
+    * application id + the session's identity hash (two live sessions of
+    * one app differ in the latter; a stopped session leaves only this
+    * string behind).
+    */
+  private def sessionKey(spark: SparkSession): String =
+    s"${spark.sparkContext.applicationId}#${System.identityHashCode(spark)}"
+
   private def refinedCentroidsFor(spark: SparkSession, dir: String,
       e: DataFrame, numCells: Int, lloydIters: Int): Seq[Centroid] =
-    quantMemo.getOrElseUpdate((spark, dir, numCells, lloydIters),
+    quantMemo.getOrElseUpdate((sessionKey(spark), dir, numCells, lloydIters),
       refinedCentroids(e, numCells, lloydIters))
 
   /** nprobe is the recall/cost dial: each extra probed cell adds ~n/K
@@ -632,25 +646,33 @@ object Similarity {
   private[queries] def indexDirFor(dir: String): String =
     "target/ivf_index/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
 
-  /** Build the index artifacts (overwrite): the measured n7 entry includes
-    * the build, the x3 export precedent — a sink query's cost IS its sink.
-    */
-  /** One index build per (session, corpus, index dir, schedule): the
-    * persisted artifact is immutable for a fixed corpus + schedule, so a
-    * session that already wrote it serves every later build request from
-    * the artifact — "build once, probe many" made literal, which is what
-    * the n7 bench entry then measures (first call pays the cold build +
-    * write; repeats pay the probe, the serving path). ScaleStress clears
-    * this with the quantizer memo so its curves keep timing the COLD
+  private val indexMemo = new scala.collection.concurrent.TrieMap[
+    (String, String, String, Int, Int), Seq[Centroid]]
+
+  /** Build the index artifacts, once per (session, corpus, index dir,
+    * schedule): the persisted artifact is immutable for a fixed corpus +
+    * schedule, so a session that already wrote it serves every later
+    * build request from the artifact — "build once, probe many" made
+    * literal, which is what the n7 bench entry then measures (first call
+    * pays the cold build + write; repeats pay the probe, the serving
+    * path). A memo hit is honored only while the artifact still EXISTS
+    * on disk — a caller that deleted the index dir gets a real rebuild,
+    * not a dangling promise. ScaleStress clears the memo (with the
+    * quantizer's, [[clearQuantMemo]]) so its curves keep timing the COLD
     * build — that cost is recorded in SCALING.md's n7 study, not hidden.
     */
-  private val indexMemo = new scala.collection.concurrent.TrieMap[
-    (SparkSession, String, String, Int, Int), Seq[Centroid]]
-
   def buildIvfIndex(spark: SparkSession, dir: String, indexDir: String,
-      numCells: Int = NumCells, lloydIters: Int = LloydIters): Seq[Centroid] =
-    indexMemo.getOrElseUpdate((spark, dir, indexDir, numCells, lloydIters),
-      buildIvfIndexCold(spark, dir, indexDir, numCells, lloydIters))
+      numCells: Int = NumCells, lloydIters: Int = LloydIters): Seq[Centroid] = {
+    val key = (sessionKey(spark), dir, indexDir, numCells, lloydIters)
+    indexMemo.get(key) match {
+      case Some(cents) if java.nio.file.Files.exists(
+          java.nio.file.Paths.get(indexDir, "centroids.parquet")) => cents
+      case _ =>
+        val cents = buildIvfIndexCold(spark, dir, indexDir, numCells, lloydIters)
+        indexMemo.put(key, cents)
+        cents
+    }
+  }
 
   private def buildIvfIndexCold(spark: SparkSession, dir: String,
       indexDir: String, numCells: Int, lloydIters: Int): Seq[Centroid] = {

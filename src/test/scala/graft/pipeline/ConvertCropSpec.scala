@@ -74,7 +74,8 @@ class ConvertCropSpec extends SparkTestBase {
     FixtureBinaries.writeRawPdfs(raw)
     ConvertJob.run(spark, raw, interim)
     def firstCrop(df: org.apache.spark.sql.DataFrame): Array[Byte] =
-      df.orderBy("page_key", "i").select("crop").head().getAs[Array[Byte]](0)
+      try df.orderBy("page_key", "i").select("crop").head().getAs[Array[Byte]](0)
+      finally df.unpersist()
     val v1 = firstCrop(CropJob.run(spark, interim, SilverGlob, shr))
     // re-render the SAME zone with different pixels (photo vs stub)
     graft.core.FsUtil.deleteRecursively(interim)
