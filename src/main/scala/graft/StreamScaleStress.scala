@@ -164,7 +164,12 @@ object StreamScaleStress {
     val scales = sys.env.getOrElse("SPARK_GRAFT_STREAM_SCALES", "1,10")
       .split(",").map(_.trim.toInt).toSeq
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val spark = GraftSession.local("graft-stream-scale")
+    // the twin-compare protocol drains each stream into a MEMORY sink;
+    // at x100 a join stream's drained table serializes past the 1 GiB
+    // default driver guard — a harness (protocol) limit, not an operator
+    // state bound, so the study session raises it
+    val spark = GraftSession.local("graft-stream-scale",
+      extraConfs = Map("spark.driver.maxResultSize" -> "8g"))
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_STATE_PROVIDER=rocksdb runs the study on the production
     // state backend (changelog-checkpointed native store, bounded heap)

@@ -11,11 +11,14 @@ import org.apache.spark.sql.SparkSession
   * semantics, reference `data_cleaner/pnp-cleanerLambda.py:116`), UTC.
   */
 object GraftSession {
-  def local(appName: String = "graft", cores: Int = defaultCores): SparkSession = {
-    val spark = SparkSession
+  def local(appName: String = "graft", cores: Int = defaultCores,
+      extraConfs: Map[String, String] = Map.empty): SparkSession = {
+    val builder = SparkSession
       .builder()
       .master(s"local[$cores]")
       .appName(appName)
+    extraConfs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder
       // the library's full extension surface (native expressions + the
       // interval-join rewrite rule), same as Verify/Bench sessions
       .config("spark.sql.extensions", "graft.GraftExtensions")
