@@ -75,7 +75,15 @@ object Bench {
             s"bench_floor_$n",
             org.apache.spark.sql.streaming.OutputMode.Append()).count()
           Some((System.nanoTime() - t0) / 1e9)
-        } catch { case _: Throwable => None }
+        } catch {
+          // NonFatal only: a broken replayToTable must read as a loud
+          // failure (floor=-1 + stderr), while a genuinely fatal JVM
+          // state (OOM, interrupt) must propagate, not continue a
+          // corrupted bench
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] protocol-floor shot failed: $e")
+            None
+        }
       }
       Seq(shot(), shot()).flatten.minOption.getOrElse(-1.0)
     }
@@ -177,6 +185,22 @@ object Bench {
         Seq(pass1, runPass())
       } else Seq(pass1)
     val chosen = passes.minBy(_.runSpread)
+    // NOISE-PROOF HEADLINE: when the retry fired, neither pass alone is
+    // trustworthy — BENCH_r09's two passes disagreed by 16% with both
+    // canaries flagged, and the calmer-canary pass still carried
+    // load-inflated entries. The per-query MIN across passes is the best
+    // available estimate of each query's actual cost (each number is a
+    // real completed run; load only ever ADDS time), so the headline is
+    // min-of-passes; both per-pass totals stay in `passes` for the
+    // spread. A query counts as failed only if it failed in EVERY pass.
+    val headline: Seq[(String, Option[Double])] =
+      if (passes.size == 1) chosen.results
+      else chosen.results.map { case (name, _) =>
+        val ts = passes.flatMap(_.results.collectFirst {
+          case (`name`, Some(t)) => t
+        })
+        name -> ts.minOption
+      }
 
     // 2-decimal (10 ms) precision, trailing zeros stripped, sf as basename:
     // keeps every line compact for consumers that retain a bounded tail
@@ -191,8 +215,8 @@ object Bench {
         s""""start_spread":${f3(p.startSpread)},"run_spread":${f3(p.runSpread)},""" +
         s""""noisy":${p.noisy},""" +
         s""""protocol":"${p.protocol}"}"""
-    val failed = chosen.results.collect { case (n, None) => n }
-    val ok = chosen.results.collect { case (n, Some(t)) => n -> t }
+    val failed = headline.collect { case (n, None) => n }
+    val ok = headline.collect { case (n, Some(t)) => n -> t }
     val sfName = new java.io.File(sfDir).getName
     // Output layout for a consumer that keeps only a bounded TAIL of
     // stdout: the full per-query detail goes FIRST in small chunks, and
@@ -217,12 +241,14 @@ object Bench {
     // The stdout tail only reliably carries the summary line; persist the
     // COMPLETE per-query map to a file so the fast half of the suite keeps
     // a timing history across rounds too.
+    val headlineProto =
+      if (passes.size == 1) "single-pass" else "min-of-passes"
     val detail =
-      s"""{"sf":"$sfName","n_queries":${ok.size},"total":${f3(total)},"failed":$failedJson,"stream_protocol_floor":${f3(protocolFloor)},"canary":$canaryJson,"passes":$passesJson,"queries":${qjson(ok)}}"""
+      s"""{"sf":"$sfName","n_queries":${ok.size},"total":${f3(total)},"headline":"$headlineProto","failed":$failedJson,"stream_protocol_floor":${f3(protocolFloor)},"canary":$canaryJson,"passes":$passesJson,"queries":${qjson(ok)}}"""
     val detailPath = java.nio.file.Paths.get("target", "bench_detail.json")
     java.nio.file.Files.createDirectories(detailPath.getParent)
     java.nio.file.Files.write(detailPath, detail.getBytes("UTF-8"))
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${qjson(slowest)},"n_queries":${ok.size},"failed":$failedJson,"stream_protocol_floor":${f3(protocolFloor)},"canary":$canaryJson,"passes":$passesJson,"sf":"$sfName"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","headline":"$headlineProto","queries":${qjson(slowest)},"n_queries":${ok.size},"failed":$failedJson,"stream_protocol_floor":${f3(protocolFloor)},"canary":$canaryJson,"passes":$passesJson,"sf":"$sfName"}""")
     spark.stop()
   }
 }

@@ -58,6 +58,20 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // getOrCreate silently IGNORES builder confs when a session already
+    // exists in the JVM — and static confs (spark.driver.maxResultSize,
+    // master, memory) can never be applied post-hoc. An extraConf that
+    // didn't take effect means the caller's sizing assumption (e.g.
+    // StreamScaleStress's 8g result-size guard for x100) is silently
+    // void, so fail LOUDLY instead of proceeding on the wrong config.
+    extraConfs.foreach { case (k, v) =>
+      val actual = spark.conf.getOption(k)
+      if (!actual.contains(v))
+        throw new IllegalStateException(
+          s"extraConf $k=$v not applied (session has ${actual.getOrElse("<unset>")}); " +
+            "a pre-existing SparkSession in this JVM ignored the builder conf — " +
+            "stop it first or set the conf where the session is created")
+    }
     spark
   }
 

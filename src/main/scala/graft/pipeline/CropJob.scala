@@ -133,7 +133,14 @@ object CropJob {
     // images/JSON landed — the stale-cache class a photo-vs-stub fixture
     // mix-up exposed (see BinaryPipeline's photo zones).
     spark.catalog.refreshByPath(interimRoot)
-    spark.catalog.refreshByPath(silverGlob.takeWhile(c => !"*?[{".contains(c)))
+    // refreshByPath matches cache entries by PATH COMPONENT (isSubDir), so
+    // the refreshed prefix must be a directory: truncate the glob at its
+    // first wildcard, then back off to the last '/' — a glob like
+    // `.../part-*.json` must refresh `.../` (the dir), not the dangling
+    // `.../part-` fragment, which matches nothing and no-ops silently.
+    val fixedPrefix = silverGlob.takeWhile(c => !"*?[{".contains(c))
+    spark.catalog.refreshByPath(
+      fixedPrefix.substring(0, math.max(fixedPrefix.lastIndexOf('/'), 1)))
     val c = crops(pagesWithKey(readImages(spark, interimRoot)),
       productsWithKey(spark, silverGlob)).cache()
     writeCrops(c, shrRoot)

@@ -175,7 +175,15 @@ object DocumentStreams {
     * feed this distinction is immaterial (x6's upsertShards treats added
     * and modified identically); choose ttl ≥ the redelivery horizon and
     * verdicts match the unbounded variant exactly (CdcTtlSpec pins both
-    * halves). SEEDED entries whose doc never arrives carry no timeout —
+    * halves). CAVEAT — `watermarkDelay` is a SEPARATE mechanism from the
+    * TTL and the exact-match claim above additionally requires it to
+    * cover the source's out-of-orderness: with the default "0 seconds",
+    * any arrival whose event_ts trails the current watermark is dropped
+    * BEFORE the stateful operator and its verdict is lost entirely
+    * (the unbounded [[cdcVerdicts]] twin, taking no watermark, would
+    * still emit it). In-order feeds (this engine's replay fixtures) are
+    * unaffected; for a real out-of-order source set watermarkDelay ≥ the
+    * max expected lateness, exactly as the other watermarked ops here do. SEEDED entries whose doc never arrives carry no timeout —
     * evicting a seed before its doc's first arrival would silently flip
     * that verdict, so seeds expire only by being refreshed (arrival) or
     * by re-seeding the stream from the next snapshot (the compaction
