@@ -158,8 +158,12 @@ object BinaryPipeline {
     * spec-tested (determinism, re-encode stability, near-dup across
     * resize, separation of distinct photos).
     */
-  def cropAhash(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The photo-rendered crop pipeline with per-crop aHash — c3 and c4's
+    * shared first half: render fixture pages through PhotoRasterizer,
+    * crop, hash. One row per decodable crop, keyed by the full relative
+    * path (the natural stable image id the near-dup pair output names).
+    */
+  private def photoCropHashes(spark: SparkSession): DataFrame = {
     resetZones()
     FixtureBinaries.writeRawPdfs(RawRoot)
     // photographic-ish pages (seeded gradient + noise), not flat stub
@@ -170,12 +174,19 @@ object BinaryPipeline {
     val crops = CropJob.run(spark, PhotoInterimRoot, ProductPipeline.SilverGlob,
       PhotoShrRoot)
     val ah = udf((b: Array[Byte]) => ImageOps.aHash(b))
-    val k = split(col("page_key"), "/")
     crops
       .withColumn("ahash", ah(col("crop")))
       // undecodable crops hash to null — they are broken inputs, not a
       // perceptual dup group, and must not collapse into one null bucket
       .filter(col("ahash").isNotNull)
+      .select(col("page_key"), col("crop_file"), col("ahash"),
+        concat_ws("/", col("page_key"), col("crop_file")).as("img"))
+  }
+
+  def cropAhash(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = split(col("page_key"), "/")
+    photoCropHashes(spark)
       .withColumn("n_same_hash",
         count(lit(1)).over(Window.partitionBy("ahash")).cast("long"))
       .select(
@@ -230,6 +241,74 @@ object BinaryPipeline {
       |   '1_Bulk_Dog_Food.jpg', 'ff0000ffffff0000', 1)
       |) AS t(province, date_range, page, crop_file, ahash_hex, n_same_hash)
       |ORDER BY province, date_range, page, crop_file""".stripMargin
+
+  // ------------------------------------------------------------------ c4
+
+  /** Perceptual NEAR-dup pairs over the crop images — the multimodal twin
+    * of d4's SimHash pigeonhole, applied to the 64-bit aHash: any two
+    * crops within hamming ≤ [[NearDupHamming]] of each other (the
+    * re-encode/resize survivors ImageOpsSpec proves aHash absorbs), found
+    * WITHOUT an all-pairs join. Pigeonhole banding: split the 64-bit hash
+    * into 4 × 16-bit chunks — 3 differing bits touch at most 3 chunks, so
+    * every qualifying pair shares ≥ 1 identical chunk — equi-join on
+    * (chunk_idx, chunk_val), then verify the exact hamming distance on
+    * the candidates. At 100 TB of images the shuffle moves only (64-bit
+    * hash, path) pairs on a 16-bit-chunk key space — pixels were left
+    * behind at hash time, and no pairing ever considers images that agree
+    * on no chunk (the same measured-at-x100 discipline as d4; PlanSpec
+    * asserts no cartesian/nested-loop appears). Oracle: pinned
+    * expected-value pairs derived from c3's pinned hash table — same
+    * determinism contract, same one-audited-run provenance.
+    */
+  val NearDupHamming = 3
+
+  def cropNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = photoCropHashes(spark).select("img", "ahash")
+    val chunkStructs = (0 until 4).map { c =>
+      struct(lit(c).as("ci"),
+        shiftrightunsigned(col("ahash"), 16 * c)
+          .bitwiseAND(lit(0xFFFFL)).as("cv"))
+    }
+    val chunks = hashed
+      .select(col("img"), col("ahash"), explode(array(chunkStructs: _*)).as("x"))
+      .select(col("img"), col("ahash"), col("x.ci").as("ci"), col("x.cv").as("cv"))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
+          col("a.img") < col("b.img"))
+      .select(col("a.img").as("img1"), col("b.img").as("img2"),
+        col("a.ahash").as("h1"), col("b.ahash").as("h2"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(h1 ^ h2)").cast("long"))
+      .filter(col("hamming") <= NearDupHamming)
+      .select("img1", "img2", "hamming")
+      .orderBy("img1", "img2")
+  }
+
+  /** Pinned pairs (see [[cropAhashSql]]'s determinism contract): every
+    * hamming-≤3 pair among the 10 pinned fixture hashes, computed from
+    * that same table. The set exercises all the cases that matter: an
+    * exact dup across provinces (hamming 0), the resize-scale neighbors
+    * (1–2), a boundary pair at exactly 3, and seven images that pair with
+    * nothing.
+    */
+  val cropNearDupsSql: String =
+    """SELECT * FROM (VALUES
+      |  ('Eastern_Cape/20_February_-_22_February_2026/page_1/0_Koo_Baked_Beans.jpg',
+      |   'Eastern_Cape/20_February_-_22_February_2026/page_1/1_Koo_Chakalaka_Mild.jpg',
+      |   CAST(3 AS BIGINT)),
+      |  ('Eastern_Cape/20_February_-_22_February_2026/page_1/0_Koo_Baked_Beans.jpg',
+      |   'Gauteng/13_February_-_15_February_2026/page_1/0_Clover_Cheese_Assorted.jpg', 3),
+      |  ('Eastern_Cape/20_February_-_22_February_2026/page_1/1_Koo_Chakalaka_Mild.jpg',
+      |   'Gauteng/13_February_-_15_February_2026/page_1/0_Clover_Cheese_Assorted.jpg', 0),
+      |  ('Eastern_Cape/20_February_-_22_February_2026/page_1/2_Fresh_Coriander_Bunch.jpg',
+      |   'Eastern_Cape/20_February_-_22_February_2026/page_1/4_Avo_Single.jpg', 1),
+      |  ('Gauteng/13_February_-_15_February_2026/page_1/1_PnP_UHT_Milk.jpg',
+      |   'Gauteng/13_February_-_15_February_2026/page_1/2_PnP_UHT_Milk_Chocolate.jpg', 2),
+      |  ('Gauteng/13_February_-_15_February_2026/page_1/2_PnP_UHT_Milk_Chocolate.jpg',
+      |   'Gauteng/13_February_-_15_February_2026/page_1/3_PnP_UHT_Milk_Strawberry.jpg', 2)
+      |) AS t(img1, img2, hamming)
+      |ORDER BY img1, img2""".stripMargin
 
   // -------------------------------------------------------------- x1/x2
 
@@ -305,6 +384,7 @@ object BinaryPipeline {
     "c1_pdf_pages" -> (pdfPages _),
     "c2_product_crops" -> (productCrops _),
     "c3_crop_ahash" -> (cropAhash _),
+    "c4_crop_near_dups" -> (cropNearDups _),
     "x1_extract_products" -> (extractProducts _),
     "x2_extract_status" -> (extractStatus _))
 
@@ -312,6 +392,7 @@ object BinaryPipeline {
     "c1_pdf_pages" -> pdfPagesSql,
     "c2_product_crops" -> productCropsSql,
     "c3_crop_ahash" -> cropAhashSql,
+    "c4_crop_near_dups" -> cropNearDupsSql,
     "x1_extract_products" -> extractProductsSql,
     "x2_extract_status" -> extractStatusSql)
 }

@@ -294,6 +294,33 @@ object EventStreaming {
       s"st10_mem_${runSeq.incrementAndGet()}", OutputMode.Append())
       .orderBy("purchase_id", "error_id")
 
+  /** st10b: KEYED stream-stream bounded-range join — st10's production
+    * shape (EventStreams.keyedRangeJoin scaladoc has the scale argument):
+    * per-USER purchases ⋈ errors within 30 min. The window widens from
+    * st10's 60 s because the user key thins pairs ~|users|-fold — the
+    * point of the variant — and the fixture needs enough qualifying pairs
+    * to gate on; output grows LINEARLY in stream length either way, which
+    * is what the STREAMSCALE x100 row demonstrates against st10's k² wall.
+    * Oracle: the same keyed inequality join stated directly in DuckDB.
+    */
+  def streamKeyedRangeCorrelation(spark: SparkSession, dir: String): DataFrame =
+    EventStreams.replayToTable(
+      EventStreams.keyedRangeJoin(
+        EventStreams.readEvents(spark, dir),
+        EventStreams.readEvents(spark, dir),
+        windowUs = 1800000000L),
+      s"st10b_mem_${runSeq.incrementAndGet()}", OutputMode.Append())
+      .orderBy("purchase_id", "error_id")
+
+  val keyedRangeCorrelationSql: String =
+    """SELECT p.user_id, p.event_id AS purchase_id, e.event_id AS error_id,
+      |  abs(epoch_us(p.ts) - epoch_us(e.ts)) AS lag_us
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      |  ON p.user_id = e.user_id
+      |  AND abs(epoch_us(p.ts) - epoch_us(e.ts)) <= 1800000000
+      |ORDER BY purchase_id, error_id""".stripMargin
+
   /** st11: STREAMING rollup maintenance — e5's `Rollups.fold` driven by
     * `foreachBatch`, the same operator powering both the nightly batch
     * refresh and the continuous stream (the lambda-architecture collapse:
@@ -353,6 +380,7 @@ object EventStreaming {
     "st11_stream_rollup_fold" -> (streamRollupFold _),
     "st8_stream_heavy_hitters" -> (streamHeavyHitters _),
     "st10_stream_range_join" -> (streamRangeCorrelation _),
+    "st10b_stream_keyed_range_join" -> (streamKeyedRangeCorrelation _),
     "st2_stream_hourly" -> (streamHourly _),
     "st3_stream_sessions" -> (streamSessions _),
     "st5_stream_attribution" -> (streamAttribution _),
@@ -368,6 +396,7 @@ object EventStreaming {
     "st11_stream_rollup_fold" -> Events.hourlyRollupSql,
     "st8_stream_heavy_hitters" -> Sketches.heavyHittersSql,
     "st10_stream_range_join" -> Temporal.rangeCorrelationSql,
+    "st10b_stream_keyed_range_join" -> keyedRangeCorrelationSql,
     "st2_stream_hourly" -> Events.hourlyRollupSql,
     "st3_stream_sessions" -> Events.userSessionsSql,
     "st5_stream_attribution" -> Temporal.asofAttributionSql,

@@ -235,6 +235,48 @@ object DocumentStreams {
       }
   }
 
+  /** COMPACTION / RE-SEED for the CDC stream — the operational path
+    * SCALING.md's st12 story prescribes ("periodically restart from the
+    * current clean zone"), made executable: stop the running CDC query,
+    * then return a NEW stream classifying `newDocs` against
+    * `currentSnapshot` — the clean zone as of the stop, i.e. batch x5's
+    * output after the last shard upsert — seeded via the initial-state
+    * overload exactly like a first boot. This resets the ledger to
+    * snapshot size: every arrival-refreshed entry, TTL'd or not, is
+    * dropped and replaced by one digest per live doc, which is what keeps
+    * a long-running CDC stream's state proportional to the corpus rather
+    * than to its upsert history even when no TTL is configured.
+    *
+    * THE CHECKPOINT CONTRACT (the one operational footgun): the returned
+    * stream MUST be started with a FRESH checkpoint location. Spark binds
+    * `initialState` only at a query's FIRST start — a restart from the
+    * old checkpoint silently restores the OLD ledger from the checkpoint
+    * and ignores the new snapshot entirely, which un-compacts the state
+    * and can misclassify docs that changed while the stream was down.
+    * CdcReseedSpec pins both halves: post-reseed verdicts equal a fresh
+    * batch diff against the compacted snapshot, and in-flight
+    * modifications landed in the clean zone read as silence, not as
+    * re-emitted `modified`.
+    *
+    * Exactly-once across the handover is the file-source replay contract:
+    * arrivals the stopped query already processed are part of the clean
+    * zone the new snapshot is built from, so re-classifying them against
+    * it yields silence — redelivery across a reseed is idempotent by
+    * construction.
+    */
+  def reseedCdc(running: org.apache.spark.sql.streaming.StreamingQuery,
+      newDocs: DataFrame, currentSnapshot: DataFrame,
+      ttlMs: Option[Long] = None,
+      watermarkDelay: String = "0 seconds"): Dataset[CdcVerdict] = {
+    running.stop()
+    running.awaitTermination()
+    ttlMs match {
+      case Some(t) => cdcVerdictsWithTtl(newDocs, currentSnapshot, t,
+        watermarkDelay)
+      case None => cdcVerdicts(newDocs, currentSnapshot)
+    }
+  }
+
   final case class BandRow(doc_id: Long, band: Int, bh: Long)
   final case class BandHit(doc_id: Long, band: Int, bh: Long, hit: Boolean)
 

@@ -30,6 +30,15 @@ class PlanSpec extends SparkTestBase {
       }
   }
 
+  test("image near-dup (c4) pairs via the chunk equi-join — never all-pairs") {
+    // the multimodal pigeonhole twin of d4: building the plan executes the
+    // fixture render (photoCropHashes is imperative), so assert on the
+    // final pair-join plan it hands back
+    val p = plan("c4_crop_near_dups")
+    assert(!p.contains("CartesianProduct"), "c4 plans a cartesian product")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "c4 plans a nested-loop join")
+  }
+
   test("decontamination (d8) broadcasts the eval gram set; corpus side never shuffles for the join") {
     val p = plan("d8_decontaminate")
     assert(p.contains("BroadcastHashJoin"), "eval gram set must broadcast")

@@ -85,6 +85,64 @@ class StreamRangeJoinSpec extends SparkTestBase {
     assert(got == batchPairs())
   }
 
+  // ------------------------------------------------------------- st10b
+  // KEYED variant: per-user pairs within 30 min (the production shape —
+  // linear output, state sharded by (user, bucket) not time bucket alone)
+
+  private val KeyedWindowUs = 1800000000L
+
+  private def keyedBatchPairs(): Seq[(Long, Long, Long, Long)] = {
+    val ev = spark.read.parquet(s"$SfDir/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("us").as("p_us"))
+    val e = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("error_id"),
+        col("us").as("e_us"))
+    p.join(e, "user_id")
+      .filter(abs(col("p_us") - col("e_us")) <= KeyedWindowUs)
+      .select(col("user_id"), col("purchase_id"), col("error_id"),
+        abs(col("p_us") - col("e_us")).as("lag_us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._2, t._3)).toSeq
+  }
+
+  private def normKeyed(df: DataFrame): Seq[(Long, Long, Long, Long)] =
+    df.select("user_id", "purchase_id", "error_id", "lag_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._2, t._3)).toSeq
+
+  test("keyed multi-batch out-of-order replay equals the keyed batch join") {
+    val zone = splitZone("st10b_ooo", Seq(2, 1, 3))
+    val got = normKeyed(EventStreams.replayToTable(
+      EventStreams.keyedRangeJoin(
+        EventStreams.readEvents(spark, zone, glob = "*.parquet",
+          maxFilesPerTrigger = Some(1)),
+        EventStreams.readEvents(spark, zone, glob = "*.parquet",
+          maxFilesPerTrigger = Some(1)),
+        KeyedWindowUs, "40 days"),
+      "st10b_ooo_t", OutputMode.Append()))
+    val want = keyedBatchPairs()
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("keyed join still executes as a symmetric hash join (user widens the key)") {
+    val q = EventStreams.keyedRangeJoin(
+      EventStreams.readEvents(spark, SfDir),
+      EventStreams.readEvents(spark, SfDir), KeyedWindowUs)
+      .writeStream.queryName("st10b_plan_t").outputMode(OutputMode.Append())
+      .format("memory")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val ops = q.lastProgress.stateOperators.map(_.operatorName).toSeq
+    assert(ops.exists(_.toLowerCase.contains("symmetrichashjoin")),
+      s"expected a symmetric hash join state operator, got $ops")
+    assert(normKeyed(spark.table("st10b_plan_t")) == keyedBatchPairs())
+  }
+
   test("watermark evicts join state during a chronological replay (bounded state)") {
     val zone = splitZone("st10_evict", Seq(1, 2, 3))
     val m = StreamMetrics.attach(spark)
