@@ -288,6 +288,37 @@ object StreamScaleStress {
         df => df,
         Some(Temporal.rangeCorrelation(spark, dir)))
 
+      // st10b: the KEYED range join — replicas carry disjoint user_ids,
+      // so while st10's keyless pairing grows k^2 in per-window density
+      // (its study stops at x10 on that output wall), the keyed output
+      // must grow EXACTLY linearly and state shards over (user, bucket)
+      // instead of piling into shared time buckets. Twin: the same keyed
+      // inequality join stated as one batch equi-join + filter.
+      run("st10b_keyed_range_join",
+        EventStreams.keyedRangeJoin(
+          EventStreams.readEvents(spark, evZone, glob = "*.parquet",
+            maxFilesPerTrigger = Some(1)),
+          EventStreams.readEvents(spark, evZone, glob = "*.parquet",
+            maxFilesPerTrigger = Some(1)),
+          windowUs = 1800000000L),
+        OutputMode.Append(),
+        df => df,
+        Some {
+          val ev = graft.core.Tables(spark, dir).events
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              unix_micros(col("ts")).as("us"))
+          val p = ev.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("event_id").as("purchase_id"),
+              col("us").as("p_us"))
+          val e = ev.filter(col("event_type") === "error")
+            .select(col("user_id"), col("event_id").as("error_id"),
+              col("us").as("e_us"))
+          p.join(e, "user_id")
+            .filter(abs(col("p_us") - col("e_us")) <= 1800000000L)
+            .select(col("user_id"), col("purchase_id"), col("error_id"),
+              abs(col("p_us") - col("e_us")).as("lag_us"))
+        })
+
       run("st6_dedup",
         DocumentStreams.dedupGroups(DocumentStreams.readDocuments(
           spark, docZone, glob = "*.parquet", maxFilesPerTrigger = Some(1))),
