@@ -69,7 +69,9 @@ object Bench {
         System.gc()
         val t0 = System.nanoTime()
         try {
-          graft.streaming.EventStreams.replayToTable(
+          // replayOnce, not replayToTable: the floor must pay the same
+          // protocol the st* entries pay (single-batch drain since r11)
+          graft.streaming.EventStreams.replayOnce(
             graft.streaming.EventStreams.readEvents(spark, sfDir)
               .select("event_id"),
             s"bench_floor_$n",

@@ -388,6 +388,96 @@ object StreamScaleStress {
             .filter(col("status") =!= "removed")
         })
 
+      // st12c: the RESEED/COMPACTION path at scale (DocumentStreams
+      // .reseedCdc). Phase 1 replays the standard upsert wave — the ledger
+      // grows to snapshot size and, crucially, can never shrink: an
+      // arrival-driven ledger keeps digests of docs a zone-maintenance
+      // DELETE later removed from the clean zone (CDC sees arrivals, never
+      // absences). The reseed is the fix: stop, re-seed from the CURRENT
+      // clean zone (phase-1 upserts applied, a 25% deletion wave applied),
+      // and the ledger drops to clean-zone size. Phase 2 then pushes a 5%
+      // redelivery sample through the reseeded stream: deleted docs
+      // re-arriving read `added` (they ARE new w.r.t. the zone — the stale
+      // ledger would have read silence), everything else reads silence;
+      // the twin is the batch diff of the same sample against the same
+      // zone. Reported: pre/post ledger size + the twin match.
+      if (only.forall(_.contains("st12c_cdc_reseed"))) {
+        import graft.queries.Sampling
+        val old = spark.read.parquet(docZone).select("doc_id", "text")
+        // phase-2 arrivals: 5% redelivery sample of the SAME perturbed
+        // snapshot phase 1 replayed, as a single-file zone
+        val sampleZone = s"$dir/reseed_arrivals.parquet"
+        if (!new File(sampleZone).exists())
+          writeOne(Sampling.nextSnapshotOf(old)
+            .filter(pmod(col("doc_id"), lit(20)) === 7),
+            sampleZone, System.currentTimeMillis())
+        val m1 = StreamMetrics.attach(spark)
+        val t0 = System.nanoTime()
+        val q1 = DocumentStreams.cdcVerdicts(
+          Sampling.nextSnapshotOf(
+            DocumentStreams.readDocuments(spark, docZone,
+              glob = "*.parquet", maxFilesPerTrigger = Some(1))
+              .select("doc_id", "text")),
+          old).toDF()
+          .writeStream.queryName(s"sss_st12c_p1_x$k").outputMode("append")
+          .format("memory")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q1.awaitTermination()
+        m1.detach()
+        val preBatches = m1.batchesFor(s"sss_st12c_p1_x$k")
+        val preState =
+          if (preBatches.isEmpty) 0L else preBatches.map(_.stateRowsTotal).max
+        // the compacted clean zone: phase-1 upserts applied, then a 25%
+        // deletion wave (zone maintenance the arrival ledger cannot see)
+        val upserts = Sampling.nextSnapshotOf(old)
+        val clean = upserts.filter(pmod(col("doc_id"), lit(4)) =!= 1)
+          .localCheckpoint()
+        val m2 = StreamMetrics.attach(spark)
+        val verdicts = DocumentStreams.reseedCdc(q1,
+          spark.readStream.schema(
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("doc_id",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("text",
+                org.apache.spark.sql.types.StringType))))
+            .option("pathGlobFilter", "reseed_arrivals.parquet").parquet(dir),
+          clean).toDF()
+        val q2 = verdicts
+          .writeStream.queryName(s"sss_st12c_p2_x$k").outputMode("append")
+          .format("memory")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q2.awaitTermination()
+        val result = spark.table(s"sss_st12c_p2_x$k")
+        val rows = result.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        m2.detach()
+        val postBatches = m2.batchesFor(s"sss_st12c_p2_x$k")
+        val postState =
+          if (postBatches.isEmpty) 0L else postBatches.map(_.stateRowsTotal).max
+        // twin: batch diff of the sample against the compacted zone
+        // (additions only — the sample is upsert-shaped, and arrival CDC
+        // never sees absences)
+        val sample = spark.read.parquet(sampleZone)
+        val twin = graft.operators.CorpusDiff.diff(clean, sample)
+          .filter(col("status") =!= "removed")
+        val ok = matches(result, twin)
+        val line =
+          s"""{"scale":$k,"query":"st12c_cdc_reseed","sec":${f2(sec)},""" +
+            s""""rows":$rows,"match":$ok,""" +
+            s""""batches":${preBatches.size + postBatches.size},""" +
+            s""""state_rows_max":$postState,"state_mb_max":${f2(
+              (if (postBatches.isEmpty) 0L
+               else postBatches.map(_.stateBytes).max) / 1e6)},""" +
+            s""""state_rows_removed":0,"pre_reseed_state_rows":$preState,""" +
+            s""""clean_zone_rows":${clean.count()}}"""
+        println(line)
+        summary += line
+        detail ++= m1.jsonLines
+        detail ++= m2.jsonLines
+      }
+
       // st14: streaming drift monitor. The ledger is (dim, value) counts —
       // lang/source domains are FIXED while len_x100 grows only with the
       // longest document, so state is effectively constant in corpus size

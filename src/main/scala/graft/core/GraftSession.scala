@@ -17,8 +17,6 @@ object GraftSession {
       .builder()
       .master(s"local[$cores]")
       .appName(appName)
-    extraConfs.foreach { case (k, v) => builder.config(k, v) }
-    val spark = builder
       // the library's full extension surface (native expressions + the
       // interval-join rewrite rule), same as Verify/Bench sessions
       .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -56,7 +54,11 @@ object GraftSession {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // extraConfs LAST so a caller's conf beats any factory default above
+    // (builder semantics: later config() wins) — an extraConf overlapping
+    // a default must take effect, not silently lose to the factory
+    extraConfs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // getOrCreate silently IGNORES builder confs when a session already
     // exists in the JVM — and static confs (spark.driver.maxResultSize,

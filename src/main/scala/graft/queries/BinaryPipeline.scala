@@ -289,8 +289,8 @@ object BinaryPipeline {
     * hamming-≤3 pair among the 10 pinned fixture hashes, computed from
     * that same table. The set exercises all the cases that matter: an
     * exact dup across provinces (hamming 0), the resize-scale neighbors
-    * (1–2), a boundary pair at exactly 3, and seven images that pair with
-    * nothing.
+    * (1–2), a boundary pair at exactly 3, and two images that pair with
+    * nothing (the other eight all appear in some pair).
     */
   val cropNearDupsSql: String =
     """SELECT * FROM (VALUES

@@ -24,7 +24,7 @@ object EventStreaming {
     * (append mode would hold back windows past the final watermark).
     */
   def streamHourly(spark: SparkSession, dir: String): DataFrame =
-    EventStreams.replayToTable(
+    EventStreams.replayOnce(
       EventStreams.hourlyRollup(EventStreams.readEvents(spark, dir)),
       s"st2_mem_${runSeq.incrementAndGet()}", OutputMode.Complete())
       .orderBy("hour_ts", "event_type")
@@ -49,7 +49,7 @@ object EventStreaming {
     import spark.implicits._
     val evs = EventStreams.readEvents(spark, dir)
       .select("event_id", "user_id", "ts").as[EventStreams.Ev]
-    collapseSessions(EventStreams.replayToTable(
+    collapseSessions(EventStreams.replayOnce(
       EventStreams.userSessions(evs).toDF(),
       s"st3_mem_${runSeq.incrementAndGet()}", OutputMode.Update()))
   }
@@ -80,7 +80,7 @@ object EventStreaming {
       .filter(col("event_type").isin("view", "click", "purchase"))
       .select("event_id", "user_id", "ts", "event_type")
       .as[EventStreams.AttrEv]
-    collapseAttribution(EventStreams.replayToTable(
+    collapseAttribution(EventStreams.replayOnce(
       EventStreams.attribution(evs).toDF(),
       s"st5_mem_${runSeq.incrementAndGet()}", OutputMode.Update()))
   }
@@ -100,7 +100,7 @@ object EventStreaming {
     * dedup ledger — shared oracle with d1.
     */
   def streamDedup(spark: SparkSession, dir: String): DataFrame =
-    collapseDedup(EventStreams.replayToTable(
+    collapseDedup(EventStreams.replayOnce(
       DocumentStreams.dedupGroups(DocumentStreams.readDocuments(spark, dir)),
       s"st6_mem_${runSeq.incrementAndGet()}", OutputMode.Update()))
 
@@ -113,7 +113,7 @@ object EventStreaming {
     * crawl files chunk as they arrive instead of re-scanning the corpus.
     */
   def streamChunks(spark: SparkSession, dir: String): DataFrame =
-    EventStreams.replayToTable(
+    EventStreams.replayOnce(
       Sampling.chunkTokens(DocumentStreams.readDocuments(spark, dir)),
       s"st7_mem_${runSeq.incrementAndGet()}", OutputMode.Append())
       .orderBy("doc_id", "chunk_id")
@@ -142,7 +142,7 @@ object EventStreaming {
     val old = graft.core.Tables(spark, dir).documents.select("doc_id", "text")
     val stream = DocumentStreams.readDocuments(spark, dir)
       .select("doc_id", "text")
-    EventStreams.replayToTable(
+    EventStreams.replayOnce(
       DocumentStreams.cdcVerdicts(Sampling.nextSnapshotOf(stream), old).toDF(),
       s"st12_mem_${runSeq.incrementAndGet()}", OutputMode.Append())
       .orderBy("doc_id")
@@ -165,7 +165,7 @@ object EventStreaming {
       .dimCounts(docs, Sampling.DriftDims).withColumnRenamed("n", "old_n")
     val stream = DocumentStreams.readDocuments(spark, dir)
       .select("doc_id", "text", "lang", "source")
-    val updates = EventStreams.replayToTable(
+    val updates = EventStreams.replayOnce(
       graft.operators.CorpusDrift.dimCounts(
         Sampling.nextSnapshotFullOf(stream), Sampling.DriftDims),
       s"st14_mem_${runSeq.incrementAndGet()}", OutputMode.Update())
@@ -198,7 +198,7 @@ object EventStreaming {
         sum("n_chars").as("source_chars"))
     val stream = DocumentStreams.readDocuments(spark, dir)
       .select("doc_id", "source", "n_chars")
-    EventStreams.replayToTable(
+    EventStreams.replayOnce(
       stream.join(broadcast(dim), "source")
         .select("doc_id", "source", "n_chars", "source_docs", "source_chars"),
       s"st13_mem_${runSeq.incrementAndGet()}", OutputMode.Append())
@@ -232,7 +232,7 @@ object EventStreaming {
         org.apache.spark.sql.functions.size(
           org.apache.spark.sql.functions.split(col("text"), " "))
           .cast("long").as("n_tok"))
-    EventStreams.replayToTable(
+    EventStreams.replayOnce(
       Sampling.admitTempMix(stream, broadcast(rates)),
       s"st15_mem_${runSeq.incrementAndGet()}", OutputMode.Append())
       .orderBy("doc_id")
@@ -245,7 +245,7 @@ object EventStreaming {
     * shares d1's.
     */
   def streamNearDedup(spark: SparkSession, dir: String): DataFrame =
-    collapseNearDup(EventStreams.replayToTable(
+    collapseNearDup(EventStreams.replayOnce(
       DocumentStreams.nearDupBandHits(
         DocumentStreams.readDocuments(spark, dir)).toDF(),
       s"st9_mem_${runSeq.incrementAndGet()}", OutputMode.Append()))
@@ -272,7 +272,7 @@ object EventStreaming {
     * a batch-only optimization; the semantics live in the exact counts.
     */
   def streamHeavyHitters(spark: SparkSession, dir: String): DataFrame =
-    collapseHeavyHitters(EventStreams.replayToTable(
+    collapseHeavyHitters(EventStreams.replayOnce(
       DocumentStreams.tokenCounts(DocumentStreams.readDocuments(spark, dir)),
       s"st8_mem_${runSeq.incrementAndGet()}", OutputMode.Update()))
 
@@ -286,7 +286,7 @@ object EventStreaming {
     * watermark.
     */
   def streamRangeCorrelation(spark: SparkSession, dir: String): DataFrame =
-    EventStreams.replayToTable(
+    EventStreams.replayOnce(
       EventStreams.rangeJoin(
         EventStreams.readEvents(spark, dir),
         EventStreams.readEvents(spark, dir),
@@ -304,7 +304,7 @@ object EventStreaming {
     * Oracle: the same keyed inequality join stated directly in DuckDB.
     */
   def streamKeyedRangeCorrelation(spark: SparkSession, dir: String): DataFrame =
-    EventStreams.replayToTable(
+    EventStreams.replayOnce(
       EventStreams.keyedRangeJoin(
         EventStreams.readEvents(spark, dir),
         EventStreams.readEvents(spark, dir),

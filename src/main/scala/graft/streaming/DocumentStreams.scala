@@ -253,10 +253,14 @@ object DocumentStreams {
     * old checkpoint silently restores the OLD ledger from the checkpoint
     * and ignores the new snapshot entirely, which un-compacts the state
     * and can misclassify docs that changed while the stream was down.
-    * CdcReseedSpec pins both halves: post-reseed verdicts equal a fresh
-    * batch diff against the compacted snapshot, and in-flight
-    * modifications landed in the clean zone read as silence, not as
-    * re-emitted `modified`.
+    * Pass the sink's intended `checkpointLocation` and this helper
+    * ENFORCES freshness (throws on a non-empty path) instead of merely
+    * documenting it; omit it only when the sink uses a Spark-generated
+    * temp checkpoint, which is fresh by construction (the memory-sink
+    * drains in tests). CdcReseedSpec pins both halves: post-reseed
+    * verdicts equal a fresh batch diff against the compacted snapshot,
+    * and in-flight modifications landed in the clean zone read as
+    * silence, not as re-emitted `modified` — plus the guard itself.
     *
     * Exactly-once across the handover is the file-source replay contract:
     * arrivals the stopped query already processed are part of the clean
@@ -267,7 +271,9 @@ object DocumentStreams {
   def reseedCdc(running: org.apache.spark.sql.streaming.StreamingQuery,
       newDocs: DataFrame, currentSnapshot: DataFrame,
       ttlMs: Option[Long] = None,
-      watermarkDelay: String = "0 seconds"): Dataset[CdcVerdict] = {
+      watermarkDelay: String = "0 seconds",
+      checkpointLocation: Option[String] = None): Dataset[CdcVerdict] = {
+    checkpointLocation.foreach(requireFreshCheckpoint(newDocs.sparkSession, _))
     running.stop()
     running.awaitTermination()
     ttlMs match {
@@ -275,6 +281,19 @@ object DocumentStreams {
         watermarkDelay)
       case None => cdcVerdicts(newDocs, currentSnapshot)
     }
+  }
+
+  /** Refuse a checkpoint path that already has content — the reseed
+    * footgun made structural (see [[reseedCdc]]'s checkpoint contract).
+    * Hadoop-FS-aware: works for hdfs://, s3a://, and local paths alike.
+    */
+  private def requireFreshCheckpoint(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(p) || fs.listStatus(p).isEmpty,
+      s"reseedCdc requires a FRESH checkpoint location, but $path is " +
+        "non-empty: restarting from the old checkpoint would restore the " +
+        "stale pre-compaction ledger and ignore the new snapshot")
   }
 
   final case class BandRow(doc_id: Long, band: Int, bh: Long)

@@ -106,4 +106,30 @@ class CdcReseedSpec extends SparkTestBase {
       .filter(col("doc_id") === 0 && col("status") === "modified")
       .count() === 1)
   }
+
+  test("reseedCdc refuses a non-empty checkpoint location (the footgun guard)") {
+    val docs = spark.read.parquet(s"$SfDir/documents.parquet")
+      .select("doc_id", "text")
+    val dir = scratch("cdc_reseed_guard")
+    ReplayFixtures.writeOne(at(docs.limit(2), T0), s"$dir/f0.parquet", T0)
+    val q = drain(
+      DocumentStreams.cdcVerdicts(stream(dir), docs.limit(1)).toDF(),
+      "cdc_rs_guard_t")
+    // a USED checkpoint: any non-empty directory stands in for the old
+    // query's checkpoint — the guard is structural, not content-aware
+    val used = scratch("cdc_reseed_guard_ckpt")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(used, "offsets"))
+    val e = intercept[IllegalArgumentException] {
+      DocumentStreams.reseedCdc(q, stream(dir), docs.limit(1),
+        checkpointLocation = Some(used))
+    }
+    assert(e.getMessage.contains("FRESH checkpoint"))
+    // a fresh (nonexistent) path passes and the reseeded stream drains
+    val fresh = s"${scratch("cdc_reseed_guard_fresh")}/ckpt"
+    val verdicts = DocumentStreams.reseedCdc(q, stream(dir), docs.limit(1),
+      checkpointLocation = Some(fresh))
+    drain(verdicts.toDF(), "cdc_rs_guard_fresh_t")
+    assert(spark.table("cdc_rs_guard_fresh_t").count() >= 1)
+  }
 }
