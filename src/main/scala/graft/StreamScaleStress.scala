@@ -395,7 +395,7 @@ object StreamScaleStress {
       // DELETE later removed from the clean zone (CDC sees arrivals, never
       // absences). The reseed is the fix: stop, re-seed from the CURRENT
       // clean zone (phase-1 upserts applied, a 25% deletion wave applied),
-      // and the ledger drops to clean-zone size. Phase 2 then pushes a 5%
+      // and the ledger drops to clean-zone size. Phase 2 then pushes a 10%
       // redelivery sample through the reseeded stream: deleted docs
       // re-arriving read `added` (they ARE new w.r.t. the zone — the stale
       // ledger would have read silence), everything else reads silence;
@@ -406,11 +406,17 @@ object StreamScaleStress {
         val old = spark.read.parquet(docZone).select("doc_id", "text")
         // phase-2 arrivals: 5% redelivery sample of the SAME perturbed
         // snapshot phase 1 replayed, as a single-file zone
-        val sampleZone = s"$dir/reseed_arrivals.parquet"
-        if (!new File(sampleZone).exists())
+        val sampleDir = s"$dir/reseed_arrivals"
+        val sampleZone = s"$sampleDir/arrivals.parquet"
+        if (!new File(sampleZone).exists()) {
+          Files.createDirectories(Paths.get(sampleDir))
+          // residues 5 and 7 mod 20: residue 5 is ≡1 mod 4 (in the deletion
+          // wave → must read `added`), residue 7 is ≡3 mod 4 (survives the
+          // wave → must read silence) — the sample exercises both verdicts
           writeOne(Sampling.nextSnapshotOf(old)
-            .filter(pmod(col("doc_id"), lit(20)) === 7),
+            .filter(pmod(col("doc_id"), lit(20)).isin(5, 7)),
             sampleZone, System.currentTimeMillis())
+        }
         val m1 = StreamMetrics.attach(spark)
         val t0 = System.nanoTime()
         val q1 = DocumentStreams.cdcVerdicts(
@@ -441,7 +447,7 @@ object StreamScaleStress {
                 org.apache.spark.sql.types.LongType),
               org.apache.spark.sql.types.StructField("text",
                 org.apache.spark.sql.types.StringType))))
-            .option("pathGlobFilter", "reseed_arrivals.parquet").parquet(dir),
+            .parquet(sampleDir),
           clean).toDF()
         val q2 = verdicts
           .writeStream.queryName(s"sss_st12c_p2_x$k").outputMode("append")

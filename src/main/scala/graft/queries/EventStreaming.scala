@@ -299,8 +299,10 @@ object EventStreaming {
     * per-USER purchases ⋈ errors within 30 min. The window widens from
     * st10's 60 s because the user key thins pairs ~|users|-fold — the
     * point of the variant — and the fixture needs enough qualifying pairs
-    * to gate on; output grows LINEARLY in stream length either way, which
-    * is what the STREAMSCALE x100 row demonstrates against st10's k² wall.
+    * to gate on; output grows LINEARLY in stream length, measured in
+    * STREAMSCALE_r11: 370 → 3,700 → 37,000 pairs at x1/x10/x100 with flat
+    * ~30 s wall and linear state/evictions, where keyless st10's k² output
+    * wall stops its own study at x10 (SCALING.md's streaming section).
     * Oracle: the same keyed inequality join stated directly in DuckDB.
     */
   def streamKeyedRangeCorrelation(spark: SparkSession, dir: String): DataFrame =
