@@ -466,6 +466,47 @@ object ScaleStress {
         return
       }
 
+    // Quantile-pair experiment (SPARK_GRAFT_Z3=k1,k2,...): z3b's reason to
+    // exist is what happens to the two quantile plans as the table grows —
+    // z3's exact path sorts each group (a per-group global sort whose
+    // partition is ONE task per group), while z3b's sketch is a mergeable
+    // partial aggregate that rides the scan's split parallelism. The
+    // replica is the base lineitem duplicated k-fold (quantile targets are
+    // rank-relative, so the workload grows while the answer's position
+    // structure is preserved), written with multi-file parallel splits —
+    // which also retires the fixture footnote: z3b's sf0.1 serial floor is
+    // the single-row-group file, not the plan. z3b's guarantee booleans
+    // are re-CHECKED at every scale (the output IS the check).
+    sys.env.get("SPARK_GRAFT_Z3").map(_.split(",").map(_.trim.toInt).toSeq)
+      .foreach { ks =>
+        ks.foreach { k =>
+          val dir = s"target/scale/z_x$k"
+          val done = new java.io.File(s"$dir/_GENERATED")
+          if (!done.exists()) {
+            spark.read.parquet(s"$baseDir/lineitem.parquet")
+              .select("l_returnflag", "l_extendedprice")
+              .crossJoin(broadcast(spark.range(0, k)))
+              .drop("id")
+              .repartition(spark.sparkContext.defaultParallelism)
+              .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+            java.nio.file.Files.write(done.toPath, Array.emptyByteArray)
+          }
+          Seq("z3_price_quantiles", "z3b_price_quantiles_approx").foreach { q =>
+            spark.catalog.clearCache(); System.gc()
+            val t0 = System.nanoTime()
+            val out = SparkEntry.queries(q)(spark, dir).collect()
+            val sec = (System.nanoTime() - t0) / 1e9
+            val allOk =
+              if (q.startsWith("z3b"))
+                out.forall(r => (2 to 4).forall(i => r.getBoolean(i)))
+              else true
+            println(s"""{"scale":$k,"variant":"z3","query":"$q","sec":${f2(sec)},"rows":${out.length},"guarantee_ok":$allOk}""")
+          }
+        }
+        spark.stop()
+        return
+      }
+
     // Targeted-delete experiment (SPARK_GRAFT_X4=k1,k2,...): x4's scale
     // claim is that a fixed-size deletion request costs the AFFECTED
     // shards — read |affected|, rewrite |changed| — while the zone grows.
