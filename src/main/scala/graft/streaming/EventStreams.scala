@@ -265,10 +265,12 @@ object EventStreams {
     // one bucket width, so it touches at most TWO buckets — explode to
     // {floor((p-W)/2W), floor((p+W)/2W)} (deduped when equal) instead of
     // the naive width-W three-bucket fan-out. One third less purchase-side
-    // state and one third fewer probes, identical semantics: the error's
-    // single bucket floor(e/2W) always lands in that two-element cover, and
-    // the exact range predicate below still gates every emission. Epoch
-    // micros are positive, so integer DIV equals floor.
+    // state, identical semantics: the error's single bucket floor(e/2W)
+    // always lands in that two-element cover, and the exact range
+    // predicate below still gates every emission. Epoch micros are
+    // positive, so integer DIV equals floor. The batch twin uses the same
+    // scheme — the fan-out-vs-candidate-density tradeoff is measured on
+    // TemporalJoins.boundedRange (2W wins in both regimes).
     val bucketWidth = 2 * windowUs
     val p = purchaseEvents.filter(col("event_type") === "purchase")
       .select(pCols: _*)

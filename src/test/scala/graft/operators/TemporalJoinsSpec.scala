@@ -93,6 +93,28 @@ class TemporalJoinsSpec extends SparkTestBase {
     }
   }
 
+  test("the 2W covering-bucket lemma holds on the non-negative domain (boundary-dense)") {
+    // pure arithmetic twin of boundedRange's bucket construction: for any
+    // lts, rts >= 0 with |lts - rts| <= W, rts's bucket must be one of the
+    // two covering buckets. Sweep W over awkward widths and ts over every
+    // boundary-adjacent offset, plus random draws — the exact-boundary and
+    // lts < W cases are where a cover scheme breaks first.
+    for (w <- Seq(1L, 2L, 3L, 7L, 35L, 1000L)) {
+      val b = 2 * w
+      def cover(lts: Long): Set[Long] =
+        Set(math.max(lts - w, 0L) / b, (lts + w) / b)
+      val boundaryTs = (0L to 4L).flatMap(k =>
+        Seq(k * b - 1, k * b, k * b + 1, k * b + w - 1, k * b + w, k * b + w + 1))
+        .filter(_ >= 0)
+      val randomTs = Seq.fill(200)(math.abs(rnd.nextLong()) % (b * 50))
+      for (lts <- boundaryTs ++ randomTs; d <- -w to w by math.max(1, w / 7);
+           rts = lts + d if rts >= 0) {
+        assert(cover(lts).contains(rts / b),
+          s"W=$w lts=$lts rts=$rts: bucket ${rts / b} not in ${cover(lts)}")
+      }
+    }
+  }
+
   test("boundedRangeAnti is the exact complement of boundedRange's matched left set") {
     import spark.implicits._
     val leftRows = rows(200, 4)
