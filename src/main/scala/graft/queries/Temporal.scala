@@ -15,9 +15,9 @@ import graft.core.Tables
   *  - the AS-OF join is the union-then-window formulation: one shuffle on
   *    the join key, one per-key sort, linear scan — the same plan a
   *    dedicated as-of operator would produce;
-  *  - the bounded RANGE join buckets time into window-width buckets and
-  *    equi-joins on the bucket id (each probe row expands to its 3 covering
-  *    buckets) — the shuffle key is a small integer and the quadratic work
+  *  - the bounded RANGE join buckets time into 2·window-width buckets and
+  *    equi-joins on the bucket id (each probe row expands to its ≤2
+  *    covering buckets) — the shuffle key is a small integer and the quadratic work
   *    collapses to genuinely-close pairs.
   */
 object Temporal {

@@ -206,8 +206,8 @@ object EventStreams {
     * `windowUs` is emitted, exactly once, in Append mode.
     *
     * Same covering-bucket move as the batch operator: the purchase side
-    * fans out to its 3 covering width-W buckets, the error side keeps its
-    * one, and the join Spark executes is an EQUI-join on the bucket id —
+    * fans out to its ≤2 covering width-2W buckets, the error side keeps
+    * its one, and the join Spark executes is an EQUI-join on the bucket id —
     * StreamingSymmetricHashJoinExec with state hash-partitioned by bucket —
     * never a nested-loop over unbounded streams. The event-time range
     * condition on the two WATERMARKED ts columns is the exact |Δ| ≤ W
