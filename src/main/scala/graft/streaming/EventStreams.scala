@@ -312,7 +312,7 @@ object EventStreams {
     * stream sets this once at its own birth.
     */
   def replayStateShards: Int =
-    sys.env.get("SPARK_GRAFT_REPLAY_SHARDS").map(_.toInt).getOrElse(4)
+    math.max(1, sys.env.get("SPARK_GRAFT_REPLAY_SHARDS").map(_.toInt).getOrElse(4))
 
   /** Drain an events zone through a streaming query into an in-memory table
     * (complete/update modes — the finite-replay harness used by the st*
