@@ -160,12 +160,22 @@ object Sketches {
         expr(s"approx_percentile(l_extendedprice, array(${ps.mkString(", ")}), $acc)")
           .as("qs"))
         .collect().map(r => r.getString(0) -> r.getSeq[Double](1).toSeq).toMap
+    quantileRankCheck(li, cand, ps)
+  }
+
+  /** Pass 2 of [[priceQuantilesApprox]], factored so the spec can feed it
+    * WRONG candidates: exact rank recount of the candidate values as
+    * when-sums over one scan — fully codegen'd, no join, no second shuffle
+    * stage — and the rank-interval verdicts. The check must be falsifiable
+    * (SketchSamplingSpec corrupts a candidate and asserts `false` comes
+    * out), or the all-true oracle would be a tautology.
+    */
+  private[queries] def quantileRankCheck(li: DataFrame,
+      cand: Map[String, Seq[Double]], ps: Seq[Double]): DataFrame = {
     // per-percentile candidate value as a flag→literal CASE expression
     def vOf(pi: Int) = cand.foldLeft(lit(null).cast("double")) {
       case (e, (flag, qs)) => when(col("l_returnflag") === flag, lit(qs(pi))).otherwise(e)
     }
-    // Pass 2: exact rank recount of the 9 candidates — when-sums over one
-    // scan, fully codegen'd, no join, no second shuffle stage.
     val aggs = ps.indices.flatMap { pi => Seq(
       sum(when(col("l_extendedprice") < vOf(pi), 1L).otherwise(0L)).as(s"lo$pi"),
       sum(when(col("l_extendedprice") <= vOf(pi), 1L).otherwise(0L)).as(s"hi$pi"))

@@ -37,6 +37,34 @@ class SketchSamplingSpec extends SparkTestBase {
     docs.toDF("text").repartition(parallelism)
   }
 
+  test("z3b: the rank-interval check is falsifiable - a wrong candidate reads false") {
+    import org.apache.spark.sql.functions._
+    val li = spark.read.parquet(s"$SfDir/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val flags = li.select("l_returnflag").distinct()
+      .collect().map(_.getString(0)).sorted
+    val ps = Seq(0.5, 0.9, 0.99)
+    // honest candidates: the true max price can only ever satisfy p99 in
+    // a degenerate group, never p50 - corrupt every flag's p50 slot with
+    // it while keeping p90/p99 at plausibly-true order statistics
+    val stats = li.groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, array(0.9, 0.99))").as("q"),
+        max("l_extendedprice").as("mx"))
+      .collect().map(r => r.getString(0) ->
+        (r.getSeq[Double](1), r.getDouble(2))).toMap
+    val corrupted = flags.map { f =>
+      val (q, mx) = stats(f); f -> Seq(mx, q(0), q(1))
+    }.toMap
+    val out = Sketches.quantileRankCheck(li, corrupted, ps).collect()
+    assert(out.nonEmpty)
+    // p50 must read FALSE everywhere (the max's rank interval ends at n,
+    // nowhere near 0.5n +- 1%), while the exact p90/p99 stay true - the
+    // check discriminates per percentile, not per row
+    assert(out.forall(r => !r.getBoolean(2)), "corrupted p50 passed")
+    assert(out.forall(r => r.getBoolean(3) && r.getBoolean(4)),
+      "exact p90/p99 failed")
+  }
+
   test("z4: exact counts with boundary inclusion, invariant to partitioning and k") {
     val expect = Set(("aa", 500L), ("bb", 5L))
     for (par <- Seq(1, 7, 32); k <- Seq(3, 50, 200)) {
