@@ -550,6 +550,54 @@ object ScaleStress {
         return
       }
 
+    // Re-shard experiment (SPARK_GRAFT_RESHARD=k1,k2,...): the migration
+    // op the r11 export curve proved necessary (maintenance cost is
+    // |affected| x zone/shards, so the count must grow with the corpus —
+    // and it is fixed per zone lifetime). For each k: build the
+    // incremental zone at the 16-shard default (timed: the cost a
+    // pipeline already pays), migrate 16 -> 256 with ExportJob.reshard
+    // (timed: one read + one rebalance + atomic swap — deliberately
+    // zone-sized, paid once), then run the SAME fixed 4-id delete and
+    // 4-row upsert as the x4 experiment against the MIGRATED zone. r11
+    // measured x100 delete at 2.9 s when the zone is BORN at 256 shards;
+    // the claim here is that the migrated zone hits the same floor.
+    sys.env.get("SPARK_GRAFT_RESHARD").map(_.split(",").map(_.trim.toInt).toSeq)
+      .foreach { ks =>
+        val victimIds = Seq(83L, 166L, 249L, 332L)
+        val to = 256
+        ks.foreach { k =>
+          val dir = s"target/scale/x$k"
+          generate(spark, baseDir, dir, k)
+          val zone = s"target/scale/reshard_x$k"
+          graft.core.FsUtil.deleteRecursively(zone)
+          spark.catalog.clearCache(); System.gc()
+          val b0 = System.nanoTime()
+          graft.pipeline.ExportJob.writeTrainingShardsIncremental(spark, dir,
+            zone, requestedShards = Some(16))
+          val buildSec = (System.nanoTime() - b0) / 1e9
+          spark.catalog.clearCache(); System.gc()
+          val r0 = System.nanoTime()
+          graft.pipeline.ExportJob.reshard(spark, zone, to)
+          val reSec = (System.nanoTime() - r0) / 1e9
+          assert(graft.pipeline.ExportJob.zoneShards(zone).contains(to))
+          spark.catalog.clearCache(); System.gc()
+          val d0 = System.nanoTime()
+          graft.pipeline.ExportJob.deleteFromShards(spark, zone, victimIds)
+          val delSec = (System.nanoTime() - d0) / 1e9
+          val patch = spark.read.parquet(s"$dir/documents.parquet")
+            .filter(col("doc_id").isin(victimIds: _*))
+            .select(col("doc_id"), concat(col("text"), lit(" PATCH")).as("text"),
+              col("lang"), col("source"))
+          spark.catalog.clearCache(); System.gc()
+          val u0 = System.nanoTime()
+          graft.pipeline.ExportJob.upsertShards(spark, zone, patch)
+          val upSec = (System.nanoTime() - u0) / 1e9
+          println(s"""{"scale":$k,"variant":"reshard","build_sec":${f2(buildSec)},"reshard_sec":${f2(reSec)},"delete_sec":${f2(delSec)},"upsert_sec":${f2(upSec)},"from":16,"to":$to}""")
+        }
+        spark.stop()
+        return
+      }
+
     // Skew experiment (SPARK_GRAFT_SKEW=<k>): a corpus where one 8-token
     // boilerplate sentence appears in EVERY document, so each of its
     // word-3-grams has df = 5000k/k per replica — far over MaxGramDf. Run

@@ -404,7 +404,7 @@ object StreamScaleStress {
       if (only.forall(_.contains("st12c_cdc_reseed"))) {
         import graft.queries.Sampling
         val old = spark.read.parquet(docZone).select("doc_id", "text")
-        // phase-2 arrivals: 5% redelivery sample of the SAME perturbed
+        // phase-2 arrivals: 10% redelivery sample of the SAME perturbed
         // snapshot phase 1 replayed, as a single-file zone
         val sampleDir = s"$dir/reseed_arrivals"
         val sampleZone = s"$sampleDir/arrivals.parquet"

@@ -77,10 +77,15 @@ object ExportJob {
     export
   }
 
-  /** Shard count in incremental mode. Fixed and content-independent: the
-    * stable assignment contract below only holds while this never changes
-    * for a given export zone (changing it is a full re-shard — use the
-    * truncate-and-replace mode for that).
+  /** Explicit env override of the creation-time shard count, clamped to
+    * ≥ 1 (0 would make every pmod-by-shards assignment null/throw).
+    */
+  private val ShardsEnvOverride: Option[Int] =
+    sys.env.get("SPARK_GRAFT_EXPORT_SHARDS").map(v => math.max(1, v.toInt))
+
+  /** CREATION-TIME shard count in incremental mode; once a zone exists its
+    * authoritative count is the persisted [[zoneShards]] marker, and this
+    * value only matters for brand-new zones.
     *
     * THIS is the deployment knob that keeps fixed-size zone maintenance
     * O(1): a delete/upsert pays |affected shards| × (zone / shards), so
@@ -89,10 +94,63 @@ object ExportJob {
     * to a few hundred MB each). Measured in SCALESTRESS_r11: at x100 the
     * same 4-id delete costs 12.1 s against 16 shards but 3–4× less
     * against 64, tracking shard size exactly. Env-overridable for the
-    * scale study (SPARK_GRAFT_EXPORT_SHARDS); fixed per zone lifetime.
+    * scale study (SPARK_GRAFT_EXPORT_SHARDS); fixed per zone lifetime —
+    * [[reshard]] is the migration.
     */
-  val IncrementalShards: Int =
-    sys.env.get("SPARK_GRAFT_EXPORT_SHARDS").map(_.toInt).getOrElse(16)
+  val IncrementalShards: Int = ShardsEnvOverride.getOrElse(16)
+
+  /** Name of the zone's persisted shard-count marker; underscore-prefixed
+    * like the manifest so Spark's file listing never sees it as data.
+    */
+  private val ShardsMarkerName = "_graft_shards"
+
+  /** The persisted shard count of a zone — written at zone creation (or
+    * adopted on first use of a pre-marker zone) and authoritative from
+    * then on: every maintenance op derives its doc→shard mapping from the
+    * marker, never from session configuration, so a session configured
+    * with a different count cannot silently remap docs to wrong shards
+    * (the data-safety hazard: a delete computed under the wrong modulus
+    * rewrites the wrong shards and leaves "deleted" docs in place). An
+    * EXPLICITLY conflicting request fails loudly instead — see
+    * [[resolveZoneShards]]; [[reshard]] is the one legal way to change it.
+    */
+  def zoneShards(outDir: String): Option[Int] = {
+    val p = Paths.get(outDir, ShardsMarkerName)
+    if (!Files.exists(p)) None
+    else Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toInt)
+  }
+
+  private def writeShardsMarker(outDir: String, n: Int): Unit = {
+    Files.createDirectories(Paths.get(outDir))
+    Files.write(Paths.get(outDir, ShardsMarkerName),
+      s"$n\n".getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Resolve the shard count an operation on `outDir` must use, enforcing
+    * the fixed-per-zone-lifetime contract: the zone's marker wins; a
+    * conflicting EXPLICIT request (API argument or the
+    * SPARK_GRAFT_EXPORT_SHARDS override) throws, pointing at [[reshard]].
+    * A marker-less zone (new, or written before markers existed) adopts
+    * the requested/default count and persists it immediately.
+    */
+  private[pipeline] def resolveZoneShards(outDir: String,
+      requested: Option[Int]): Int = {
+    val explicit = requested.map(v => math.max(1, v)).orElse(ShardsEnvOverride)
+    zoneShards(outDir) match {
+      case Some(n) =>
+        explicit.filter(_ != n).foreach { m =>
+          throw new IllegalStateException(
+            s"export zone $outDir was written with $n shards but $m were " +
+              "requested: the doc->shard mapping is fixed per zone " +
+              "lifetime - run ExportJob.reshard to migrate the zone")
+        }
+        n
+      case None =>
+        val n = explicit.getOrElse(IncrementalShards)
+        writeShardsMarker(outDir, n)
+        n
+    }
+  }
 
   /** Salt of the stable shard key — shared by the incremental export and
     * the targeted delete, which must compute the SAME doc→shard mapping
@@ -103,10 +161,13 @@ object ExportJob {
   /** The stable shard of one doc id, driver-side — the JVM twin of the
     * assignment expression in [[writeTrainingShardsIncremental]]
     * (Hash60Util.hash IS the graft_hash60 expression's kernel, so the two
-    * cannot disagree).
+    * cannot disagree). The no-count form uses the creation-time default;
+    * maintenance ops use the explicit form with the zone's marker count.
     */
-  def shardOf(docId: Long): Long =
-    graft.functions.Hash60Util.hash(IncrementalSalt + docId) % IncrementalShards
+  def shardOf(docId: Long): Long = shardOf(docId, IncrementalShards)
+
+  def shardOf(docId: Long, shards: Int): Long =
+    graft.functions.Hash60Util.hash(IncrementalSalt + docId) % shards
 
   /** INCREMENTAL re-export — the opt-in alternative mode the
     * [[writeTrainingShards]] contract note points at: shard by a STABLE
@@ -135,24 +196,18 @@ object ExportJob {
     * Idempotent: re-export of an unchanged corpus rewrites zero shards.
     */
   def writeTrainingShardsIncremental(spark: SparkSession, dir: String,
-      outDir: String): DataFrame = {
+      outDir: String, requestedShards: Option[Int] = None): DataFrame = {
     VectorOps.register(spark) // graft_hash60
+    val nShards = resolveZoneShards(outDir, requestedShards)
     val docs = graft.core.Tables(spark, dir).documents
       .select("doc_id", "text", "lang", "source")
     val assigned = docs.withColumn("shard_id",
       pmod(hash60(concat(lit(IncrementalSalt), col("doc_id").cast("string"))),
-        lit(IncrementalShards.toLong)))
+        lit(nShards.toLong)))
     // stage once: fingerprint pass + (filtered) write pass share the scan
     assigned.persist()
     try {
-      val fps = assigned
-        .withColumn("row_fp", hash60(concat_ws("\u0001",
-          col("doc_id").cast("string"), col("text"), col("lang"), col("source"))))
-        .groupBy("shard_id")
-        .agg(expr("bit_xor(row_fp)").as("fp"), count(lit(1)).as("n"))
-        .collect()
-        .map(r => r.getAs[Long]("shard_id") ->
-          (r.getAs[Long]("fp"), r.getAs[Long]("n"))).toMap
+      val fps = fingerprints(assigned)
       val prev = readManifest(outDir)
       val changed = fps.keys.filter(k => !prev.get(k).contains(fps(k))).toSeq.sorted
       if (changed.nonEmpty) {
@@ -210,7 +265,8 @@ object ExportJob {
   def deleteFromShards(spark: SparkSession, outDir: String,
       docIds: Seq[Long]): Unit = {
     if (docIds.isEmpty) return
-    val affected = docIds.distinct.map(shardOf).distinct.sorted
+    val nShards = resolveZoneShards(outDir, None)
+    val affected = docIds.distinct.map(shardOf(_, nShards)).distinct.sorted
     val victims = docIds.toSet
     val kept = readShards(spark, outDir, affected)
       .filter(!col("doc_id").isin(victims.toSeq: _*))
@@ -241,12 +297,13 @@ object ExportJob {
   def upsertShards(spark: SparkSession, outDir: String,
       upserts: DataFrame): Unit = {
     VectorOps.register(spark)
+    val nShards = resolveZoneShards(outDir, None)
     val up = upserts
       .select(col("doc_id").cast("long").as("doc_id"), col("text"),
         col("lang"), col("source"))
       .withColumn("shard_id",
         pmod(hash60(concat(lit(IncrementalSalt), col("doc_id").cast("string"))),
-          lit(IncrementalShards.toLong)))
+          lit(nShards.toLong)))
     up.persist()
     try {
       val affected = up.select("shard_id").distinct()
@@ -256,6 +313,96 @@ object ExportJob {
       rewriteAffectedShards(spark, outDir, affected,
         kept.unionByName(up.select(kept.columns.map(col): _*)))
     } finally up.unpersist()
+  }
+
+  /** RE-SHARD an incremental export zone in place: migrate it from its
+    * current persisted shard count to `newShards` — the operation the r11
+    * scale study proved necessary (maintenance cost = |affected| ×
+    * zone/shards, so the count must grow with the corpus; it is fixed per
+    * zone lifetime, and this is the one legal way to change it).
+    *
+    * One read of the zone, one stable-hash reassignment (the SAME salted
+    * key — only the modulus changes), one write: the new layout is staged
+    * to a sibling temp directory with its manifest and shard marker
+    * rebuilt in the same pass, then swapped in (rename live away, rename
+    * staging in, drop the old) — a reader never observes a half-migrated
+    * zone, and a crash leaves either the old zone or the new one plus
+    * debris the next run cleans up. Re-running at the zone's current
+    * count is a no-op (nothing read, nothing written); re-running after a
+    * crash restarts from whichever layout survived. Unlike delete/upsert
+    * the cost is deliberately zone-sized — it IS the migration — but flat
+    * in the target shard count (same rows, one rebalance).
+    */
+  def reshard(spark: SparkSession, outDir: String, newShards: Int): Unit = {
+    require(newShards >= 1, s"newShards must be >= 1, got $newShards")
+    val tmp = outDir + ".__reshard__"
+    val old = outDir + ".__reshard_old__"
+    // crash debris: staging is never the source of truth — drop it; an
+    // orphaned old layout NEXT TO a live dir means a prior run finished
+    // its swap but not the cleanup — drop it; an old layout WITHOUT a
+    // live dir means the crash hit between the two renames — roll back
+    graft.core.FsUtil.deleteRecursively(tmp)
+    if (new File(old).isDirectory) {
+      if (new File(outDir).isDirectory) graft.core.FsUtil.deleteRecursively(old)
+      else Files.move(Paths.get(old), Paths.get(outDir))
+    }
+    val cur = zoneShards(outDir).getOrElse {
+      val n = IncrementalShards; writeShardsMarker(outDir, n); n
+    }
+    if (cur == newShards) return
+    VectorOps.register(spark)
+    val content = readZone(spark, outDir)
+      .drop("shard_id")
+      .withColumn("shard_id",
+        pmod(hash60(concat(lit(IncrementalSalt), col("doc_id").cast("string"))),
+          lit(newShards.toLong)))
+    content.persist()
+    try {
+      val fps = fingerprints(content)
+      if (fps.nonEmpty) {
+        content
+          .hint("rebalance", col("shard_id"))
+          .sortWithinPartitions("shard_id", "doc_id")
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "static")
+          .option("maxRecordsPerFile", MaxRecordsPerFile)
+          .option("compression", "gzip")
+          .partitionBy("shard_id")
+          .json(tmp)
+      }
+      writeManifest(tmp, fps)
+      writeShardsMarker(tmp, newShards)
+      Files.move(Paths.get(outDir), Paths.get(old))
+      Files.move(Paths.get(tmp), Paths.get(outDir))
+      graft.core.FsUtil.deleteRecursively(old)
+    } finally content.unpersist()
+  }
+
+  /** Per-shard order-independent fingerprints of `content` (`bit_xor` of
+    * a row content hash, plus the row count — xor alone cancels on paired
+    * rows): at most the zone's shard count of driver rows, not data. The
+    * shared kernel of the incremental export, delete/upsert rewrite, and
+    * reshard — all four MUST fingerprint identically or the
+    * changed-shard diff misfires.
+    */
+  private def fingerprints(content: DataFrame): Map[Long, (Long, Long)] =
+    content
+      .withColumn("row_fp", hash60(concat_ws("\u0001",
+        col("doc_id").cast("string"), col("text"), col("lang"), col("source"))))
+      .groupBy("shard_id")
+      .agg(expr("bit_xor(row_fp)").as("fp"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getAs[Long]("shard_id") ->
+        (r.getAs[Long]("fp"), r.getAs[Long]("n"))).toMap
+
+  /** Read EVERY shard directory of a zone — the reshard's one full read;
+    * maintenance ops never use this (they read only affected shards).
+    */
+  private def readZone(spark: SparkSession, outDir: String): DataFrame = {
+    val ids = Option(new File(outDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("shard_id="))
+      .map(_.getName.stripPrefix("shard_id=").toLong).sorted.toSeq
+    readShards(spark, outDir, ids)
   }
 
   /** Read ONLY the given shard directories of a zone (skipping ids whose
@@ -294,14 +441,7 @@ object ExportJob {
       affected: Seq[Long], content: DataFrame): Unit = {
     content.persist()
     try {
-      val fps = content
-        .withColumn("row_fp", hash60(concat_ws("\u0001",
-          col("doc_id").cast("string"), col("text"), col("lang"), col("source"))))
-        .groupBy("shard_id")
-        .agg(expr("bit_xor(row_fp)").as("fp"), count(lit(1)).as("n"))
-        .collect()
-        .map(r => r.getAs[Long]("shard_id") ->
-          (r.getAs[Long]("fp"), r.getAs[Long]("n"))).toMap
+      val fps = fingerprints(content)
       val prevAll = readManifest(outDir)
       val changed = fps.keySet.filter(k => !prevAll.get(k).contains(fps(k)))
       if (changed.nonEmpty) {

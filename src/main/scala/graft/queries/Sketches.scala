@@ -71,40 +71,238 @@ object Sketches {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Bucket fan-out per refinement pass of the exact-quantile distributed
+    * selection, and the span size at which the search stops refining and
+    * collects the span's raw values. Both bound driver-side metadata: a
+    * pass collects ≤ tasks·[[SelBuckets]] histogram rows, the final step
+    * ≤ tasks·[[SelCollectAt]] values — constants, never corpus-sized.
+    */
+  private val SelBuckets = 4096
+  private val SelCollectAt = 8192
+
+  /** One order statistic being located by [[groupQuantilesExact]]: group
+    * key and global 0-based rank; the value span [lo, hi] (inclusive)
+    * known to contain it; `below` = exact count of group rows with value
+    * < lo; `inSpan` = exact count of rows in the span; `value` once found.
+    */
+  private final case class SelCand(key: String, rank: Long, lo: Double,
+      hi: Double, below: Long, inSpan: Long, value: Option[Double])
+
+  /** A refinement task: one (group, value-span) the next scan histograms.
+    * Tasks are disjoint within a group (overlapping candidate spans are
+    * merged), so a row belongs to at most one task and the task-id CASE
+    * expression is well-defined.
+    */
+  private[queries] final case class SelTask(key: String, lo: Double, hi: Double)
+
+  private def selTaskId(keyCol: String, valCol: String,
+      tasks: Seq[SelTask]): org.apache.spark.sql.Column =
+    tasks.zipWithIndex.foldLeft(lit(-1)) { case (e, (t, i)) =>
+      when(col(keyCol) === t.key &&
+        col(valCol) >= t.lo && col(valCol) <= t.hi, lit(i)).otherwise(e)
+    }
+
+  /** One refinement pass of [[groupQuantilesExact]] as a DataFrame —
+    * factored so PlanSpec can pin its shape: per (task, bucket), the row
+    * count and the EXACT min/max value in the bucket. One scan, a partial
+    * hash aggregate over ≤ tasks·buckets groups, NO window and NO sort —
+    * the plan shape that replaces the per-group single-partition sort.
+    * Bucketing is the clamped monotone `floor((v - lo)/w)`, so each
+    * bucket's rows form a contiguous value range and [min, max] of a
+    * bucket is a valid (and tighter) span for the next pass; the w == 0
+    * fallback (span narrower than one representable step per bucket)
+    * splits on `v < hi` instead, which still strictly separates values.
+    */
+  private[queries] def selHistogramFrame(df: DataFrame, keyCol: String,
+      valCol: String, tasks: Seq[SelTask], buckets: Int): DataFrame = {
+    val v = col(valCol)
+    val bucket = tasks.zipWithIndex.foldLeft(lit(-1L)) { case (e, (t, i)) =>
+      val w = (t.hi - t.lo) / buckets
+      val idx =
+        if (w > 0)
+          least(greatest(floor((v - lit(t.lo)) / lit(w)), lit(0L)),
+            lit(buckets - 1L))
+        else when(v < lit(t.hi), lit(0L)).otherwise(lit(1L))
+      when(col("__task") === i, idx).otherwise(e)
+    }
+    df.select(col(keyCol), v)
+      .withColumn("__task", selTaskId(keyCol, valCol, tasks))
+      .filter(col("__task") >= 0)
+      .withColumn("__bucket", bucket)
+      .groupBy("__task", "__bucket")
+      .agg(count(lit(1)).as("cnt"), min(v).as("mn"), max(v).as("mx"))
+  }
+
+  /** The terminal pass of [[groupQuantilesExact]]: the raw values of the
+    * remaining (small) spans, to be order-statistic-indexed driver-side.
+    * Also window- and sort-free; the collect is bounded by construction
+    * (every span holds ≤ [[SelCollectAt]] rows per merged candidate).
+    */
+  private[queries] def selCollectFrame(df: DataFrame, keyCol: String,
+      valCol: String, tasks: Seq[SelTask]): DataFrame =
+    df.select(col(keyCol), col(valCol))
+      .withColumn("__task", selTaskId(keyCol, valCol, tasks))
+      .filter(col("__task") >= 0)
+      .select(col("__task"), col(valCol).cast("double").as("__v"))
+
+  /** Merge the open candidates' spans into per-group DISJOINT tasks
+    * (chain-overlapping spans union into one interval) and return the
+    * tasks with their exact below-count plus candidate→task assignment
+    * keyed by (group, rank). The merged task's `below` is the min-lo
+    * member's `below` — both count rows strictly under the same bound.
+    */
+  private def selMergeTasks(open: Seq[SelCand])
+      : (IndexedSeq[(SelTask, Long)], Map[(String, Long), Int]) = {
+    val tasks = IndexedSeq.newBuilder[(SelTask, Long)]
+    val assign = Map.newBuilder[(String, Long), Int]
+    var n = 0
+    open.groupBy(_.key).toSeq.sortBy(_._1).foreach { case (_, cs) =>
+      val sorted = cs.sortBy(c => (c.lo, c.hi))
+      var members = List(sorted.head)
+      var (lo, hi, below) = (sorted.head.lo, sorted.head.hi, sorted.head.below)
+      def flush(): Unit = {
+        tasks += ((SelTask(members.head.key, lo, hi), below))
+        members.foreach(c => assign += ((c.key, c.rank) -> n))
+        n += 1; members = Nil
+      }
+      sorted.tail.foreach { c =>
+        if (c.lo <= hi) { hi = math.max(hi, c.hi); members ::= c }
+        else { flush(); members = List(c); lo = c.lo; hi = c.hi; below = c.below }
+      }
+      flush()
+    }
+    (tasks.result(), assign.result())
+  }
+
+  /** EXACT per-group order statistics by DISTRIBUTED SELECTION — the
+    * scale-shaped plan for exact quantiles. No per-group sort exists
+    * anywhere: each pass is a scan-shaped partial aggregate, and the rank
+    * search narrows geometrically.
+    *
+    *  - Pass 0: per-group `count/min/max` (one scan).
+    *  - Refine: histogram the candidate spans into [[SelBuckets]] buckets
+    *    ([[selHistogramFrame]] — count + exact min/max per bucket, one
+    *    scan for ALL groups and percentiles together), locate the bucket
+    *    holding each target rank from the cumulative counts, and shrink
+    *    that candidate's span to the bucket's [min, max]. A span whose
+    *    min == max IS the order statistic (any number of duplicates
+    *    collapses to one bucket but resolves immediately — heavy-duplicate
+    *    distributions terminate fast, not slowly).
+    *  - Finish: when a span holds ≤ [[SelCollectAt]] rows, one final scan
+    *    collects the remaining spans' values and indexes the exact rank
+    *    driver-side ([[selCollectFrame]]).
+    *
+    * Passes = 2 + ceil(log_[[SelBuckets]](maxGroupRows / [[SelCollectAt]]))
+    * full scans — 3 at sf0.1·x100, 4–5 at 100 TB — each one
+    * whole-stage-codegen'd scan + tiny exchange (≤ tasks·buckets partial
+    * rows), vs the old plan's ONE reducer per group sorting the whole
+    * group (the r11 scale study measured that at 84.6 s / x100,
+    * superlinear; this plan is scan-bound). Driver state is bounded:
+    * |groups| stats rows, ≤ 6·|groups| candidates, ≤ tasks·buckets
+    * histogram rows per pass. Returns, per group, the interpolated value
+    * per requested percentile (`quantile_cont` semantics: v = v_floor +
+    * frac·(v_ceil − v_floor) at pos = (n−1)·p). Null values are ignored
+    * (SQL aggregate semantics); null group keys are not supported (the
+    * fixture's group key is non-null).
+    */
+  private[queries] def groupQuantilesExact(df0: DataFrame, keyCol: String,
+      valCol: String, ps: Seq[Double], buckets: Int = SelBuckets,
+      collectAt: Int = SelCollectAt): Map[String, Seq[Double]] = {
+    val df = df0.select(col(keyCol).cast("string").as(keyCol),
+      col(valCol).cast("double").as(valCol))
+      .filter(col(valCol).isNotNull)
+    val stats = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), min(col(valCol)).as("mn"),
+        max(col(valCol)).as("mx"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    var cands: Seq[SelCand] = stats.toSeq.flatMap { case (key, (n, mn, mx)) =>
+      ps.flatMap { p =>
+        val pos = (n - 1) * p
+        Seq(math.floor(pos).toLong, math.ceil(pos).toLong)
+      }.distinct.map(r =>
+        SelCand(key, r, mn, mx, 0L, n, if (mn == mx) Some(mn) else None))
+    }
+    var pass = 0
+    while (cands.exists(c => c.value.isEmpty && c.inSpan > collectAt)) {
+      pass += 1
+      // every pass shrinks a span to one bucket of ≥2 distinct values or
+      // resolves it; the w == 0 split strictly separates values, so ~64
+      // passes would require more distinct doubles than exist in any span
+      require(pass <= 64, "distributed quantile selection failed to converge")
+      val open = cands.filter(c => c.value.isEmpty && c.inSpan > collectAt)
+      val (tasks, assign) = selMergeTasks(open)
+      val hist = selHistogramFrame(df, keyCol, valCol, tasks.map(_._1), buckets)
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1)) ->
+          (r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      val byTask = hist.groupBy(_._1._1).map { case (t, rows) =>
+        t -> rows.map { case ((_, b), v) => (b, v) }.sortBy(_._1).toSeq
+      }
+      cands = cands.map { c =>
+        if (c.value.nonEmpty || c.inSpan <= collectAt) c
+        else {
+          val t = assign((c.key, c.rank))
+          var acc = tasks(t)._2 // rows in the group below the task span
+          var found: Option[SelCand] = None
+          byTask(t).iterator.takeWhile(_ => found.isEmpty).foreach {
+            case (_, (cnt, mn, mx)) =>
+              if (acc + cnt > c.rank)
+                found = Some(c.copy(lo = mn, hi = mx, below = acc,
+                  inSpan = cnt, value = if (mn == mx) Some(mn) else None))
+              else acc += cnt
+          }
+          found.getOrElse(throw new IllegalStateException(
+            s"rank ${c.rank} of group ${c.key} missing from its histogram"))
+        }
+      }
+    }
+    val open = cands.filter(_.value.isEmpty)
+    if (open.nonEmpty) {
+      val (tasks, assign) = selMergeTasks(open)
+      val byTask = selCollectFrame(df, keyCol, valCol, tasks.map(_._1))
+        .collect()
+        .map(r => (r.getInt(0), r.getDouble(1)))
+        .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).sorted }
+      cands = cands.map { c =>
+        if (c.value.nonEmpty) c
+        else {
+          val t = assign((c.key, c.rank))
+          c.copy(value = Some(byTask(t)((c.rank - tasks(t)._2).toInt)))
+        }
+      }
+    }
+    val at = cands.map(c => (c.key, c.rank) -> c.value.get).toMap
+    stats.map { case (key, (n, _, _)) =>
+      key -> ps.map { p =>
+        val pos = (n - 1) * p
+        val lo = at((key, math.floor(pos).toLong))
+        val hi = at((key, math.ceil(pos).toLong))
+        lo + (pos - math.floor(pos)) * (hi - lo)
+      }
+    }
+  }
+
   /** Exact interpolated percentiles per group (the distribution-shape
-    * counterpart of z1's cardinalities), computed rank-based: row_number +
-    * count over a per-group sort, keep ONLY the two order statistics each
-    * percentile interpolates between, interpolate in a tiny final select.
-    * This beats the builtin `percentile` aggregate (a TypedImperativeAgg
-    * merging a per-partition value→count map — measured 4.5 s vs 1.x s at
-    * sf0.1) because the heavy path stays in Tungsten sort + codegen and the
-    * collected state is 6 rows per group, not every distinct value.
-    * At 100 TB swap in `approx_percentile` (mergeable sketch, bounded
-    * memory, no global per-group sort) — same query shape.
+    * counterpart of z1's cardinalities), via [[groupQuantilesExact]]'s
+    * distributed selection. The previous plan (row_number over a
+    * per-group sort) put each group in ONE sort partition — 20M rows per
+    * task at x100 and 84.6 s, superlinear, in the r11 scale study — while
+    * this one is 3 scan-shaped passes with no window and no sort (the
+    * x100 A/B is in SCALESTRESS_r12/SCALING.md). Same answers on the
+    * UNCHANGED oracle SQL: `quantile_cont` interpolation, rounded to 4.
     */
   def priceQuantiles(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ps = Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
-    val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-    val ranked = Tables(spark, dir).lineitem
-      .select(col("l_returnflag"), col("l_extendedprice"))
-      .withColumn("rn", row_number().over(w) - 1)
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("l_returnflag")))
-    // a row survives iff it is the floor- or ceil-rank of SOME percentile
-    val needed = ps.map { case (_, p) =>
-      val pos = (col("n") - 1) * p
-      (col("rn") === floor(pos)) || (col("rn") === ceil(pos))
-    }.reduce(_ || _)
-    val picked = ranked.filter(needed)
-    val aggs = ps.map { case (name, p) =>
-      val rowPos = (col("n") - 1) * p // row-level, inside aggregate args
-      val pos = (max(col("n")) - 1) * p // aggregate-level, for the fraction
-      val lo = max(when(col("rn") === floor(rowPos), col("l_extendedprice")))
-      val hi = max(when(col("rn") === ceil(rowPos), col("l_extendedprice")))
-      round(lo + (pos - floor(pos)) * (hi - lo), 4).as(name)
-    }
-    picked.groupBy("l_returnflag")
-      .agg(aggs.head, aggs.tail: _*)
+    val ps = Seq(0.5, 0.9, 0.99)
+    val q = groupQuantilesExact(
+      Tables(spark, dir).lineitem.select(col("l_returnflag"), col("l_extendedprice")),
+      "l_returnflag", "l_extendedprice", ps)
+    import spark.implicits._
+    q.toSeq.map { case (f, vs) => (f, vs(0), vs(1), vs(2)) }
+      .toDF("l_returnflag", "p50", "p90", "p99")
+      .select(col("l_returnflag"), round(col("p50"), 4).as("p50"),
+        round(col("p90"), 4).as("p90"), round(col("p99"), 4).as("p99"))
       .orderBy("l_returnflag")
   }
 

@@ -255,7 +255,10 @@ object DocumentStreams {
     * and can misclassify docs that changed while the stream was down.
     * Pass the sink's intended `checkpointLocation` and this helper
     * ENFORCES freshness (throws on a non-empty path) instead of merely
-    * documenting it; omit it only when the sink uses a Spark-generated
+    * documenting it; better, start the returned stream through
+    * [[startReseeded]], which re-validates AND binds the path into the
+    * sink so the validated path and the one actually used cannot
+    * diverge. Omit it only when the sink uses a Spark-generated
     * temp checkpoint, which is fresh by construction (the memory-sink
     * drains in tests). CdcReseedSpec pins both halves: post-reseed
     * verdicts equal a fresh batch diff against the compacted snapshot,
@@ -281,6 +284,27 @@ object DocumentStreams {
         watermarkDelay)
       case None => cdcVerdicts(newDocs, currentSnapshot)
     }
+  }
+
+  /** Start a reseeded stream with the freshness-validated checkpoint BOUND
+    * to the sink — the companion that closes [[reseedCdc]]'s validate/use
+    * gap: `reseedCdc`'s `checkpointLocation` parameter only CHECKS the
+    * path, so a caller could satisfy the guard with one path and still
+    * start the query on the old checkpoint (exactly the footgun the guard
+    * exists for). Here the path is re-validated immediately before
+    * `start()` (shrinking the check-then-use window to the call itself)
+    * and then set as the sink's `checkpointLocation` AFTER the caller's
+    * sink configuration, so the path that satisfied the guard IS the path
+    * the query runs on — the two cannot diverge.
+    */
+  def startReseeded[T](verdicts: Dataset[T], checkpointLocation: String)(
+      sink: org.apache.spark.sql.streaming.DataStreamWriter[T] =>
+        org.apache.spark.sql.streaming.DataStreamWriter[T])
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    requireFreshCheckpoint(verdicts.sparkSession, checkpointLocation)
+    sink(verdicts.writeStream)
+      .option("checkpointLocation", checkpointLocation)
+      .start()
   }
 
   /** Refuse a checkpoint path that already has content — the reseed

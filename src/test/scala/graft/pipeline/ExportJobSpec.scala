@@ -259,4 +259,85 @@ class ExportJobSpec extends SparkTestBase {
     ExportJob.upsertShards(spark, out, upserts)
     assert(shardMtimes(out) === t1, "idempotent redelivery rewrote a shard")
   }
+
+  test("zone shard count is persisted and a conflicting explicit request fails loudly") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val corpus = scratch("marker-corpus")
+    docs.write.mode("overwrite").parquet(s"$corpus/documents.parquet")
+    val out = scratch("marker-export")
+    ExportJob.writeTrainingShardsIncremental(spark, corpus, out)
+    assert(ExportJob.zoneShards(out) === Some(ExportJob.IncrementalShards))
+    // the r11 hazard: maintenance configured with a different count would
+    // silently remap doc->shard; now it throws and names the migration
+    val e = intercept[IllegalStateException] {
+      ExportJob.writeTrainingShardsIncremental(spark, corpus, out,
+        requestedShards = Some(7))
+    }
+    assert(e.getMessage.contains("reshard"))
+    // a non-conflicting implicit use keeps working (marker wins silently)
+    assert(ExportJob.resolveZoneShards(out, None) === ExportJob.IncrementalShards)
+    // requested counts are clamped to >= 1 (0 would pmod-by-zero)
+    val fresh = scratch("marker-clamp")
+    assert(ExportJob.resolveZoneShards(fresh, Some(0)) === 1)
+    assert(ExportJob.shardOf(12345L, 1) === 0L)
+  }
+
+  test("reshard migrates the zone: same rows, new count, honest manifest, working maintenance") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val corpus = scratch("reshard-corpus")
+    docs.write.mode("overwrite").parquet(s"$corpus/documents.parquet")
+    val out = scratch("reshard-export")
+    val first = ExportJob.writeTrainingShardsIncremental(spark, corpus, out).collect()
+    val before = first
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[String]("lang"), r.getAs[String]("source"))).sortBy(_._1)
+
+    // no-op: resharding to the CURRENT count touches nothing
+    val t0 = shardMtimes(out)
+    ExportJob.reshard(spark, out, ExportJob.IncrementalShards)
+    assert(shardMtimes(out) === t0, "same-count reshard rewrote the zone")
+
+    val newCount = 5
+    ExportJob.reshard(spark, out, newCount)
+    assert(ExportJob.zoneShards(out) === Some(newCount))
+    // round-trip: exactly the same rows, now under the new assignment
+    val back = spark.read.json(out)
+      .select(col("doc_id").cast("long"), col("text"), col("lang"),
+        col("source"), col("shard_id").cast("long")).collect()
+    assert(back.map(r => (r.getLong(0), r.getString(1), r.getString(2),
+      r.getString(3))).sortBy(_._1).toSeq === before.toSeq)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("shard_id=")).sorted
+    assert(dirs.forall(_.stripPrefix("shard_id=").toLong < newCount))
+    assert(back.forall(r =>
+      r.getLong(4) === ExportJob.shardOf(r.getLong(0), newCount)),
+      "a row's directory disagrees with the stable hash at the new count")
+    // no swap debris left behind
+    assert(!new java.io.File(out + ".__reshard__").exists())
+    assert(!new java.io.File(out + ".__reshard_old__").exists())
+
+    // manifest honesty: a re-export from the unchanged corpus sees zero
+    // changed shards under the NEW layout
+    Thread.sleep(1100)
+    val t1 = shardMtimes(out)
+    ExportJob.writeTrainingShardsIncremental(spark, corpus, out)
+    assert(shardMtimes(out) === t1, "post-reshard manifest was not honest")
+
+    // idempotence: rerunning the same migration is a no-op
+    ExportJob.reshard(spark, out, newCount)
+    assert(shardMtimes(out) === t1, "repeat reshard rewrote the zone")
+
+    // maintenance derives the new count from the marker: delete a doc and
+    // only its NEW shard rewrites
+    val victim = before.head._1
+    val vShard = ExportJob.shardOf(victim, newCount)
+    Thread.sleep(1100)
+    ExportJob.deleteFromShards(spark, out, Seq(victim))
+    val t2 = shardMtimes(out)
+    for ((d, m) <- t1)
+      if (d == s"shard_id=$vShard") assert(t2(d) > m, "victim shard not rewritten")
+      else assert(t2(d) === m, s"shard $d rewrote under the wrong modulus")
+    assert(!spark.read.json(out).filter(col("doc_id") === victim).collect()
+      .nonEmpty, "victim survived the post-reshard delete")
+  }
 }

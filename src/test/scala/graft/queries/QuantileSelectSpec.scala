@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SortExec
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** The z3 distributed-selection quantile plan (Sketches.groupQuantilesExact):
+  * exact answers with NO per-group sort anywhere — the scale-shaped
+  * replacement for the row_number-over-window plan the r11 scale study
+  * measured superlinear (one sort partition per group).
+  */
+class QuantileSelectSpec extends SparkTestBase {
+
+  private val Ps = Seq(0.5, 0.9, 0.99)
+
+  /** Reference implementation: driver-side sort + quantile_cont
+    * interpolation — O(n log n) on the test fixture, fine here.
+    */
+  private def expected(rows: Seq[(String, Double)],
+      ps: Seq[Double]): Map[String, Seq[Double]] =
+    rows.groupBy(_._1).map { case (k, vs) =>
+      val s = vs.map(_._2).sorted.toIndexedSeq
+      k -> ps.map { p =>
+        val pos = (s.length - 1) * p
+        val (lo, hi) = (s(math.floor(pos).toInt), s(math.ceil(pos).toInt))
+        lo + (pos - math.floor(pos)) * (hi - lo)
+      }
+    }
+
+  private def check(rows: Seq[(String, Double)], buckets: Int,
+      collectAt: Int, parts: Int = 4): Unit = {
+    import spark.implicits._
+    val df = rows.toDF("k", "v").repartition(parts)
+    val got = Sketches.groupQuantilesExact(df, "k", "v", Ps,
+      buckets = buckets, collectAt = collectAt)
+    val want = expected(rows, Ps)
+    assert(got.keySet === want.keySet)
+    for (k <- want.keySet; i <- Ps.indices)
+      assert(got(k)(i) === want(k)(i),
+        s"group $k p=${Ps(i)}: got ${got(k)(i)}, want ${want(k)(i)}")
+  }
+
+  /** Deterministic pseudo-random doubles (no RNG seeding ambiguity). */
+  private def synth(n: Int, salt: Int): Seq[Double] =
+    (0 until n).map(i => ((i * 2654435761L + salt) % 100000) / 7.0)
+
+  test("matches driver-side quantile_cont on mixed group sizes and duplicates") {
+    val rows =
+      synth(1777, 1).map("a" -> _) ++
+        // heavy duplicates: 60% of group b is one repeated value
+        (synth(400, 2) ++ Seq.fill(600)(42.42)).map("b" -> _) ++
+        Seq("c" -> 7.5) ++ // single-row group
+        Seq("d" -> 1.0, "d" -> 2.0) ++ // two-row group: pure interpolation
+        Seq.fill(50)("e" -> 3.25) // all-equal group: instant resolve
+    check(rows, buckets = 4096, collectAt = 8192) // one stats pass only
+    check(rows, buckets = 8, collectAt = 4) // forced multi-pass refinement
+    check(rows, buckets = 2, collectAt = 1) // degenerate fan-out still exact
+  }
+
+  test("result is independent of partitioning") {
+    val rows = synth(3000, 9).map(v => (if (v < 5000) "x" else "y") -> v)
+    Seq(1, 7, 32).foreach(p => check(rows, buckets = 16, collectAt = 8, parts = p))
+  }
+
+  test("spans narrower than one double step resolve via the w==0 split") {
+    val lo = 1.0
+    val hi = java.lang.Math.nextUp(lo)
+    // adjacent representable doubles: (hi-lo)/buckets underflows relative
+    // to lo, so the floor bucketing cannot separate them — the v < hi
+    // fallback must
+    val rows = (Seq.fill(700)(lo) ++ Seq.fill(300)(hi)).map("g" -> _)
+    check(rows, buckets = 4, collectAt = 1)
+    // subnormal magnitudes: (hi-lo)/buckets literally rounds to 0.0
+    val tiny = java.lang.Double.MIN_VALUE
+    assert((tiny - 0.0) / 4 === 0.0)
+    check((Seq.fill(10)(0.0) ++ Seq.fill(10)(tiny)).map("s" -> _),
+      buckets = 4, collectAt = 1)
+  }
+
+  test("null values are ignored like any SQL aggregate") {
+    import spark.implicits._
+    val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)))
+      .toDF("k", "v")
+    val got = Sketches.groupQuantilesExact(df, "k", "v", Seq(0.5))
+    assert(got === Map("a" -> Seq(2.0)))
+  }
+
+  /** The point of the rewrite: no WindowExec and no SortExec in any scan
+    * the selection runs, and the histogram aggregates partially (map-side
+    * combine) — the old plan's per-group single-partition sort is
+    * structurally impossible, not just avoided on this fixture.
+    */
+  test("plan: selection passes have no window, no sort, and aggregate partially") {
+    import spark.implicits._
+    val df = synth(500, 3).map("a" -> _).toDF("k", "v")
+    val tasks = Seq(Sketches.SelTask("a", 0.0, 20000.0))
+    def pin(frame: DataFrame, label: String): Unit = {
+      val plan = frame.queryExecution.executedPlan
+      assert(plan.collect { case w: WindowExec => w }.isEmpty,
+        s"$label: WindowExec found")
+      assert(plan.collect { case s: SortExec => s }.isEmpty,
+        s"$label: SortExec found")
+    }
+    val hist = Sketches.selHistogramFrame(df, "k", "v", tasks, buckets = 16)
+    pin(hist, "histogram")
+    assert(hist.queryExecution.executedPlan.toString
+      .contains("partial_count"), "histogram pass lost partial aggregation")
+    pin(Sketches.selCollectFrame(df, "k", "v", tasks), "collect")
+  }
+
+  test("z3 equals Spark's own percentile_cont on the fixture") {
+    val got = Sketches.priceQuantiles(spark, "/root/testdata/sf0.001").collect()
+    graft.core.Tables(spark, "/root/testdata/sf0.001").lineitem
+      .createOrReplaceTempView("qsel_li")
+    val want = spark.sql(
+      """SELECT l_returnflag,
+        |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p50,
+        |  round(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p90,
+        |  round(percentile_cont(0.99) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p99
+        |FROM qsel_li GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      .collect()
+    assert(got.map(_.toSeq).toSeq === want.map(_.toSeq).toSeq)
+  }
+}

@@ -132,4 +132,37 @@ class CdcReseedSpec extends SparkTestBase {
     drain(verdicts.toDF(), "cdc_rs_guard_fresh_t")
     assert(spark.table("cdc_rs_guard_fresh_t").count() >= 1)
   }
+
+  test("startReseeded binds the validated checkpoint to the query it starts") {
+    val docs = spark.read.parquet(s"$SfDir/documents.parquet")
+      .select("doc_id", "text")
+    val dir = scratch("cdc_reseed_bind")
+    ReplayFixtures.writeOne(at(docs.limit(3), T0), s"$dir/f0.parquet", T0)
+    val q = drain(
+      DocumentStreams.cdcVerdicts(stream(dir), docs.limit(1)).toDF(),
+      "cdc_rs_bind_t")
+    val verdicts = DocumentStreams.reseedCdc(q, stream(dir), docs.limit(1))
+    // the used-path refusal happens at START time, not just at reseed time
+    val used = scratch("cdc_reseed_bind_used")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(used, "offsets"))
+    intercept[IllegalArgumentException] {
+      DocumentStreams.startReseeded(verdicts, used)(
+        _.queryName("cdc_rs_bind_never").outputMode("append").format("memory")
+          .trigger(Trigger.AvailableNow()))
+    }
+    // a fresh path starts, and the query RUNS ON that path — the sink's
+    // checkpoint cannot diverge from the validated one (the binding is
+    // applied after the caller's sink config, so it wins)
+    val fresh = s"${scratch("cdc_reseed_bind_fresh")}/ckpt"
+    val q2 = DocumentStreams.startReseeded(verdicts, fresh)(
+      _.queryName("cdc_rs_bind_t2").outputMode("append").format("memory")
+        .trigger(Trigger.AvailableNow())
+        // a caller-supplied conflicting path must NOT survive
+        .option("checkpointLocation", used))
+    q2.awaitTermination()
+    assert(spark.table("cdc_rs_bind_t2").count() >= 1)
+    assert(new java.io.File(fresh, "offsets").isDirectory,
+      "query did not run on the validated checkpoint path")
+  }
 }
