@@ -324,9 +324,14 @@ object Sketches {
     */
   private val QuantileRankTol = 0.01
 
-  /** z3b: the 100 TB quantile path z3's scaladoc promises — mergeable
-    * `approx_percentile` sketches (bounded memory, partial-aggregable, no
-    * per-group global sort) instead of z3's rank-based exact interpolation.
+  /** z3b: the ONE-PASS quantile path — mergeable `approx_percentile`
+    * sketches (bounded memory, partial-aggregable, no per-group global
+    * sort). Since round 12 the exact z3 is itself scale-shaped
+    * ([[groupQuantilesExact]]) and usually faster, so this survives as
+    * the complement, not the escape hatch: one scan plus a recount where
+    * the selection pays 3+ scans (the cold-object-storage regime), and a
+    * mergeable partial that can live INSIDE a streaming aggregation,
+    * which a multi-pass selection cannot.
     * The two engines run DIFFERENT sketch algorithms (Greenwald–Khanna vs
     * t-digest), so — exactly like z1's HLL row — the oracle-comparable
     * output is the exact group count plus a computed GUARANTEE check: the
@@ -352,7 +357,7 @@ object Sketches {
     // a wide split makes the single-threaded final merge of fat GK
     // summaries the new bottleneck. A 100 TB table has thousands of
     // row-group splits, so the partial-agg tree gets its parallelism from
-    // the scan itself — exactly why the sketch is the documented swap.)
+    // the scan itself.)
     val cand: Map[String, Seq[Double]] =
       li.groupBy("l_returnflag").agg(
         expr(s"approx_percentile(l_extendedprice, array(${ps.mkString(", ")}), $acc)")
