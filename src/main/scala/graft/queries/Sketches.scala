@@ -90,45 +90,97 @@ object Sketches {
 
   /** A refinement task: one (group, value-span) the next scan histograms.
     * Tasks are disjoint within a group (overlapping candidate spans are
-    * merged), so a row belongs to at most one task and the task-id CASE
-    * expression is well-defined.
+    * merged), so a row routes to at most one task.
     */
   private[queries] final case class SelTask(key: String, lo: Double, hi: Double)
 
-  private def selTaskId(keyCol: String, valCol: String,
-      tasks: Seq[SelTask]): org.apache.spark.sql.Column =
+  /** Task count above which row→task routing switches from inlined CASE
+    * chains to a broadcast hash join. Both were measured at x100 (60M
+    * rows, 3 tasks): the CASE pass costs 2.4 s, the join pass 8.7 s —
+    * ~100 ns/row for the string hash probe and the wider joined rows —
+    * so few-task passes (the common case: one task per group, few
+    * groups) inline. But CASE depth grows linearly with |tasks| and
+    * falls out of codegen (then out of the JVM's method limits) at high
+    * group cardinality, where the join's cost is flat — so many-task
+    * passes join. 64 is far below any codegen cliff and far above any
+    * fixture; both arms share one bucket expression and are gated by the
+    * same spec.
+    */
+  private val SelInlineTasks = 64
+
+  /** Clamped monotone bucket index for a span: `floor((v - lo)/w)` when
+    * the width is positive; the `v < hi` two-way split when the span is
+    * narrower than one representable step per bucket (which still
+    * strictly separates values, so refinement always progresses).
+    */
+  private def selBucket(v: org.apache.spark.sql.Column,
+      lo: org.apache.spark.sql.Column, hi: org.apache.spark.sql.Column,
+      w: org.apache.spark.sql.Column, buckets: Int): org.apache.spark.sql.Column =
+    when(w > 0,
+      least(greatest(floor((v - lo) / w), lit(0L)), lit(buckets - 1L)))
+      .otherwise(when(v < hi, lit(0L)).otherwise(lit(1L)))
+
+  /** Row→task routing for the INLINE regime (≤ [[SelInlineTasks]]): the
+    * task id as one CASE chain over per-task literal predicates — the
+    * cheapest per-row form, everything folded into whole-stage codegen.
+    */
+  private def selInlineTaskId(keyCol: String, valCol: String,
+      tasks: Seq[SelTask]): org.apache.spark.sql.Column = {
+    val v = col(valCol)
     tasks.zipWithIndex.foldLeft(lit(-1)) { case (e, (t, i)) =>
-      when(col(keyCol) === t.key &&
-        col(valCol) >= t.lo && col(valCol) <= t.hi, lit(i)).otherwise(e)
+      when(col(keyCol) === t.key && v >= t.lo && v <= t.hi, lit(i)).otherwise(e)
     }
+  }
+
+  /** Row→task routing for the JOIN regime (> [[SelInlineTasks]]): a
+    * broadcast hash join against the tiny task table — constant
+    * expression depth at any group cardinality (the task table is ≤
+    * 6·|groups| rows, the driver-metadata class this file already
+    * broadcasts everywhere), at ~100 ns/row more than the inline form
+    * for the string hash probe and the wider joined rows (measured at
+    * x100: 2.4 s vs 8.7 s per pass), which is why few-task passes inline.
+    */
+  private def selJoinRouted(df: DataFrame, keyCol: String, valCol: String,
+      tasks: Seq[SelTask], buckets: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    val taskDf = tasks.zipWithIndex.map { case (t, i) =>
+      (i, t.key, t.lo, t.hi, (t.hi - t.lo) / buckets)
+    }.toDF("__task", "__key", "__lo", "__hi", "__w")
+    df.select(col(keyCol), col(valCol))
+      .join(broadcast(taskDf), col(keyCol) === col("__key") &&
+        col(valCol) >= col("__lo") && col(valCol) <= col("__hi"))
+  }
 
   /** One refinement pass of [[groupQuantilesExact]] as a DataFrame —
-    * factored so PlanSpec can pin its shape: per (task, bucket), the row
+    * factored so the spec can pin its shape: per (task, bucket), the row
     * count and the EXACT min/max value in the bucket. One scan, a partial
-    * hash aggregate over ≤ tasks·buckets groups, NO window and NO sort —
+    * hash aggregate over ≤ tasks·buckets groups — NO window and NO sort:
     * the plan shape that replaces the per-group single-partition sort.
-    * Bucketing is the clamped monotone `floor((v - lo)/w)`, so each
-    * bucket's rows form a contiguous value range and [min, max] of a
-    * bucket is a valid (and tighter) span for the next pass; the w == 0
-    * fallback (span narrower than one representable step per bucket)
-    * splits on `v < hi` instead, which still strictly separates values.
+    * Because [[selBucket]] is monotone in v, each bucket's rows form a
+    * contiguous value range, so a bucket's [min, max] is a valid (and
+    * tighter) span for the next pass.
     */
   private[queries] def selHistogramFrame(df: DataFrame, keyCol: String,
       valCol: String, tasks: Seq[SelTask], buckets: Int): DataFrame = {
     val v = col(valCol)
-    val bucket = tasks.zipWithIndex.foldLeft(lit(-1L)) { case (e, (t, i)) =>
-      val w = (t.hi - t.lo) / buckets
-      val idx =
-        if (w > 0)
-          least(greatest(floor((v - lit(t.lo)) / lit(w)), lit(0L)),
-            lit(buckets - 1L))
-        else when(v < lit(t.hi), lit(0L)).otherwise(lit(1L))
-      when(col("__task") === i, idx).otherwise(e)
-    }
-    df.select(col(keyCol), v)
-      .withColumn("__task", selTaskId(keyCol, valCol, tasks))
-      .filter(col("__task") >= 0)
-      .withColumn("__bucket", bucket)
+    val routed =
+      if (tasks.size <= SelInlineTasks) {
+        // bucket as a second CASE chain with per-task LITERAL lo/w —
+        // matching the task-id chain, nothing but the two chains per row
+        val bucket = tasks.zipWithIndex.foldLeft(lit(-1L)) { case (e, (t, i)) =>
+          val w = (t.hi - t.lo) / buckets
+          when(col("__task") === i,
+            selBucket(v, lit(t.lo), lit(t.hi), lit(w), buckets)).otherwise(e)
+        }
+        df.select(col(keyCol), v)
+          .withColumn("__task", selInlineTaskId(keyCol, valCol, tasks))
+          .filter(col("__task") >= 0)
+          .withColumn("__bucket", bucket)
+      } else
+        selJoinRouted(df, keyCol, valCol, tasks, buckets)
+          .withColumn("__bucket",
+            selBucket(v, col("__lo"), col("__hi"), col("__w"), buckets))
+    routed
       .groupBy("__task", "__bucket")
       .agg(count(lit(1)).as("cnt"), min(v).as("mn"), max(v).as("mx"))
   }
@@ -139,11 +191,15 @@ object Sketches {
     * (every span holds ≤ [[SelCollectAt]] rows per merged candidate).
     */
   private[queries] def selCollectFrame(df: DataFrame, keyCol: String,
-      valCol: String, tasks: Seq[SelTask]): DataFrame =
-    df.select(col(keyCol), col(valCol))
-      .withColumn("__task", selTaskId(keyCol, valCol, tasks))
-      .filter(col("__task") >= 0)
-      .select(col("__task"), col(valCol).cast("double").as("__v"))
+      valCol: String, tasks: Seq[SelTask]): DataFrame = {
+    val routed =
+      if (tasks.size <= SelInlineTasks)
+        df.select(col(keyCol), col(valCol))
+          .withColumn("__task", selInlineTaskId(keyCol, valCol, tasks))
+          .filter(col("__task") >= 0)
+      else selJoinRouted(df, keyCol, valCol, tasks, buckets = 2)
+    routed.select(col("__task"), col(valCol).cast("double").as("__v"))
+  }
 
   /** Merge the open candidates' spans into per-group DISJOINT tasks
     * (chain-overlapping spans union into one interval) and return the

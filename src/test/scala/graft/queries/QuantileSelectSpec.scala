@@ -1,8 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.SortExec
-import org.apache.spark.sql.execution.window.WindowExec
 import org.apache.spark.sql.functions._
 
 import graft.SparkTestBase
@@ -91,24 +89,49 @@ class QuantileSelectSpec extends SparkTestBase {
   /** The point of the rewrite: no WindowExec and no SortExec in any scan
     * the selection runs, and the histogram aggregates partially (map-side
     * combine) — the old plan's per-group single-partition sort is
-    * structurally impossible, not just avoided on this fixture.
+    * structurally impossible, not just avoided on this fixture. Task
+    * routing is regime-split (measured at x100: inlined CASE 2.4 s vs
+    * broadcast join 8.7 s per pass, but CASE depth dies at high group
+    * cardinality): few tasks inline, many tasks broadcast-join — both
+    * pinned here.
     */
   test("plan: selection passes have no window, no sort, and aggregate partially") {
     import spark.implicits._
     val df = synth(500, 3).map("a" -> _).toDF("k", "v")
-    val tasks = Seq(Sketches.SelTask("a", 0.0, 20000.0))
-    def pin(frame: DataFrame, label: String): Unit = {
-      val plan = frame.queryExecution.executedPlan
-      assert(plan.collect { case w: WindowExec => w }.isEmpty,
-        s"$label: WindowExec found")
-      assert(plan.collect { case s: SortExec => s }.isEmpty,
-        s"$label: SortExec found")
+    // string-matched like PlanSpec: AQE's wrapper hides the tree from a
+    // node collect, but the printed initial plan shows every operator
+    def pin(frame: DataFrame, label: String,
+        expectJoin: Boolean): String = {
+      val p = frame.queryExecution.executedPlan.toString
+      assert(!p.contains("Window ["), s"$label: window found\n$p")
+      assert(!p.contains("Sort ["), s"$label: sort found\n$p")
+      assert(p.contains("BroadcastHashJoin") === expectJoin,
+        s"$label: wrong task-routing regime (expectJoin=$expectJoin)\n$p")
+      p
     }
-    val hist = Sketches.selHistogramFrame(df, "k", "v", tasks, buckets = 16)
-    pin(hist, "histogram")
-    assert(hist.queryExecution.executedPlan.toString
+    // few tasks: inline CASE routing, no join anywhere in the pass
+    val few = Seq(Sketches.SelTask("a", 0.0, 20000.0))
+    val hist = Sketches.selHistogramFrame(df, "k", "v", few, buckets = 16)
+    assert(pin(hist, "histogram/inline", expectJoin = false)
       .contains("partial_count"), "histogram pass lost partial aggregation")
-    pin(Sketches.selCollectFrame(df, "k", "v", tasks), "collect")
+    pin(Sketches.selCollectFrame(df, "k", "v", few), "collect/inline",
+      expectJoin = false)
+    // many tasks: broadcast-join routing (constant expression depth)
+    val many = (0 until 100).map(i =>
+      Sketches.SelTask(s"g$i", 0.0, 20000.0))
+    pin(Sketches.selHistogramFrame(df, "k", "v", many, buckets = 16),
+      "histogram/join", expectJoin = true)
+    pin(Sketches.selCollectFrame(df, "k", "v", many), "collect/join",
+      expectJoin = true)
+  }
+
+  /** High group cardinality: 2,000 groups × ~30 rows resolve in the same
+    * bounded passes — the regime where a CASE-chain formulation would
+    * have blown past codegen's expression budget.
+    */
+  test("handles thousands of groups (task routing does not grow expression depth)") {
+    val rows = (0 until 60000).map(i => (s"g${i % 2000}", synth(1, i).head))
+    check(rows, buckets = 8, collectAt = 4, parts = 8)
   }
 
   test("z3 equals Spark's own percentile_cont on the fixture") {
