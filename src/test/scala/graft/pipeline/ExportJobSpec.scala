@@ -340,4 +340,45 @@ class ExportJobSpec extends SparkTestBase {
     assert(!spark.read.json(out).filter(col("doc_id") === victim).collect()
       .nonEmpty, "victim survived the post-reshard delete")
   }
+
+  test("reshard cleans crash debris: stale staging, finished-swap leftovers, mid-swap rollback") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val corpus = scratch("reshard-crash-corpus")
+    docs.write.mode("overwrite").parquet(s"$corpus/documents.parquet")
+    val out = scratch("reshard-crash-export")
+    ExportJob.writeTrainingShardsIncremental(spark, corpus, out)
+    val rows = spark.read.json(out).count()
+    val tmp = new java.io.File(out + ".__reshard__")
+    val old = new java.io.File(out + ".__reshard_old__")
+
+    // (a) stale staging from a crash mid-write: never the source of
+    // truth — dropped, and the migration completes normally
+    java.nio.file.Files.createDirectories(tmp.toPath)
+    java.nio.file.Files.write(tmp.toPath.resolve("junk"), Array[Byte](1))
+    ExportJob.reshard(spark, out, 5)
+    assert(!tmp.exists() && !old.exists())
+    assert(ExportJob.zoneShards(out) === Some(5))
+    assert(spark.read.json(out).count() === rows)
+
+    // (b) crash AFTER both renames but before dropping the old layout:
+    // live zone intact, orphaned old dir next to it — dropped on rerun
+    java.nio.file.Files.createDirectories(old.toPath)
+    java.nio.file.Files.write(old.toPath.resolve("stale"), Array[Byte](1))
+    ExportJob.reshard(spark, out, 5) // also the same-count no-op path
+    assert(!old.exists(), "finished-swap leftover not cleaned")
+    assert(spark.read.json(out).count() === rows)
+
+    // (c) crash BETWEEN the renames: old layout moved aside, no live dir
+    // — rolled back to the old layout, then the migration reruns cleanly
+    val parent = new java.io.File(out).getParentFile
+    java.nio.file.Files.move(new java.io.File(out).toPath, old.toPath)
+    assert(!new java.io.File(out).exists())
+    ExportJob.reshard(spark, out, 7)
+    assert(new java.io.File(out).isDirectory && !old.exists() && !tmp.exists())
+    assert(ExportJob.zoneShards(out) === Some(7))
+    assert(spark.read.json(out).count() === rows)
+    assert(parent.listFiles().map(_.getName)
+      .count(_.startsWith(new java.io.File(out).getName)) === 1,
+      "debris directories left next to the zone")
+  }
 }
