@@ -346,6 +346,10 @@ object ExportJob {
       if (new File(outDir).isDirectory) graft.core.FsUtil.deleteRecursively(old)
       else Files.move(Paths.get(old), Paths.get(outDir))
     }
+    // a migration needs a zone: refuse a path that holds neither data nor
+    // metadata rather than conjuring an empty marker-only directory
+    require(new File(outDir).isDirectory,
+      s"reshard target $outDir does not exist - nothing to migrate")
     val cur = zoneShards(outDir).getOrElse {
       val n = IncrementalShards; writeShardsMarker(outDir, n); n
     }

@@ -280,6 +280,10 @@ class ExportJobSpec extends SparkTestBase {
     val fresh = scratch("marker-clamp")
     assert(ExportJob.resolveZoneShards(fresh, Some(0)) === 1)
     assert(ExportJob.shardOf(12345L, 1) === 0L)
+    // a migration needs a zone: nonexistent path refused, not conjured
+    intercept[IllegalArgumentException] {
+      ExportJob.reshard(spark, s"$fresh/never-written", 8)
+    }
   }
 
   test("reshard migrates the zone: same rows, new count, honest manifest, working maintenance") {
