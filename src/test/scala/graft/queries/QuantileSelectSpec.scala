@@ -134,6 +134,32 @@ class QuantileSelectSpec extends SparkTestBase {
     check(rows, buckets = 8, collectAt = 4, parts = 8)
   }
 
+  /** Deterministic generator sweep (BboxOpsSpec's fixed-seed style):
+    * mixed sign, mixed magnitude (1e-3 to 1e12), heavy-duplicate atoms,
+    * uneven group sizes — the distributions the fixed fixtures above do
+    * not reach (they are all-positive and single-magnitude). Exact
+    * equality with the driver-side reference is required: the selection
+    * returns true order statistics, so no tolerance is owed.
+    */
+  test("property: matches the reference on adversarial distributions (fixed seed)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val valueGen = Gen.oneOf(
+      Gen.choose(-1e6, 1e6),
+      Gen.choose(-1.0e-3, 1.0e-3),
+      Gen.oneOf(-5.5, 0.0, 13.25), // duplicate atoms across groups
+      Gen.choose(-1e12, 1e12))
+    val rowGen = for {
+      g <- Gen.frequency(4 -> Gen.const(0), 2 -> Gen.choose(1, 3),
+        1 -> Gen.choose(4, 6)) // skewed group sizes
+      v <- valueGen
+    } yield (s"g$g", v)
+    val rows = Gen.listOfN(5000, rowGen)
+      .pureApply(Gen.Parameters.default, Seed(12L))
+    check(rows, buckets = 8, collectAt = 16) // forced multi-pass
+    check(rows, buckets = 512, collectAt = 64)
+  }
+
   test("z3 equals Spark's own percentile_cont on the fixture") {
     val got = Sketches.priceQuantiles(spark, "/root/testdata/sf0.001").collect()
     graft.core.Tables(spark, "/root/testdata/sf0.001").lineitem
