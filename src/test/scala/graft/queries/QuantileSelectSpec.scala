@@ -160,6 +160,22 @@ class QuantileSelectSpec extends SparkTestBase {
     check(rows, buckets = 512, collectAt = 64)
   }
 
+  /** The selection reads a 16-column lineitem but each pass must scan
+    * only the group key and the value — column pruning reaching the
+    * parquet scan is most of the I/O story for a multi-pass plan.
+    */
+  test("plan: selection scans prune to the two live columns") {
+    val li = graft.core.Tables(spark, "/root/testdata/sf0.001").lineitem
+    val p = Sketches.selHistogramFrame(li, "l_returnflag",
+      "l_extendedprice", Seq(Sketches.SelTask("A", 0.0, 1e9)), buckets = 16)
+      .queryExecution.executedPlan.toString
+    val read = p.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse(fail(s"no parquet scan in plan\n$p"))
+    assert(read.contains("l_returnflag") && read.contains("l_extendedprice"))
+    assert(!read.contains("l_orderkey") && !read.contains("l_comment"),
+      s"scan reads pruned columns: $read")
+  }
+
   test("z3 equals Spark's own percentile_cont on the fixture") {
     val got = Sketches.priceQuantiles(spark, "/root/testdata/sf0.001").collect()
     graft.core.Tables(spark, "/root/testdata/sf0.001").lineitem
