@@ -131,10 +131,13 @@ object ExportJob {
     * conflicting EXPLICIT request (API argument or the
     * SPARK_GRAFT_EXPORT_SHARDS override) throws, pointing at [[reshard]].
     * A marker-less zone (new, or written before markers existed) adopts
-    * the requested/default count and persists it immediately.
+    * the requested/default count and persists it — but a LEGACY zone that
+    * already holds data first verifies the adopted count against the
+    * zone itself ([[verifyAdoptedShards]]): otherwise the adoption would
+    * just persist the same silent-remap hazard the marker exists to kill.
     */
-  private[pipeline] def resolveZoneShards(outDir: String,
-      requested: Option[Int]): Int = {
+  private[pipeline] def resolveZoneShards(spark: SparkSession,
+      outDir: String, requested: Option[Int]): Int = {
     val explicit = requested.map(v => math.max(1, v)).orElse(ShardsEnvOverride)
     zoneShards(outDir) match {
       case Some(n) =>
@@ -147,9 +150,39 @@ object ExportJob {
         n
       case None =>
         val n = explicit.getOrElse(IncrementalShards)
+        verifyAdoptedShards(spark, outDir, n)
         writeShardsMarker(outDir, n)
         n
     }
+  }
+
+  /** Check an adopted (marker-less legacy zone) shard count against the
+    * zone's own layout before persisting it: every shard directory id
+    * must be below the count, and the highest-id directory's rows must
+    * all hash back to that directory under the adopted modulus — one
+    * shard read, not a zone scan (the highest directory is the most
+    * discriminating: a too-small adopted count fails the name check
+    * outright, a divisor-of-the-true-count adoption fails the row
+    * check). New zones (no shard directories) verify vacuously.
+    */
+  private def verifyAdoptedShards(spark: SparkSession, outDir: String,
+      n: Int): Unit = {
+    val ids = Option(new File(outDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("shard_id="))
+      .map(_.getName.stripPrefix("shard_id=").toLong)
+    if (ids.isEmpty) return
+    def fail(detail: String): Nothing = throw new IllegalStateException(
+      s"export zone $outDir predates shard markers and its layout is " +
+        s"inconsistent with the configured count $n ($detail): set " +
+        "SPARK_GRAFT_EXPORT_SHARDS to the count the zone was written " +
+        "with (maintenance will then persist it), or rebuild the zone")
+    if (ids.max >= n) fail(s"directory shard_id=${ids.max} exists")
+    VectorOps.register(spark)
+    val sample = readShards(spark, outDir, Seq(ids.max))
+    val bad = sample.filter(
+      pmod(hash60(concat(lit(IncrementalSalt), col("doc_id").cast("string"))),
+        lit(n.toLong)) =!= col("shard_id")).count()
+    if (bad > 0) fail(s"$bad rows of shard_id=${ids.max} hash elsewhere")
   }
 
   /** Salt of the stable shard key — shared by the incremental export and
@@ -198,7 +231,7 @@ object ExportJob {
   def writeTrainingShardsIncremental(spark: SparkSession, dir: String,
       outDir: String, requestedShards: Option[Int] = None): DataFrame = {
     VectorOps.register(spark) // graft_hash60
-    val nShards = resolveZoneShards(outDir, requestedShards)
+    val nShards = resolveZoneShards(spark, outDir, requestedShards)
     val docs = graft.core.Tables(spark, dir).documents
       .select("doc_id", "text", "lang", "source")
     val assigned = docs.withColumn("shard_id",
@@ -265,7 +298,7 @@ object ExportJob {
   def deleteFromShards(spark: SparkSession, outDir: String,
       docIds: Seq[Long]): Unit = {
     if (docIds.isEmpty) return
-    val nShards = resolveZoneShards(outDir, None)
+    val nShards = resolveZoneShards(spark, outDir, None)
     val affected = docIds.distinct.map(shardOf(_, nShards)).distinct.sorted
     val victims = docIds.toSet
     val kept = readShards(spark, outDir, affected)
@@ -297,7 +330,7 @@ object ExportJob {
   def upsertShards(spark: SparkSession, outDir: String,
       upserts: DataFrame): Unit = {
     VectorOps.register(spark)
-    val nShards = resolveZoneShards(outDir, None)
+    val nShards = resolveZoneShards(spark, outDir, None)
     val up = upserts
       .select(col("doc_id").cast("long").as("doc_id"), col("text"),
         col("lang"), col("source"))
@@ -351,7 +384,13 @@ object ExportJob {
     require(new File(outDir).isDirectory,
       s"reshard target $outDir does not exist - nothing to migrate")
     val cur = zoneShards(outDir).getOrElse {
-      val n = IncrementalShards; writeShardsMarker(outDir, n); n
+      // legacy-zone adoption verifies like resolveZoneShards: an adopted
+      // count that happens to equal newShards would otherwise no-op AND
+      // persist a wrong marker
+      val n = IncrementalShards
+      verifyAdoptedShards(spark, outDir, n)
+      writeShardsMarker(outDir, n)
+      n
     }
     if (cur == newShards) return
     VectorOps.register(spark)

@@ -275,15 +275,47 @@ class ExportJobSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("reshard"))
     // a non-conflicting implicit use keeps working (marker wins silently)
-    assert(ExportJob.resolveZoneShards(out, None) === ExportJob.IncrementalShards)
+    assert(ExportJob.resolveZoneShards(spark, out, None) === ExportJob.IncrementalShards)
     // requested counts are clamped to >= 1 (0 would pmod-by-zero)
     val fresh = scratch("marker-clamp")
-    assert(ExportJob.resolveZoneShards(fresh, Some(0)) === 1)
+    assert(ExportJob.resolveZoneShards(spark, fresh, Some(0)) === 1)
     assert(ExportJob.shardOf(12345L, 1) === 0L)
     // a migration needs a zone: nonexistent path refused, not conjured
     intercept[IllegalArgumentException] {
       ExportJob.reshard(spark, s"$fresh/never-written", 8)
     }
+  }
+
+  test("legacy zone (no marker) refuses to adopt a count its own data contradicts") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val corpus = scratch("legacy-corpus")
+    docs.write.mode("overwrite").parquet(s"$corpus/documents.parquet")
+    val out = scratch("legacy-export")
+    val first = ExportJob.writeTrainingShardsIncremental(spark, corpus, out,
+      requestedShards = Some(8)).collect()
+    // simulate a zone written before markers existed
+    assert(new File(out, "_graft_shards").delete())
+    assert(ExportJob.zoneShards(out) === None)
+    // maintenance under the (wrong) 16-shard default must throw BEFORE
+    // touching anything, not persist the remap
+    val t0 = shardMtimes(out)
+    val e = intercept[IllegalStateException] {
+      ExportJob.deleteFromShards(spark, out, Seq(first.head.getAs[Long]("doc_id")))
+    }
+    assert(e.getMessage.contains("inconsistent"))
+    assert(ExportJob.zoneShards(out) === None, "wrong adoption was persisted")
+    assert(shardMtimes(out) === t0, "failed adoption touched the zone")
+    // same for reshard's adoption path (an adopted-equals-target count
+    // would otherwise no-op and persist the wrong marker)
+    intercept[IllegalStateException] { ExportJob.reshard(spark, out, 16) }
+    assert(ExportJob.zoneShards(out) === None)
+    // the TRUE count verifies against the data, restores the marker, and
+    // the re-export rewrites nothing (fingerprints still match)
+    Thread.sleep(1100)
+    ExportJob.writeTrainingShardsIncremental(spark, corpus, out,
+      requestedShards = Some(8))
+    assert(ExportJob.zoneShards(out) === Some(8))
+    assert(shardMtimes(out) === t0, "verified re-adoption rewrote a shard")
   }
 
   test("reshard migrates the zone: same rows, new count, honest manifest, working maintenance") {
