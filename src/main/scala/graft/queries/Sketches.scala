@@ -80,6 +80,20 @@ object Sketches {
   private val SelBuckets = 4096
   private val SelCollectAt = 8192
 
+  /** Driver-side row budget per selection pass. A refinement pass
+    * collects ≤ |tasks|·buckets histogram rows and tasks can reach
+    * 6·|groups|, so at high group cardinality the full [[SelBuckets]]
+    * fan-out would make one pass's collect |groups|·24k rows. Instead the
+    * per-pass bucket count shrinks to keep |tasks|·buckets ≤ this budget
+    * (floor 2 — beyond budget/2 open tasks the floor wins and the pass
+    * degrades gracefully to 2·|tasks| rows, the same |groups|-shaped
+    * order as the unavoidable stats pass, never corpus-sized);
+    * convergence then just takes more, still scan-shaped, passes. The
+    * terminal collect (≤ |tasks|·collectAt values) is chunked under the
+    * same budget: extra scans, never extra driver memory.
+    */
+  private val SelDriverBudget = 1 << 20
+
   /** One order statistic being located by [[groupQuantilesExact]]: group
     * key and global 0-based rank; the value span [lo, hi] (inclusive)
     * known to contain it; `below` = exact count of group rows with value
@@ -109,16 +123,35 @@ object Sketches {
   private val SelInlineTasks = 64
 
   /** Clamped monotone bucket index for a span: `floor((v - lo)/w)` when
-    * the width is positive; the `v < hi` two-way split when the span is
-    * narrower than one representable step per bucket (which still
-    * strictly separates values, so refinement always progresses).
+    * the width is positive AND finite; otherwise a two-way split at the
+    * overflow-safe midpoint `lo/2 + hi/2`. The midpoint regime covers the
+    * two degenerate widths a legal double span can produce:
+    *
+    *  - `w = Infinity` (the span exceeds ~1.8e308, so `hi - lo`
+    *    overflows): one midpoint split lands both halves back in the
+    *    finite regime — the old `floor((v-lo)/w)` form put every row in
+    *    bucket 0 with an unshrunk span and burned the pass guard;
+    *  - `w = 0` (the span is narrower than one representable step per
+    *    bucket): the midpoint halves the span's DISTINCT VALUES per pass
+    *    (ulps are uniform at subnormal magnitudes) — the old `v < hi`
+    *    split shed only the top value per pass, tripping the guard on
+    *    spans with more distinct values than the guard allowed passes.
+    *
+    * When rounding pushes the midpoint out of (lo, hi] — adjacent
+    * subnormals — the split falls back to `hi`, which still strictly
+    * separates the (then at most two) remaining values. In both routing
+    * regimes the guard is free on the hot path: inline tasks pass w as a
+    * literal, so Catalyst constant-folds the dead branch away.
     */
   private def selBucket(v: org.apache.spark.sql.Column,
       lo: org.apache.spark.sql.Column, hi: org.apache.spark.sql.Column,
-      w: org.apache.spark.sql.Column, buckets: Int): org.apache.spark.sql.Column =
-    when(w > 0,
+      w: org.apache.spark.sql.Column, buckets: Int): org.apache.spark.sql.Column = {
+    val mid0 = lo / 2 + hi / 2
+    val mid = when(mid0 > lo && mid0 <= hi, mid0).otherwise(hi)
+    when(w > 0 && w < lit(Double.PositiveInfinity),
       least(greatest(floor((v - lo) / w), lit(0L)), lit(buckets - 1L)))
-      .otherwise(when(v < hi, lit(0L)).otherwise(lit(1L)))
+      .otherwise(when(v < mid, lit(0L)).otherwise(lit(1L)))
+  }
 
   /** Row→task routing for the INLINE regime (≤ [[SelInlineTasks]]): the
     * task id as one CASE chain over per-task literal predicates — the
@@ -254,8 +287,15 @@ object Sketches {
     * rows), vs the old plan's ONE reducer per group sorting the whole
     * group (the r11 scale study measured that at 84.6 s / x100,
     * superlinear; this plan is scan-bound). Driver state is bounded:
-    * |groups| stats rows, ≤ 6·|groups| candidates, ≤ tasks·buckets
-    * histogram rows per pass. Returns, per group, the interpolated value
+    * |groups| stats rows, ≤ 6·|groups| candidates, and ≤ ~`driverBudget`
+    * rows per pass — the per-pass bucket fan-out shrinks as the open-task
+    * count grows and the terminal collect chunks, so high group
+    * cardinality costs extra passes, not driver memory (see
+    * [[SelDriverBudget]]). Degenerate double spans are legal inputs: a
+    * span whose width overflows (±~1.8e308 in one group) or underflows
+    * below one representable step per bucket routes through
+    * [[selBucket]]'s midpoint split and still converges — progress is
+    * asserted every pass. Returns, per group, the interpolated value
     * per requested percentile (`quantile_cont` semantics: v = v_floor +
     * frac·(v_ceil − v_floor) at pos = (n−1)·p). Null values are ignored
     * (SQL aggregate semantics); null group keys are not supported (the
@@ -263,7 +303,8 @@ object Sketches {
     */
   private[queries] def groupQuantilesExact(df0: DataFrame, keyCol: String,
       valCol: String, ps: Seq[Double], buckets: Int = SelBuckets,
-      collectAt: Int = SelCollectAt): Map[String, Seq[Double]] = {
+      collectAt: Int = SelCollectAt,
+      driverBudget: Int = SelDriverBudget): Map[String, Seq[Double]] = {
     val df = df0.select(col(keyCol).cast("string").as(keyCol),
       col(valCol).cast("double").as(valCol))
       .filter(col(valCol).isNotNull)
@@ -283,13 +324,20 @@ object Sketches {
     var pass = 0
     while (cands.exists(c => c.value.isEmpty && c.inSpan > collectAt)) {
       pass += 1
-      // every pass shrinks a span to one bucket of ≥2 distinct values or
-      // resolves it; the w == 0 split strictly separates values, so ~64
-      // passes would require more distinct doubles than exist in any span
-      require(pass <= 64, "distributed quantile selection failed to converge")
+      // progress is STRUCTURAL, asserted per pass below (every split
+      // excludes at least one attained endpoint value, so each open span
+      // strictly shrinks); this cap is a pure backstop, sized to cover
+      // even the floor-width regime (two-way splits need ~2100 numeric
+      // halvings to cross the entire double range) with margin
+      require(pass <= 4096, "distributed quantile selection failed to converge")
       val open = cands.filter(c => c.value.isEmpty && c.inSpan > collectAt)
       val (tasks, assign) = selMergeTasks(open)
-      val hist = selHistogramFrame(df, keyCol, valCol, tasks.map(_._1), buckets)
+      // per-pass fan-out shrinks with the open-task count so one pass
+      // never collects more than ~driverBudget histogram rows
+      val eff = math.max(2, math.min(buckets,
+        driverBudget / math.max(1, tasks.size)))
+      val before = open.map(c => (c.key, c.rank) -> c).toMap
+      val hist = selHistogramFrame(df, keyCol, valCol, tasks.map(_._1), eff)
         .collect()
         .map(r => (r.getInt(0), r.getLong(1)) ->
           (r.getLong(2), r.getDouble(3), r.getDouble(4)))
@@ -313,13 +361,28 @@ object Sketches {
             s"rank ${c.rank} of group ${c.key} missing from its histogram"))
         }
       }
+      // the structural-progress guarantee the pass cap leans on: a stall
+      // (same span, same row count) fails THIS pass loudly instead of
+      // burning thousands of full scans first
+      for (c <- cands; o <- before.get((c.key, c.rank))
+           if c.value.isEmpty && c.inSpan > collectAt)
+        require(c.lo > o.lo || c.hi < o.hi || c.inSpan < o.inSpan,
+          s"quantile selection made no progress on group ${c.key} rank " +
+            s"${c.rank}: span [${c.lo}, ${c.hi}] holding ${c.inSpan} rows")
     }
     val open = cands.filter(_.value.isEmpty)
     if (open.nonEmpty) {
       val (tasks, assign) = selMergeTasks(open)
-      val byTask = selCollectFrame(df, keyCol, valCol, tasks.map(_._1))
-        .collect()
-        .map(r => (r.getInt(0), r.getDouble(1)))
+      // ≤ collectAt values per task; chunk the tasks so no single collect
+      // exceeds ~driverBudget values (extra scans, bounded driver memory)
+      val chunkSize = math.max(1, driverBudget / math.max(1, collectAt))
+      val byTask = tasks.map(_._1).zipWithIndex.grouped(chunkSize)
+        .flatMap { chunk =>
+          val base = chunk.head._2
+          selCollectFrame(df, keyCol, valCol, chunk.map(_._1))
+            .collect()
+            .map(r => (r.getInt(0) + base, r.getDouble(1)))
+        }.toSeq
         .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).sorted }
       cands = cands.map { c =>
         if (c.value.nonEmpty) c

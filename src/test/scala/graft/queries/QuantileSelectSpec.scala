@@ -78,6 +78,45 @@ class QuantileSelectSpec extends SparkTestBase {
       buckets = 4, collectAt = 1)
   }
 
+  test("spans whose width overflows to Infinity resolve via the midpoint split") {
+    // hi - lo = Infinity: floor((v-lo)/w) used to put EVERY row in bucket
+    // 0 with an unshrunk [mn,mx], burning the pass guard on legal finite
+    // input; one overflow-safe midpoint split (lo/2 + hi/2) re-enters the
+    // finite-width regime
+    val big = 1.6e308
+    val rows = (Seq.fill(40)(-big) ++ Seq.fill(40)(0.0) ++ Seq.fill(40)(big))
+      .map("g" -> _) ++
+      // mixed with an ordinary group: tasks of both regimes in one pass
+      synth(200, 5).map("h" -> _)
+    check(rows, buckets = 4, collectAt = 1)
+  }
+
+  test("w==0 spans with hundreds of distinct values converge (midpoint halves them)") {
+    // 1500 distinct subnormal-spaced values: (hi-lo)/4096 rounds to 0.0,
+    // and the old v < hi split shed ONE value per pass — tripping the old
+    // 64-pass guard; the midpoint split halves the span's values per pass
+    val tiny = java.lang.Double.MIN_VALUE
+    assert((tiny * 1499 - 0.0) / 4096 === 0.0, "fixture must be in the w==0 regime")
+    val rows = (0 until 1500).map(i => "s" -> tiny * i)
+    check(rows, buckets = 4096, collectAt = 1)
+  }
+
+  test("per-pass driver collect respects a budget at high group cardinality") {
+    // 300 groups × >collectAt rows keep ~600+ tasks open; a 256-row
+    // budget forces the bucket fan-out to its floor (2) and chunks the
+    // terminal collect — exactness must survive the degraded fan-out
+    val rows = (0 until 12000).map(i => (s"g${i % 300}", synth(1, i * 7 + 3).head))
+    import spark.implicits._
+    val df = rows.toDF("k", "v").repartition(4)
+    val got = Sketches.groupQuantilesExact(df, "k", "v", Ps,
+      buckets = 64, collectAt = 8, driverBudget = 256)
+    val want = expected(rows, Ps)
+    assert(got.keySet === want.keySet)
+    for (k <- want.keySet; i <- Ps.indices)
+      assert(got(k)(i) === want(k)(i),
+        s"group $k p=${Ps(i)}: got ${got(k)(i)}, want ${want(k)(i)}")
+  }
+
   test("null values are ignored like any SQL aggregate") {
     import spark.implicits._
     val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)))
