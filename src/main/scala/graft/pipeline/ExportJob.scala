@@ -126,15 +126,35 @@ object ExportJob {
       s"$n\n".getBytes(StandardCharsets.UTF_8))
   }
 
+  /** The zone's shard-directory ids, from one file listing — shared by
+    * the full-zone read, the adoption check, and the has-layout test.
+    */
+  private def zoneLayoutIds(outDir: String): Seq[Long] =
+    Option(new File(outDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("shard_id="))
+      .map(_.getName.stripPrefix("shard_id=").toLong).sorted.toSeq
+
+  /** Whether `outDir` materially IS a zone: it holds shard data or a
+    * manifest (a manifest-only zone — every shard emptied — still counts).
+    */
+  private def zoneHasLayout(outDir: String): Boolean =
+    zoneLayoutIds(outDir).nonEmpty ||
+      Files.exists(Paths.get(outDir, ManifestName))
+
   /** Resolve the shard count an operation on `outDir` must use, enforcing
     * the fixed-per-zone-lifetime contract: the zone's marker wins; a
     * conflicting EXPLICIT request (API argument or the
     * SPARK_GRAFT_EXPORT_SHARDS override) throws, pointing at [[reshard]].
-    * A marker-less zone (new, or written before markers existed) adopts
-    * the requested/default count and persists it — but a LEGACY zone that
-    * already holds data first verifies the adopted count against the
-    * zone itself ([[verifyAdoptedShards]]): otherwise the adoption would
-    * just persist the same silent-remap hazard the marker exists to kill.
+    * A marker-less zone that already holds data (written before markers
+    * existed) verifies the adopted count against the zone itself
+    * ([[verifyAdoptedShards]]) and then persists it — otherwise the
+    * adoption would just persist the same silent-remap hazard the marker
+    * exists to kill. A path with NO layout at all resolves the count but
+    * persists NOTHING: a pure-maintenance op against a nonexistent or
+    * mistyped path must stay a harmless no-op, not conjure a marker-only
+    * directory that pins a possibly-wrong count on a path that may later
+    * receive the real zone — writers persist the marker themselves when
+    * they first materialize the zone.
     */
   private[pipeline] def resolveZoneShards(spark: SparkSession,
       outDir: String, requested: Option[Int]): Int = {
@@ -150,26 +170,29 @@ object ExportJob {
         n
       case None =>
         val n = explicit.getOrElse(IncrementalShards)
-        verifyAdoptedShards(spark, outDir, n)
-        writeShardsMarker(outDir, n)
+        if (zoneHasLayout(outDir)) {
+          verifyAdoptedShards(spark, outDir, n)
+          writeShardsMarker(outDir, n)
+        }
         n
     }
   }
 
   /** Check an adopted (marker-less legacy zone) shard count against the
     * zone's own layout before persisting it: every shard directory id
-    * must be below the count, and the highest-id directory's rows must
-    * all hash back to that directory under the adopted modulus — one
-    * shard read, not a zone scan (the highest directory is the most
-    * discriminating: a too-small adopted count fails the name check
-    * outright, a divisor-of-the-true-count adoption fails the row
-    * check). New zones (no shard directories) verify vacuously.
+    * must be below the count, and every row of up to three PROBE
+    * directories — lowest, median, and highest id — must hash back to its
+    * own directory under the adopted modulus. A bounded read (≤ 3 shard
+    * directories), not a zone scan: a too-small adopted count fails the
+    * name check outright, a divisor-of-the-true-count adoption fails the
+    * row check, and spreading the probes across the id range keeps a
+    * sparse or unluckily-small single directory from blessing a wrong
+    * count by chance (every probe row is checked, none sampled). New
+    * zones (no shard directories) verify vacuously.
     */
   private def verifyAdoptedShards(spark: SparkSession, outDir: String,
       n: Int): Unit = {
-    val ids = Option(new File(outDir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("shard_id="))
-      .map(_.getName.stripPrefix("shard_id=").toLong)
+    val ids = zoneLayoutIds(outDir)
     if (ids.isEmpty) return
     def fail(detail: String): Nothing = throw new IllegalStateException(
       s"export zone $outDir predates shard markers and its layout is " +
@@ -178,11 +201,13 @@ object ExportJob {
         "with (maintenance will then persist it), or rebuild the zone")
     if (ids.max >= n) fail(s"directory shard_id=${ids.max} exists")
     VectorOps.register(spark)
-    val sample = readShards(spark, outDir, Seq(ids.max))
+    val probes = Seq(ids.head, ids(ids.size / 2), ids.last).distinct
+    val sample = readShards(spark, outDir, probes)
     val bad = sample.filter(
       pmod(hash60(concat(lit(IncrementalSalt), col("doc_id").cast("string"))),
         lit(n.toLong)) =!= col("shard_id")).count()
-    if (bad > 0) fail(s"$bad rows of shard_id=${ids.max} hash elsewhere")
+    if (bad > 0)
+      fail(s"$bad rows of probe shards ${probes.mkString(",")} hash elsewhere")
   }
 
   /** Salt of the stable shard key — shared by the incremental export and
@@ -262,6 +287,10 @@ object ExportJob {
         val d = new File(outDir, s"shard_id=$gone")
         if (d.isDirectory) { d.listFiles().foreach(_.delete()); d.delete() }
       }
+      // the export is the zone-creating writer: a brand-new zone gets its
+      // marker here, at the moment data materializes (resolveZoneShards
+      // deliberately does not conjure one for layoutless paths)
+      if (zoneShards(outDir).isEmpty) writeShardsMarker(outDir, nShards)
       writeManifest(outDir, fps)
     } finally assigned.unpersist()
     assigned
@@ -303,7 +332,7 @@ object ExportJob {
     val victims = docIds.toSet
     val kept = readShards(spark, outDir, affected)
       .filter(!col("doc_id").isin(victims.toSeq: _*))
-    rewriteAffectedShards(spark, outDir, affected, kept)
+    rewriteAffectedShards(spark, outDir, nShards, affected, kept)
   }
 
   /** Row-level UPSERT (MERGE INTO) over an incremental export zone: the
@@ -343,7 +372,7 @@ object ExportJob {
         .collect().map(_.getAs[Long]("shard_id")).sorted.toSeq
       val existing = readShards(spark, outDir, affected)
       val kept = existing.join(up.select("doc_id"), Seq("doc_id"), "left_anti")
-      rewriteAffectedShards(spark, outDir, affected,
+      rewriteAffectedShards(spark, outDir, nShards, affected,
         kept.unionByName(up.select(kept.columns.map(col): _*)))
     } finally up.unpersist()
   }
@@ -358,13 +387,18 @@ object ExportJob {
     * key — only the modulus changes), one write: the new layout is staged
     * to a sibling temp directory with its manifest and shard marker
     * rebuilt in the same pass, then swapped in (rename live away, rename
-    * staging in, drop the old) — a reader never observes a half-migrated
-    * zone, and a crash leaves either the old zone or the new one plus
-    * debris the next run cleans up. Re-running at the zone's current
-    * count is a no-op (nothing read, nothing written); re-running after a
-    * crash restarts from whichever layout survived. Unlike delete/upsert
-    * the cost is deliberately zone-sized — it IS the migration — but flat
-    * in the target shard count (same rows, one rebalance).
+    * staging in, drop the old). The guarantee is CRASH-consistency, not
+    * reader atomicity: a crash leaves either the old zone or the new one
+    * (plus debris the next run cleans up), and a reader never observes a
+    * half-migrated MIX — but between the two renames the zone path
+    * briefly does not exist, so a concurrent reader can fail on a missing
+    * path (and [[zoneShards]] returns None). Quiesce readers for the
+    * migration window, as for any table swap. Re-running at the zone's
+    * current count is a no-op (nothing read, nothing written); re-running
+    * after a crash restarts from whichever layout survived. Unlike
+    * delete/upsert the cost is deliberately zone-sized — it IS the
+    * migration — but flat in the target shard count (same rows, one
+    * rebalance).
     */
   def reshard(spark: SparkSession, outDir: String, newShards: Int): Unit = {
     require(newShards >= 1, s"newShards must be >= 1, got $newShards")
@@ -441,12 +475,8 @@ object ExportJob {
   /** Read EVERY shard directory of a zone — the reshard's one full read;
     * maintenance ops never use this (they read only affected shards).
     */
-  private def readZone(spark: SparkSession, outDir: String): DataFrame = {
-    val ids = Option(new File(outDir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("shard_id="))
-      .map(_.getName.stripPrefix("shard_id=").toLong).sorted.toSeq
-    readShards(spark, outDir, ids)
-  }
+  private def readZone(spark: SparkSession, outDir: String): DataFrame =
+    readShards(spark, outDir, zoneLayoutIds(outDir))
 
   /** Read ONLY the given shard directories of a zone (skipping ids whose
     * directory does not exist yet -- an upsert may target an empty shard);
@@ -474,14 +504,18 @@ object ExportJob {
   /** Shared tail of [[deleteFromShards]]/[[upsertShards]]: given the
     * post-operation content of the AFFECTED shards, fingerprint it (at
     * most [[IncrementalShards]] driver rows, not data), rewrite only the
-    * shards whose fingerprint actually changed, drop the ones that
-    * emptied, and update the manifest -- so an id absent from the zone
-    * (delete) or a byte-identical redelivery (upsert) leaves every file
-    * and mtime untouched. The honest cost is READ |affected shards|,
-    * REWRITE |shards that changed|.
+    * shards whose fingerprint actually changed, drop the ones whose
+    * directory existed and emptied, and update the manifest -- so an id
+    * absent from the zone (delete) or a byte-identical redelivery
+    * (upsert) leaves every file and mtime untouched. The honest cost is
+    * READ |affected shards|, REWRITE |shards that changed|. An op that
+    * touches nothing on a path with no prior manifest also WRITES
+    * nothing: a delete aimed at a nonexistent or mistyped zone stays a
+    * pure no-op instead of conjuring metadata there (an upsert that lands
+    * rows is zone CREATION, and persists the marker with its manifest).
     */
   private def rewriteAffectedShards(spark: SparkSession, outDir: String,
-      affected: Seq[Long], content: DataFrame): Unit = {
+      nShards: Int, affected: Seq[Long], content: DataFrame): Unit = {
     content.persist()
     try {
       val fps = fingerprints(content)
@@ -499,12 +533,20 @@ object ExportJob {
           .partitionBy("shard_id")
           .json(outDir)
       }
-      val emptied = affected.filterNot(fps.keySet)
+      // only directories that actually exist count as emptied — an
+      // affected id that never had a directory (nonexistent zone, or an
+      // upsert key hashing to a never-written shard) is not an event
+      val emptied = affected.filter(k => !fps.contains(k) &&
+        new File(outDir, s"shard_id=$k").isDirectory)
       for (gone <- emptied) {
         val d = new File(outDir, s"shard_id=$gone")
-        if (d.isDirectory) { d.listFiles().foreach(_.delete()); d.delete() }
+        d.listFiles().foreach(_.delete()); d.delete()
       }
-      writeManifest(outDir, prevAll -- emptied ++ fps)
+      if (changed.nonEmpty || emptied.nonEmpty ||
+          Files.exists(Paths.get(outDir, ManifestName))) {
+        if (zoneShards(outDir).isEmpty) writeShardsMarker(outDir, nShards)
+        writeManifest(outDir, prevAll -- emptied ++ fps)
+      }
     } finally content.unpersist()
   }
 

@@ -286,6 +286,34 @@ class ExportJobSpec extends SparkTestBase {
     }
   }
 
+  test("maintenance against a path that is not a zone is a pure no-op") {
+    import spark.implicits._
+    // the r12 hazard: delete/upsert on a nonexistent or mistyped path
+    // used to conjure a directory holding only a marker (and an empty
+    // manifest), pinning a possibly-wrong count on a path that may later
+    // receive the real zone
+    val ghost = s"${scratch("noop-parent")}/mistyped-zone"
+    ExportJob.deleteFromShards(spark, ghost, Seq(1L, 2L))
+    assert(!new File(ghost).exists(), "delete conjured the zone directory")
+    val empty = Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "text", "lang", "source")
+    ExportJob.upsertShards(spark, ghost, empty)
+    assert(!new File(ghost).exists(), "empty upsert conjured the zone directory")
+    // a NONEMPTY upsert is zone creation: data, manifest, and marker land
+    val one = Seq((5L, "hello", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    ExportJob.upsertShards(spark, ghost, one)
+    assert(ExportJob.zoneShards(ghost) === Some(ExportJob.IncrementalShards))
+    assert(spark.read.json(ghost).count() === 1)
+    // maintenance on the now-real zone works from the persisted marker
+    ExportJob.deleteFromShards(spark, ghost, Seq(5L))
+    assert(new File(ghost).listFiles()
+      .count(_.getName.startsWith("shard_id=")) === 0,
+      "deleted doc's shard directory survived")
+    assert(ExportJob.zoneShards(ghost) === Some(ExportJob.IncrementalShards),
+      "emptying the zone dropped its marker")
+  }
+
   test("legacy zone (no marker) refuses to adopt a count its own data contradicts") {
     val docs = spark.read.parquet(s"$Sf/documents.parquet")
     val corpus = scratch("legacy-corpus")
