@@ -507,6 +507,43 @@ object ScaleStress {
         return
       }
 
+    // High-cardinality quantile experiment (SPARK_GRAFT_Z3G=k1,k2,...):
+    // the round-13 driver-budget claim is that exact selection at MANY
+    // groups costs extra passes, never driver memory — the per-pass
+    // bucket fan-out shrinks to keep |tasks|·buckets under the ~1M-row
+    // budget (20k groups → up to 120k open tasks → 8 buckets/task), so
+    // the collect stays bounded while each pass is still one scan. The
+    // replica keys lineitem by hash(l_orderkey) mod 20k (uniform groups,
+    // ~3k rows each at x100) and runs the same 3-percentile selection the
+    // z3 fixture runs over 3 groups. The wall should track the SCAN count
+    // (more, narrower passes), not blow up in the group count.
+    sys.env.get("SPARK_GRAFT_Z3G").map(_.split(",").map(_.trim.toInt).toSeq)
+      .foreach { ks =>
+        ks.foreach { k =>
+          val dir = s"target/scale/zg_x$k"
+          val done = new java.io.File(s"$dir/_GENERATED")
+          if (!done.exists()) {
+            spark.read.parquet(s"$baseDir/lineitem.parquet")
+              .select(pmod(xxhash64(col("l_orderkey")), lit(20000L)).as("g"),
+                col("l_extendedprice"))
+              .crossJoin(broadcast(spark.range(0, k)))
+              .drop("id")
+              .repartition(spark.sparkContext.defaultParallelism)
+              .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+            java.nio.file.Files.write(done.toPath, Array.emptyByteArray)
+          }
+          val li = spark.read.parquet(s"$dir/lineitem.parquet")
+          spark.catalog.clearCache(); System.gc()
+          val t0 = System.nanoTime()
+          val q = graft.queries.Sketches.groupQuantilesExact(
+            li, "g", "l_extendedprice", Seq(0.5, 0.9, 0.99))
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(s"""{"scale":$k,"variant":"z3g","groups":${q.size},"sec":${f2(sec)}}""")
+        }
+        spark.stop()
+        return
+      }
+
     // Targeted-delete experiment (SPARK_GRAFT_X4=k1,k2,...): x4's scale
     // claim is that a fixed-size deletion request costs the AFFECTED
     // shards — read |affected|, rewrite |changed| — while the zone grows.

@@ -89,8 +89,12 @@ object Sketches {
     * degrades gracefully to 2·|tasks| rows, the same |groups|-shaped
     * order as the unavoidable stats pass, never corpus-sized);
     * convergence then just takes more, still scan-shaped, passes. The
-    * terminal collect (≤ |tasks|·collectAt values) is chunked under the
-    * same budget: extra scans, never extra driver memory.
+    * budget also gates the COLLECT-vs-REFINE decision: spans small
+    * enough to collect individually still refine while their unresolved
+    * TOTAL exceeds the budget (the many-small-groups regime, where
+    * collecting would move ~the whole corpus through the driver), so the
+    * terminal collect always lands ≤ ~budget values — chunked by the
+    * spans' known sizes as a backstop.
     */
   private val SelDriverBudget = 1 << 20
 
@@ -277,9 +281,14 @@ object Sketches {
     *    min == max IS the order statistic (any number of duplicates
     *    collapses to one bucket but resolves immediately — heavy-duplicate
     *    distributions terminate fast, not slowly).
-    *  - Finish: when a span holds ≤ [[SelCollectAt]] rows, one final scan
-    *    collects the remaining spans' values and indexes the exact rank
-    *    driver-side ([[selCollectFrame]]).
+    *  - Finish: when every remaining span holds ≤ [[SelCollectAt]] rows
+    *    AND their total fits the driver budget, one final scan collects
+    *    the remaining spans' values and indexes the exact rank
+    *    driver-side ([[selCollectFrame]]). While the total would NOT fit
+    *    (many small groups), refinement continues instead — every span
+    *    resolves distributively once its bucket collapses to one distinct
+    *    value, so that regime costs ~log(groupRows) shared scans and
+    *    never a corpus-sized driver transfer.
     *
     * Passes = 2 + ceil(log_[[SelBuckets]](maxGroupRows / [[SelCollectAt]]))
     * full scans — 3 at sf0.1·x100, 4–5 at 100 TB — each one
@@ -301,7 +310,7 @@ object Sketches {
     * (SQL aggregate semantics); null group keys are not supported (the
     * fixture's group key is non-null).
     */
-  private[queries] def groupQuantilesExact(df0: DataFrame, keyCol: String,
+  private[graft] def groupQuantilesExact(df0: DataFrame, keyCol: String,
       valCol: String, ps: Seq[Double], buckets: Int = SelBuckets,
       collectAt: Int = SelCollectAt,
       driverBudget: Int = SelDriverBudget): Map[String, Seq[Double]] = {
@@ -321,8 +330,20 @@ object Sketches {
       }.distinct.map(r =>
         SelCand(key, r, mn, mx, 0L, n, if (mn == mx) Some(mn) else None))
     }
+    // which open candidates the next pass must refine: any span too big
+    // to collect on its own, and — the MANY-SMALL-GROUPS regime — every
+    // open span when the unresolved TOTAL would blow the terminal-collect
+    // budget (collecting would move ~the whole corpus through the driver
+    // in budget-sized chunks; refining instead resolves every span
+    // distributively via mn==mx in ~log_eff(groupRows) shared scans)
+    def needingRefine(cs: Seq[SelCand]): Seq[SelCand] = {
+      val open = cs.filter(_.value.isEmpty)
+      val totalOver = open.map(_.inSpan).sum > driverBudget
+      open.filter(c => c.inSpan > collectAt || totalOver)
+    }
     var pass = 0
-    while (cands.exists(c => c.value.isEmpty && c.inSpan > collectAt)) {
+    var open = needingRefine(cands)
+    while (open.nonEmpty) {
       pass += 1
       // progress is STRUCTURAL, asserted per pass below (every split
       // excludes at least one attained endpoint value, so each open span
@@ -330,7 +351,6 @@ object Sketches {
       // even the floor-width regime (two-way splits need ~2100 numeric
       // halvings to cross the entire double range) with margin
       require(pass <= 4096, "distributed quantile selection failed to converge")
-      val open = cands.filter(c => c.value.isEmpty && c.inSpan > collectAt)
       val (tasks, assign) = selMergeTasks(open)
       // per-pass fan-out shrinks with the open-task count so one pass
       // never collects more than ~driverBudget histogram rows
@@ -345,7 +365,7 @@ object Sketches {
         t -> rows.map { case ((_, b), v) => (b, v) }.sortBy(_._1).toSeq
       }
       cands = cands.map { c =>
-        if (c.value.nonEmpty || c.inSpan <= collectAt) c
+        if (c.value.nonEmpty || !assign.contains((c.key, c.rank))) c
         else {
           val t = assign((c.key, c.rank))
           var acc = tasks(t)._2 // rows in the group below the task span
@@ -364,25 +384,34 @@ object Sketches {
       // the structural-progress guarantee the pass cap leans on: a stall
       // (same span, same row count) fails THIS pass loudly instead of
       // burning thousands of full scans first
-      for (c <- cands; o <- before.get((c.key, c.rank))
-           if c.value.isEmpty && c.inSpan > collectAt)
+      for (c <- cands; o <- before.get((c.key, c.rank)) if c.value.isEmpty)
         require(c.lo > o.lo || c.hi < o.hi || c.inSpan < o.inSpan,
           s"quantile selection made no progress on group ${c.key} rank " +
             s"${c.rank}: span [${c.lo}, ${c.hi}] holding ${c.inSpan} rows")
+      open = needingRefine(cands)
     }
-    val open = cands.filter(_.value.isEmpty)
-    if (open.nonEmpty) {
-      val (tasks, assign) = selMergeTasks(open)
-      // ≤ collectAt values per task; chunk the tasks so no single collect
-      // exceeds ~driverBudget values (extra scans, bounded driver memory)
-      val chunkSize = math.max(1, driverBudget / math.max(1, collectAt))
-      val byTask = tasks.map(_._1).zipWithIndex.grouped(chunkSize)
-        .flatMap { chunk =>
-          val base = chunk.head._2
-          selCollectFrame(df, keyCol, valCol, chunk.map(_._1))
-            .collect()
-            .map(r => (r.getInt(0) + base, r.getDouble(1)))
-        }.toSeq
+    val remaining = cands.filter(_.value.isEmpty)
+    if (remaining.nonEmpty) {
+      val (tasks, assign) = selMergeTasks(remaining)
+      // the refine loop exits with the unresolved TOTAL ≤ driverBudget,
+      // so this usually fits one collect; chunk by the tasks' known span
+      // sizes as a backstop (extra scans, never extra driver memory)
+      val taskRows = remaining.groupBy(c => assign((c.key, c.rank)))
+        .map { case (t, cs) => t -> cs.map(_.inSpan).max }
+      val chunks = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer.empty[(SelTask, Int)])
+      var acc = 0L
+      for ((t, i) <- tasks.map(_._1).zipWithIndex) {
+        if (acc + taskRows(i) > driverBudget && chunks.last.nonEmpty) {
+          chunks += scala.collection.mutable.ArrayBuffer.empty; acc = 0L
+        }
+        chunks.last += ((t, i)); acc += taskRows(i)
+      }
+      val byTask = chunks.iterator.filter(_.nonEmpty).flatMap { chunk =>
+        selCollectFrame(df, keyCol, valCol, chunk.map(_._1).toSeq)
+          .collect()
+          .map(r => (chunk(r.getInt(0))._2, r.getDouble(1)))
+      }.toSeq
         .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).sorted }
       cands = cands.map { c =>
         if (c.value.nonEmpty) c

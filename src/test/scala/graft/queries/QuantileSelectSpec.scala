@@ -117,6 +117,23 @@ class QuantileSelectSpec extends SparkTestBase {
         s"group $k p=${Ps(i)}: got ${got(k)(i)}, want ${want(k)(i)}")
   }
 
+  test("many small groups refine distributively instead of collecting the corpus") {
+    // every span is under collectAt from pass 0, but the unresolved TOTAL
+    // exceeds the budget: the old terminal collect would have moved all
+    // rows through the driver in chunks; now the loop keeps refining and
+    // each span resolves via its bucket collapsing to one distinct value
+    val rows = (0 until 10000).map(i => (s"g${i % 500}", synth(1, i * 13 + 1).head))
+    import spark.implicits._
+    val df = rows.toDF("k", "v").repartition(4)
+    val got = Sketches.groupQuantilesExact(df, "k", "v", Ps,
+      buckets = 64, collectAt = 8192, driverBudget = 2048)
+    val want = expected(rows, Ps)
+    assert(got.keySet === want.keySet)
+    for (k <- want.keySet; i <- Ps.indices)
+      assert(got(k)(i) === want(k)(i),
+        s"group $k p=${Ps(i)}: got ${got(k)(i)}, want ${want(k)(i)}")
+  }
+
   test("null values are ignored like any SQL aggregate") {
     import spark.implicits._
     val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)))
