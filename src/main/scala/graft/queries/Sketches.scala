@@ -268,9 +268,15 @@ object Sketches {
   }
 
   /** EXACT per-group order statistics by DISTRIBUTED SELECTION — the
-    * scale-shaped plan for exact quantiles. No per-group sort exists
-    * anywhere: each pass is a scan-shaped partial aggregate, and the rank
-    * search narrows geometrically.
+    * scale-shaped plan for exact quantiles, usable as a generic operator
+    * over any (group, double) frame. The result is a driver-side REPORT
+    * by contract (|groups|·|ps| values — group-quantile summaries are
+    * metadata-sized; the corpus itself never moves to the driver, see the
+    * budget notes below). No per-group sort exists anywhere: each pass is
+    * a scan-shaped partial aggregate, and the rank search narrows
+    * geometrically. Measured at 19,990 groups × 3 percentiles over 60M
+    * rows: 20.6 s (SCALESTRESS_r13 z3g), a configuration the per-group
+    * sort plan cannot run at all.
     *
     *  - Pass 0: per-group `count/min/max` (one scan).
     *  - Refine: histogram the candidate spans into [[SelBuckets]] buckets
@@ -310,7 +316,7 @@ object Sketches {
     * (SQL aggregate semantics); null group keys are not supported (the
     * fixture's group key is non-null).
     */
-  private[graft] def groupQuantilesExact(df0: DataFrame, keyCol: String,
+  def groupQuantilesExact(df0: DataFrame, keyCol: String,
       valCol: String, ps: Seq[Double], buckets: Int = SelBuckets,
       collectAt: Int = SelCollectAt,
       driverBudget: Int = SelDriverBudget): Map[String, Seq[Double]] = {
