@@ -141,17 +141,22 @@ object Sketches {
     *    split shed only the top value per pass, tripping the guard on
     *    spans with more distinct values than the guard allowed passes.
     *
-    * When rounding pushes the midpoint out of (lo, hi] — adjacent
-    * subnormals — the split falls back to `hi`, which still strictly
-    * separates the (then at most two) remaining values. In both routing
-    * regimes the guard is free on the hot path: inline tasks pass w as a
-    * literal, so Catalyst constant-folds the dead branch away.
+    * When rounding pushes the midpoint out of (lo, hi], the split falls
+    * back to −MaxValue for a −Infinity lower endpoint (isolating the
+    * −Inf rows in one pass; a +Inf upper endpoint already lands on the
+    * `mid0 <= hi` branch and splits off in one pass) and to `hi` for the
+    * remaining case (adjacent subnormals — at most two values left,
+    * still strictly separated). In both routing regimes the guard is
+    * free on the hot path: inline tasks pass w as a literal, so Catalyst
+    * constant-folds the dead branch away.
     */
   private def selBucket(v: org.apache.spark.sql.Column,
       lo: org.apache.spark.sql.Column, hi: org.apache.spark.sql.Column,
       w: org.apache.spark.sql.Column, buckets: Int): org.apache.spark.sql.Column = {
     val mid0 = lo / 2 + hi / 2
-    val mid = when(mid0 > lo && mid0 <= hi, mid0).otherwise(hi)
+    val mid = when(mid0 > lo && mid0 <= hi, mid0)
+      .otherwise(when(lo === lit(Double.NegativeInfinity),
+        lit(-Double.MaxValue)).otherwise(hi))
     when(w > 0 && w < lit(Double.PositiveInfinity),
       least(greatest(floor((v - lo) / w), lit(0L)), lit(buckets - 1L)))
       .otherwise(when(v < mid, lit(0L)).otherwise(lit(1L)))
@@ -310,7 +315,10 @@ object Sketches {
     * span whose width overflows (±~1.8e308 in one group) or underflows
     * below one representable step per bucket routes through
     * [[selBucket]]'s midpoint split and still converges — progress is
-    * asserted every pass. Returns, per group, the interpolated value
+    * asserted every pass. ±Infinity VALUES are legal and rank at the
+    * ends like SQL ORDER BY; NaN values are rejected up front with a
+    * contract error (engines disagree on NaN rank order).
+    * Returns, per group, the interpolated value
     * per requested percentile (`quantile_cont` semantics: v = v_floor +
     * frac·(v_ceil − v_floor) at pos = (n−1)·p). Null values are ignored
     * (SQL aggregate semantics); null group keys are not supported (the
@@ -329,6 +337,16 @@ object Sketches {
       .collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
       .toMap
+    // reject NaN up front with a clear contract error: engines disagree on
+    // NaN rank order, and driver-side NaN != NaN would otherwise surface
+    // as a baffling progress-stall failure deep in the refinement.
+    // ±Infinity VALUES are legal and rank at the ends, like SQL ORDER BY.
+    stats.find { case (_, (_, mn, mx)) => mn.isNaN || mx.isNaN }
+      .foreach { case (key, _) =>
+        throw new IllegalArgumentException(
+          s"group $key contains NaN values: NaN has no defined quantile " +
+            "rank (filter NaN upstream)")
+      }
     var cands: Seq[SelCand] = stats.toSeq.flatMap { case (key, (n, mn, mx)) =>
       ps.flatMap { p =>
         val pos = (n - 1) * p
@@ -433,7 +451,9 @@ object Sketches {
         val pos = (n - 1) * p
         val lo = at((key, math.floor(pos).toLong))
         val hi = at((key, math.ceil(pos).toLong))
-        lo + (pos - math.floor(pos)) * (hi - lo)
+        // equal endpoints short-circuit: lo + 0·(hi−lo) is NaN when both
+        // ranks land on the same infinity (Inf − Inf)
+        if (lo == hi) lo else lo + (pos - math.floor(pos)) * (hi - lo)
       }
     }
   }

@@ -24,7 +24,7 @@ class QuantileSelectSpec extends SparkTestBase {
       k -> ps.map { p =>
         val pos = (s.length - 1) * p
         val (lo, hi) = (s(math.floor(pos).toInt), s(math.ceil(pos).toInt))
-        lo + (pos - math.floor(pos)) * (hi - lo)
+        if (lo == hi) lo else lo + (pos - math.floor(pos)) * (hi - lo)
       }
     }
 
@@ -132,6 +132,24 @@ class QuantileSelectSpec extends SparkTestBase {
     for (k <- want.keySet; i <- Ps.indices)
       assert(got(k)(i) === want(k)(i),
         s"group $k p=${Ps(i)}: got ${got(k)(i)}, want ${want(k)(i)}")
+  }
+
+  test("±Infinity values are legal and rank at the ends; NaN fails the contract loudly") {
+    // ±Inf endpoints defeat both width regimes (hi-lo is Inf or NaN); the
+    // midpoint fallbacks isolate each infinity in one pass instead of
+    // shedding one finite value per pass. n=101 keeps every target rank
+    // integral so the reference needs no interpolation across ±Inf.
+    val inf = Double.PositiveInfinity
+    val rows = (Seq(-inf, -inf, inf, inf) ++ synth(97, 11)).map("g" -> _)
+    assert(rows.size === 101)
+    check(rows, buckets = 8, collectAt = 1)
+    // NaN: a clear up-front contract error, not a deep progress stall
+    import spark.implicits._
+    val bad = Seq(("a", 1.0), ("a", Double.NaN), ("a", 3.0)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      Sketches.groupQuantilesExact(bad, "k", "v", Seq(0.5))
+    }
+    assert(e.getMessage.contains("NaN"))
   }
 
   test("null values are ignored like any SQL aggregate") {
