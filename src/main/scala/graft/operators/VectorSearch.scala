@@ -18,6 +18,14 @@ import graft.functions.VectorOps
   * caller's own partitioner). Dot products run through the codegen'd
   * `graft_dot` expression; scores round to 4 decimals and rank with an
   * id tie-break, so ranking never hinges on sub-ulp float noise.
+  *
+  * ZERO-NORM vectors are excluded on both sides (cosine to a zero
+  * vector is undefined): without the filter a zero corpus vector scores
+  * 0/0 = NaN against every query, and Spark's descending sort puts NaN
+  * FIRST — the zero vector would silently outrank every real neighbor.
+  * A zero-norm query likewise returns no rows rather than NaN scores.
+  * (The quantized path already dropped them via its `amax > 0` scale
+  * guard; this pins the same contract on the float paths.)
   */
 object VectorSearch {
 
@@ -27,6 +35,7 @@ object VectorSearch {
     df.withColumnRenamed("id", idAs)
       .withColumnRenamed("v", vAs)
       .withColumn(nAs, sqrt(expr(s"graft_dot($vAs, $vAs)")))
+      .filter(col(nAs) > 0)
   }
 
   private def rank(scored: DataFrame, k: Int, extra: Seq[String]): DataFrame = {

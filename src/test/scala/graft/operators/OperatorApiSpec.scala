@@ -182,6 +182,27 @@ class OperatorApiSpec extends SparkTestBase {
     assert(got.toSeq === Seq((1L, 1L, 1.0), (2L, 2L, 0.7071), (3L, 3L, 0.0)))
   }
 
+  test("VectorSearch: zero-norm vectors are excluded, never NaN-ranked first") {
+    import spark.implicits._
+    // without the norm filter, the zero corpus vector scores 0/0 = NaN
+    // against every query, and desc ordering puts NaN FIRST — it would
+    // silently outrank every real neighbor
+    val corpus = Seq(
+      (0L, Array(1.0, 0.0)),
+      (1L, Array(0.0, 0.0)),  // zero vector: cosine undefined
+      (2L, Array(1.0, 1.0)),
+      (3L, Array(0.0, 1.0)))
+      .toDF("id", "v")
+    val got = VectorSearch.cosineTopK(corpus.filter(col("id") === 0L), corpus, 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq((1L, 2L, 0.7071), (2L, 3L, 0.0)),
+      "zero vector must not appear in the ranking")
+    // a zero-norm QUERY returns no rows rather than NaN scores
+    assert(VectorSearch.cosineTopK(corpus.filter(col("id") === 1L), corpus, 2)
+      .collect().isEmpty)
+  }
+
   test("VectorSearch.cosineTopKBucketed: candidates never cross buckets") {
     import spark.implicits._
     val corpus = Seq(
