@@ -35,7 +35,10 @@ object VectorSearch {
     df.withColumnRenamed("id", idAs)
       .withColumnRenamed("v", vAs)
       .withColumn(nAs, sqrt(expr(s"graft_dot($vAs, $vAs)")))
-      .filter(col(nAs) > 0)
+      // Spark orders NaN ABOVE every number, so `> 0` alone would admit a
+      // NaN-component vector (NaN norm) and its NaN scores would rank
+      // first — the exact hazard the zero-norm filter exists to kill
+      .filter(col(nAs) > 0 && !isnan(col(nAs)))
   }
 
   private def rank(scored: DataFrame, k: Int, extra: Seq[String]): DataFrame = {
@@ -84,7 +87,7 @@ object VectorSearch {
     VectorOps.register(queries.sparkSession)
     def quantize(df: DataFrame): DataFrame =
       df.withColumn("amax", expr("array_max(transform(v, x -> abs(x)))"))
-        .filter(col("amax") > 0)
+        .filter(col("amax") > 0 && !isnan(col("amax")))
         .withColumn("qv", expr(
           "transform(v, x -> CAST(CAST(round(x * 127.0 / amax, 0) AS BIGINT) AS DOUBLE))"))
         .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))

@@ -533,14 +533,17 @@ object ExportJob {
           .partitionBy("shard_id")
           .json(outDir)
       }
-      // only directories that actually exist count as emptied — an
-      // affected id that never had a directory (nonexistent zone, or an
-      // upsert key hashing to a never-written shard) is not an event
+      // emptied = affected shards with no surviving rows whose directory
+      // exists (to drop) OR that the manifest still lists (to prune — a
+      // crash between a prior run's directory drop and its manifest write
+      // leaves a phantom entry; this run self-heals it). An affected id
+      // that never had a directory or manifest row (nonexistent zone, or
+      // an upsert key hashing to a never-written shard) is not an event.
       val emptied = affected.filter(k => !fps.contains(k) &&
-        new File(outDir, s"shard_id=$k").isDirectory)
+        (prevAll.contains(k) || new File(outDir, s"shard_id=$k").isDirectory))
       for (gone <- emptied) {
         val d = new File(outDir, s"shard_id=$gone")
-        d.listFiles().foreach(_.delete()); d.delete()
+        if (d.isDirectory) { d.listFiles().foreach(_.delete()); d.delete() }
       }
       if (changed.nonEmpty || emptied.nonEmpty ||
           Files.exists(Paths.get(outDir, ManifestName))) {

@@ -362,7 +362,12 @@ object Sketches {
     // distributively via mn==mx in ~log_eff(groupRows) shared scans)
     def needingRefine(cs: Seq[SelCand]): Seq[SelCand] = {
       val open = cs.filter(_.value.isEmpty)
-      val totalOver = open.map(_.inSpan).sum > driverBudget
+      // the true row total of a terminal collect: per-group spans are
+      // identical-or-disjoint, so counting each distinct span once is
+      // exact — summing raw candidates would count a group's shared span
+      // up to 2·|ps| times and force needless extra full scans
+      val totalOver = open.groupBy(c => (c.key, c.lo, c.hi))
+        .values.map(_.head.inSpan).sum > driverBudget
       open.filter(c => c.inSpan > collectAt || totalOver)
     }
     var pass = 0
@@ -451,9 +456,12 @@ object Sketches {
         val pos = (n - 1) * p
         val lo = at((key, math.floor(pos).toLong))
         val hi = at((key, math.ceil(pos).toLong))
-        // equal endpoints short-circuit: lo + 0·(hi−lo) is NaN when both
-        // ranks land on the same infinity (Inf − Inf)
-        if (lo == hi) lo else lo + (pos - math.floor(pos)) * (hi - lo)
+        // infinities short-circuit the lerp: equal endpoints give
+        // Inf − Inf = NaN, and a −Inf floor gives −Inf + frac·Inf = NaN —
+        // the continuity limit of interpolating FROM −Inf is −Inf (a
+        // finite floor against a +Inf ceil already yields +Inf correctly)
+        if (lo == hi || lo.isNegInfinity) lo
+        else lo + (pos - math.floor(pos)) * (hi - lo)
       }
     }
   }

@@ -201,6 +201,17 @@ class OperatorApiSpec extends SparkTestBase {
     // a zero-norm QUERY returns no rows rather than NaN scores
     assert(VectorSearch.cosineTopK(corpus.filter(col("id") === 1L), corpus, 2)
       .collect().isEmpty)
+    // a NaN COMPONENT gives a NaN norm, and Spark orders NaN above every
+    // number — `norm > 0` alone admits it and its NaN cosine ranks first
+    val nanCorpus = Seq(
+      (0L, Array(1.0, 0.0)),
+      (1L, Array(Double.NaN, 1.0)),
+      (2L, Array(1.0, 1.0)))
+      .toDF("id", "v")
+    val nanGot = VectorSearch
+      .cosineTopK(nanCorpus.filter(col("id") === 0L), nanCorpus, 2)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(nanGot === Set(2L), "NaN-component vector must not rank")
   }
 
   test("VectorSearch.cosineTopKBucketed: candidates never cross buckets") {

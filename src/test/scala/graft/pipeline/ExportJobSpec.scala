@@ -314,6 +314,37 @@ class ExportJobSpec extends SparkTestBase {
       "emptying the zone dropped its marker")
   }
 
+  test("a later delete self-heals a phantom manifest entry left by a crash") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val corpus = scratch("phantom-corpus")
+    docs.write.mode("overwrite").parquet(s"$corpus/documents.parquet")
+    val out = scratch("phantom-export")
+    val first = ExportJob.writeTrainingShardsIncremental(spark, corpus, out).collect()
+    // simulate a crash between a delete's directory drop and its manifest
+    // write: the directory is gone but the manifest still lists the shard
+    val victim = first.head.getAs[Long]("shard_id")
+    val d = new File(out, s"shard_id=$victim")
+    d.listFiles().foreach(_.delete()); assert(d.delete())
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      new File(out, "_graft_manifest.tsv").toPath))
+    assert(manifest.linesIterator.exists(_.startsWith(s"$victim\t")),
+      "fixture must start with the phantom entry present")
+    // a delete whose victims hash to that shard finds no rows there but
+    // must still prune the phantom entry instead of keeping it forever
+    val ids = first.filter(_.getAs[Long]("shard_id") == victim)
+      .map(_.getAs[Long]("doc_id")).toSeq
+    ExportJob.deleteFromShards(spark, out, ids)
+    val after = new String(java.nio.file.Files.readAllBytes(
+      new File(out, "_graft_manifest.tsv").toPath))
+    assert(!after.linesIterator.exists(_.startsWith(s"$victim\t")),
+      "phantom manifest entry survived the delete")
+    // and the next incremental export reinstates the shard cleanly
+    Thread.sleep(1100)
+    ExportJob.writeTrainingShardsIncremental(spark, corpus, out)
+    assert(new File(out, s"shard_id=$victim").isDirectory)
+    assert(spark.read.json(out).count() === first.length.toLong)
+  }
+
   test("legacy zone (no marker) refuses to adopt a count its own data contradicts") {
     val docs = spark.read.parquet(s"$Sf/documents.parquet")
     val corpus = scratch("legacy-corpus")

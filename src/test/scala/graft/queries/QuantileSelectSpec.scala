@@ -24,7 +24,8 @@ class QuantileSelectSpec extends SparkTestBase {
       k -> ps.map { p =>
         val pos = (s.length - 1) * p
         val (lo, hi) = (s(math.floor(pos).toInt), s(math.ceil(pos).toInt))
-        if (lo == hi) lo else lo + (pos - math.floor(pos)) * (hi - lo)
+        if (lo == hi || lo.isNegInfinity) lo
+        else lo + (pos - math.floor(pos)) * (hi - lo)
       }
     }
 
@@ -143,6 +144,15 @@ class QuantileSelectSpec extends SparkTestBase {
     val rows = (Seq(-inf, -inf, inf, inf) ++ synth(97, 11)).map("g" -> _)
     assert(rows.size === 101)
     check(rows, buckets = 8, collectAt = 1)
+    // NON-integral ranks across an infinite endpoint: lerp FROM -Inf is
+    // -Inf (the continuity limit; the naive formula gives -Inf+Inf=NaN),
+    // and a finite floor against a +Inf ceil is +Inf (formula already)
+    val two = Seq("i" -> -inf, "i" -> 5.0, "j" -> 5.0, "j" -> inf)
+    check(two, buckets = 4, collectAt = 1) // p50: pos=0.5 on both groups
+    val got = Sketches.groupQuantilesExact(
+      { import spark.implicits._; two.toDF("k", "v") }, "k", "v", Seq(0.5))
+    assert(got("i") === Seq(Double.NegativeInfinity))
+    assert(got("j") === Seq(inf))
     // NaN: a clear up-front contract error, not a deep progress stall
     import spark.implicits._
     val bad = Seq(("a", 1.0), ("a", Double.NaN), ("a", 3.0)).toDF("k", "v")
