@@ -60,28 +60,25 @@ object ExportJob {
       .select("doc_id", "text", "lang", "source")
     val export = shards.join(docs, "doc_id")
       .select("shard_id", "doc_id", "text", "lang", "source")
-    export
-      // co-locate each shard; AQE may split a skewed shard across tasks
-      .hint("rebalance", col("shard_id"))
-      // shard_id first: the file writer requires its partition column sorted
-      // and would otherwise insert its own (unstable) sort, scrambling doc_id
-      .sortWithinPartitions("shard_id", "doc_id")
-      .write
-      .mode(SaveMode.Overwrite)
-      // pin truncate-and-replace even under a session-wide dynamic default
-      .option("partitionOverwriteMode", "static")
-      .option("maxRecordsPerFile", MaxRecordsPerFile)
-      .option("compression", "gzip")
-      .partitionBy("shard_id")
-      .json(outDir)
+    // static = truncate-and-replace, pinned even under a session-wide
+    // dynamic default (stale trailing shard dirs must not survive)
+    writeShardPartitions(export, outDir, "static")
     export
   }
 
   /** Explicit env override of the creation-time shard count, clamped to
-    * ≥ 1 (0 would make every pmod-by-shards assignment null/throw).
+    * ≥ 1 (0 would make every pmod-by-shards assignment null/throw). A
+    * malformed value fails with a message naming the variable — a bare
+    * toInt here would surface as ExceptionInInitializerError on the first
+    * unrelated ExportJob touch, far from the cause.
     */
   private val ShardsEnvOverride: Option[Int] =
-    sys.env.get("SPARK_GRAFT_EXPORT_SHARDS").map(v => math.max(1, v.toInt))
+    sys.env.get("SPARK_GRAFT_EXPORT_SHARDS").map { raw =>
+      val v = raw.trim
+      require(v.nonEmpty && v.forall(_.isDigit),
+        s"SPARK_GRAFT_EXPORT_SHARDS must be a positive integer, got '$raw'")
+      math.max(1, v.toInt)
+    }
 
   /** CREATION-TIME shard count in incremental mode; once a zone exists its
     * authoritative count is the persisted [[zoneShards]] marker, and this
@@ -120,10 +117,49 @@ object ExportJob {
     else Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toInt)
   }
 
-  private def writeShardsMarker(outDir: String, n: Int): Unit = {
+  /** Write a small metadata file atomically (temp + rename): a crash
+    * mid-write must never leave a truncated marker/manifest that bricks
+    * every later maintenance op with a parse error — the one crash window
+    * the staged-swap/self-heal design would otherwise not cover.
+    */
+  private def writeMetaFile(outDir: String, name: String, body: String): Unit = {
     Files.createDirectories(Paths.get(outDir))
-    Files.write(Paths.get(outDir, ShardsMarkerName),
-      s"$n\n".getBytes(StandardCharsets.UTF_8))
+    val tmp = Paths.get(outDir, s"$name.__tmp__")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(outDir, name),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def writeShardsMarker(outDir: String, n: Int): Unit =
+    writeMetaFile(outDir, ShardsMarkerName, s"$n\n")
+
+  /** The ONE shard-directory writer all four zone writers share: rebalance
+    * by shard (AQE may split a skewed shard across tasks, still one
+    * directory via partitionBy), partition column sorted first (the file
+    * writer would otherwise insert its own unstable sort, scrambling
+    * doc_id order), bounded file sizes, gzip JSONL. A single recipe is
+    * load-bearing, not style: the fingerprint diff skips byte-stable
+    * shards, so a writer that diverged (different sort, compression, or
+    * options) would produce fingerprint-equal but byte-different output
+    * and silently break the untouched-mtime contract.
+    */
+  private def writeShardPartitions(df: DataFrame, outDir: String,
+      overwriteMode: String): Unit =
+    df.hint("rebalance", col("shard_id"))
+      .sortWithinPartitions("shard_id", "doc_id")
+      .write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", overwriteMode)
+      .option("maxRecordsPerFile", MaxRecordsPerFile)
+      .option("compression", "gzip")
+      .partitionBy("shard_id")
+      .json(outDir)
+
+  /** Drop one shard directory; a no-op if it does not exist. */
+  private def dropShardDir(outDir: String, id: Long): Unit = {
+    val d = new File(outDir, s"shard_id=$id")
+    if (d.isDirectory) { d.listFiles().foreach(_.delete()); d.delete() }
   }
 
   /** The zone's shard-directory ids, from one file listing — shared by
@@ -268,25 +304,13 @@ object ExportJob {
       val fps = fingerprints(assigned)
       val prev = readManifest(outDir)
       val changed = fps.keys.filter(k => !prev.get(k).contains(fps(k))).toSeq.sorted
-      if (changed.nonEmpty) {
-        assigned.filter(col("shard_id").isin(changed: _*))
-          .hint("rebalance", col("shard_id"))
-          .sortWithinPartitions("shard_id", "doc_id")
-          .write
-          .mode(SaveMode.Overwrite)
-          // replace ONLY the partitions present in the written frame
-          .option("partitionOverwriteMode", "dynamic")
-          .option("maxRecordsPerFile", MaxRecordsPerFile)
-          .option("compression", "gzip")
-          .partitionBy("shard_id")
-          .json(outDir)
-      }
+      if (changed.nonEmpty)
+        // dynamic = replace ONLY the partitions present in the frame
+        writeShardPartitions(assigned.filter(col("shard_id").isin(changed: _*)),
+          outDir, "dynamic")
       // shards the previous export had that now hold zero rows: dynamic
       // overwrite never saw them — drop their directories
-      for (gone <- prev.keySet -- fps.keySet) {
-        val d = new File(outDir, s"shard_id=$gone")
-        if (d.isDirectory) { d.listFiles().foreach(_.delete()); d.delete() }
-      }
+      for (gone <- prev.keySet -- fps.keySet) dropShardDir(outDir, gone)
       // the export is the zone-creating writer: a brand-new zone gets its
       // marker here, at the moment data materializes (resolveZoneShards
       // deliberately does not conjure one for layoutless paths)
@@ -330,9 +354,9 @@ object ExportJob {
     val nShards = resolveZoneShards(spark, outDir, None)
     val affected = docIds.distinct.map(shardOf(_, nShards)).distinct.sorted
     val victims = docIds.toSet
-    val kept = readShards(spark, outDir, affected)
-      .filter(!col("doc_id").isin(victims.toSeq: _*))
-    rewriteAffectedShards(spark, outDir, nShards, affected, kept)
+    val preOp = readShards(spark, outDir, affected)
+    val kept = preOp.filter(!col("doc_id").isin(victims.toSeq: _*))
+    rewriteAffectedShards(spark, outDir, nShards, affected, preOp, kept)
   }
 
   /** Row-level UPSERT (MERGE INTO) over an incremental export zone: the
@@ -368,11 +392,18 @@ object ExportJob {
           lit(nShards.toLong)))
     up.persist()
     try {
+      // MERGE keys must be non-null: a null (or non-numeric, cast-to-null)
+      // doc_id yields a null shard_id, which the affected-id collect would
+      // coerce to 0, the fingerprint map would mis-key, and the changed-
+      // shard write filter would silently drop — reject the batch loudly
+      val nullKeys = up.filter(col("doc_id").isNull).count()
+      require(nullKeys == 0, s"upsert batch contains $nullKeys rows whose " +
+        "doc_id is null or not castable to long - MERGE keys must be non-null")
       val affected = up.select("shard_id").distinct()
         .collect().map(_.getAs[Long]("shard_id")).sorted.toSeq
       val existing = readShards(spark, outDir, affected)
       val kept = existing.join(up.select("doc_id"), Seq("doc_id"), "left_anti")
-      rewriteAffectedShards(spark, outDir, nShards, affected,
+      rewriteAffectedShards(spark, outDir, nShards, affected, existing,
         kept.unionByName(up.select(kept.columns.map(col): _*)))
     } finally up.unpersist()
   }
@@ -436,17 +467,7 @@ object ExportJob {
     content.persist()
     try {
       val fps = fingerprints(content)
-      if (fps.nonEmpty) {
-        content
-          .hint("rebalance", col("shard_id"))
-          .sortWithinPartitions("shard_id", "doc_id")
-          .write.mode(SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "static")
-          .option("maxRecordsPerFile", MaxRecordsPerFile)
-          .option("compression", "gzip")
-          .partitionBy("shard_id")
-          .json(tmp)
-      }
+      if (fps.nonEmpty) writeShardPartitions(content, tmp, "static")
       writeManifest(tmp, fps)
       writeShardsMarker(tmp, newShards)
       Files.move(Paths.get(outDir), Paths.get(old))
@@ -462,15 +483,24 @@ object ExportJob {
     * reshard — all four MUST fingerprint identically or the
     * changed-shard diff misfires.
     */
-  private def fingerprints(content: DataFrame): Map[Long, (Long, Long)] =
+  private def fingerprints(content: DataFrame): Map[Long, (Long, Long)] = {
+    // INJECTIVE row encoding: length-prefix each field (len:value, null ->
+    // N) -- a separator-joined concat_ws silently skips nulls and lets
+    // field content shift across boundaries, so (text=null, lang="x")
+    // collided with (text="x", lang=null) and a real change went
+    // undetected; the length prefix makes the encoding uniquely parseable
+    def enc(c: org.apache.spark.sql.Column) =
+      coalesce(concat(length(c), lit(":"), c), lit("N"))
     content
-      .withColumn("row_fp", hash60(concat_ws("\u0001",
-        col("doc_id").cast("string"), col("text"), col("lang"), col("source"))))
+      .withColumn("row_fp", hash60(concat(
+        enc(col("doc_id").cast("string")), enc(col("text")),
+        enc(col("lang")), enc(col("source")))))
       .groupBy("shard_id")
       .agg(expr("bit_xor(row_fp)").as("fp"), count(lit(1)).as("n"))
       .collect()
       .map(r => r.getAs[Long]("shard_id") ->
         (r.getAs[Long]("fp"), r.getAs[Long]("n"))).toMap
+  }
 
   /** Read EVERY shard directory of a zone — the reshard's one full read;
     * maintenance ops never use this (they read only affected shards).
@@ -515,24 +545,28 @@ object ExportJob {
     * rows is zone CREATION, and persists the marker with its manifest).
     */
   private def rewriteAffectedShards(spark: SparkSession, outDir: String,
-      nShards: Int, affected: Seq[Long], content: DataFrame): Unit = {
+      nShards: Int, affected: Seq[Long], preOp: DataFrame,
+      content: DataFrame): Unit = {
     content.persist()
     try {
       val fps = fingerprints(content)
       val prevAll = readManifest(outDir)
-      val changed = fps.keySet.filter(k => !prevAll.get(k).contains(fps(k)))
-      if (changed.nonEmpty) {
-        content.filter(col("shard_id").isin(changed.toSeq: _*))
-          .hint("rebalance", col("shard_id"))
-          .sortWithinPartitions("shard_id", "doc_id")
-          .write
-          .mode(SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-          .option("maxRecordsPerFile", MaxRecordsPerFile)
-          .option("compression", "gzip")
-          .partitionBy("shard_id")
-          .json(outDir)
-      }
+      // diff basis: the manifest where it knows the shard; for affected
+      // shards a pre-manifest (legacy) zone holds but the manifest does
+      // not list, fingerprint their PRE-op rows — with an empty basis
+      // every affected shard would read as changed and rewrite
+      // byte-identically, breaking the untouched-mtime contract (the
+      // first maintenance op on a legacy zone seeds manifest entries for
+      // its affected shards; the next full export completes the rest)
+      val missing = affected.filter(k => !prevAll.contains(k) &&
+        new File(outDir, s"shard_id=$k").isDirectory)
+      val basis = if (missing.isEmpty) prevAll
+        else prevAll ++ fingerprints(
+          preOp.filter(col("shard_id").isin(missing: _*)))
+      val changed = fps.keySet.filter(k => !basis.get(k).contains(fps(k)))
+      if (changed.nonEmpty)
+        writeShardPartitions(content.filter(col("shard_id").isin(changed.toSeq: _*)),
+          outDir, "dynamic")
       // emptied = affected shards with no surviving rows whose directory
       // exists (to drop) OR that the manifest still lists (to prune — a
       // crash between a prior run's directory drop and its manifest write
@@ -541,10 +575,7 @@ object ExportJob {
       // an upsert key hashing to a never-written shard) is not an event.
       val emptied = affected.filter(k => !fps.contains(k) &&
         (prevAll.contains(k) || new File(outDir, s"shard_id=$k").isDirectory))
-      for (gone <- emptied) {
-        val d = new File(outDir, s"shard_id=$gone")
-        if (d.isDirectory) { d.listFiles().foreach(_.delete()); d.delete() }
-      }
+      emptied.foreach(dropShardDir(outDir, _))
       if (changed.nonEmpty || emptied.nonEmpty ||
           Files.exists(Paths.get(outDir, ManifestName))) {
         if (zoneShards(outDir).isEmpty) writeShardsMarker(outDir, nShards)
@@ -569,11 +600,7 @@ object ExportJob {
   }
 
   private def writeManifest(outDir: String,
-      fps: Map[Long, (Long, Long)]): Unit = {
-    val body = fps.toSeq.sortBy(_._1)
-      .map { case (k, (fp, n)) => s"$k\t$fp\t$n" }.mkString("", "\n", "\n")
-    Files.createDirectories(Paths.get(outDir))
-    Files.write(Paths.get(outDir, ManifestName),
-      body.getBytes(StandardCharsets.UTF_8))
-  }
+      fps: Map[Long, (Long, Long)]): Unit =
+    writeMetaFile(outDir, ManifestName, fps.toSeq.sortBy(_._1)
+      .map { case (k, (fp, n)) => s"$k\t$fp\t$n" }.mkString("", "\n", "\n"))
 }

@@ -621,9 +621,13 @@ object Sketches {
     * export manifest — while pass 2 shuffles only candidate-token rows
     * (≤ k·partitions distinct keys), not the full Zipf vocabulary. At a
     * trillion-token corpus the naive groupBy ships every distinct token
-    * through the exchange; this ships ~10⁴. At extreme partition counts
-    * the candidate union itself tree-aggregates first (a `distinct()`
-    * before the collect) — the collect stays bounded by the true union.
+    * through the exchange; this ships ~10⁴. The candidate union
+    * aggregates DISTRIBUTED before the collect — one tiny exchange of
+    * ≤ (k+1)·partitions summary rows whose map side combines — so the
+    * driver receives ≤ |distinct candidates|+1 rows, bounded by the true
+    * union even at extreme partition counts (a naive `distinct()` would
+    * instead merge two partitions' equal (null, n) total rows and
+    * undercount; summing per token is the correct MG summary merge).
     */
   def heavyHitters(spark: SparkSession, dir: String): DataFrame =
     heavyHittersOf(Tables(spark, dir).documents, HhK)
@@ -650,16 +654,21 @@ object Sketches {
           case Some(c) => counts.update(t, c + 1)
           case None if counts.size < k => counts.update(t, 1L)
           case None => // decrement-all, drop zeros: the MG eviction step
-            counts.keys.toArray.foreach { k =>
-              val c = counts(k) - 1
-              if (c == 0) counts.remove(k) else counts.update(k, c)
+            counts.keys.toArray.foreach { tok =>
+              val c = counts(tok) - 1
+              if (c == 0) counts.remove(tok) else counts.update(tok, c)
             }
         }
       }
       Iterator.single((null: String, n)) ++ counts.keysIterator.map((_, 0L))
-    }.toDF("token", "n").collect() // ≤ (k+1)·partitions rows — metadata
+    }.toDF("token", "n")
+      // distributed union of the per-partition summaries: sum-by-token is
+      // the MG merge (null totals add, candidate dups collapse), so the
+      // collect is ≤ |distinct candidates|+1 rows at ANY partition count
+      .groupBy("token").agg(sum("n").as("n"))
+      .collect()
     val total = partial.filter(_.isNullAt(0)).map(_.getLong(1)).sum
-    val cands = partial.filter(!_.isNullAt(0)).map(_.getString(0)).distinct.toSeq
+    val cands = partial.filter(!_.isNullAt(0)).map(_.getString(0)).toSeq
     // pass 2: exact recount of candidates only
     toks.join(broadcast(cands.toDF("token")), "token")
       .groupBy("token").agg(count(lit(1)).as("cnt"))

@@ -314,6 +314,78 @@ class ExportJobSpec extends SparkTestBase {
       "emptying the zone dropped its marker")
   }
 
+  test("upsert rejects null MERGE keys loudly instead of losing the rows") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val corpus = scratch("nullkey-corpus")
+    docs.write.mode("overwrite").parquet(s"$corpus/documents.parquet")
+    val out = scratch("nullkey-export")
+    ExportJob.writeTrainingShardsIncremental(spark, corpus, out)
+    // a null doc_id used to vanish silently (null shard_id coerced to 0 in
+    // the affected list, dropped by the changed-shard write filter) while
+    // corrupting shard 0's manifest fingerprint
+    val bad = Seq((Some(1L), "t", "en", "web"), (None, "u", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val e = intercept[IllegalArgumentException] {
+      ExportJob.upsertShards(spark, out, bad)
+    }
+    assert(e.getMessage.contains("doc_id"))
+  }
+
+  test("fingerprints distinguish null-pattern swaps between adjacent fields") {
+    import spark.implicits._
+    // (text="x", lang=null) -> (text=null, lang="x") fingerprinted
+    // identically under separator-joined concat_ws (null fields silently
+    // skipped), so the incremental export skipped the changed shard and
+    // served the stale row forever; the length-prefixed encoding must see it
+    val corpusA = scratch("nullswap-a")
+    val corpusB = scratch("nullswap-b")
+    Seq((1L, "x", null: String, "web"), (2L, "keep", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$corpusA/documents.parquet")
+    Seq((1L, null: String, "x", "web"), (2L, "keep", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$corpusB/documents.parquet")
+    val out = scratch("nullswap-export")
+    ExportJob.writeTrainingShardsIncremental(spark, corpusA, out)
+    val before = spark.read.json(out).filter(col("doc_id") === 1L).collect()(0)
+    assert(before.getAs[String]("text") === "x")
+    Thread.sleep(1100)
+    ExportJob.writeTrainingShardsIncremental(spark, corpusB, out)
+    val after = spark.read.json(out).filter(col("doc_id") === 1L).collect()(0)
+    assert(after.getAs[String]("lang") === "x",
+      "null-pattern swap was not detected as a change")
+    assert(!after.schema.fieldNames.contains("text") ||
+      after.isNullAt(after.fieldIndex("text")))
+  }
+
+  test("maintenance on a manifest-less zone leaves unchanged shards' mtimes alone") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val corpus = scratch("nomanifest-corpus")
+    docs.write.mode("overwrite").parquet(s"$corpus/documents.parquet")
+    val out = scratch("nomanifest-export")
+    val first = ExportJob.writeTrainingShardsIncremental(spark, corpus, out).collect()
+    // zone predates manifests (marker kept: the shard count is not in
+    // question here, only the diff basis)
+    assert(new File(out, "_graft_manifest.tsv").delete())
+    val victimShard = first.head.getAs[Long]("shard_id")
+    val victims = first.filter(_.getAs[Long]("shard_id") == victimShard)
+      .take(1).map(_.getAs[Long]("doc_id")).toSeq
+    // an absent id targeting ANOTHER shard: with an empty diff basis that
+    // shard read as changed and rewrote byte-identically (mtime bump)
+    val absentId = Iterator.from(2000000).map(_.toLong)
+      .find(id => ExportJob.shardOf(id) != victimShard).get
+    val bystanderShard = ExportJob.shardOf(absentId)
+    Thread.sleep(1100)
+    val t0 = shardMtimes(out)
+    ExportJob.deleteFromShards(spark, out, victims :+ absentId)
+    val t1 = shardMtimes(out)
+    assert(t1(s"shard_id=$victimShard") > t0(s"shard_id=$victimShard"),
+      "the real victim's shard must rewrite")
+    assert(t1(s"shard_id=$bystanderShard") === t0(s"shard_id=$bystanderShard"),
+      "an unchanged shard rewrote under the empty manifest basis")
+  }
+
   test("a later delete self-heals a phantom manifest entry left by a crash") {
     val docs = spark.read.parquet(s"$Sf/documents.parquet")
     val corpus = scratch("phantom-corpus")
