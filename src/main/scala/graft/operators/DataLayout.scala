@@ -141,12 +141,23 @@ object DataLayout {
       outDir: String, targetBytes: Long,
       partitionCols: Seq[String] = Nil,
       maxRecordsPerFile: Long = 0L): CompactionReport = {
-    def parquetFiles(d: java.io.File): Seq[java.io.File] =
-      if (d.isDirectory) d.listFiles().toSeq.flatMap(parquetFiles)
-      else if (d.getName.endsWith(".parquet")) Seq(d)
-      else Nil
-    val before = parquetFiles(new java.io.File(zoneDir))
-    val bytes = before.map(_.length).sum
+    // list through the Hadoop FileSystem (like rowGroupStats), not
+    // java.io.File: a scheme-qualified or non-local zoneDir (file:, hdfs:,
+    // s3a:) is readable by spark.read but invisible to File, which would
+    // silently size the rewrite from bytes=0 -> one giant output partition
+    def parquetFiles(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val it = fs.listFiles(p, true)
+      val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) out += f
+      }
+      out.result()
+    }
+    val before = parquetFiles(new org.apache.hadoop.fs.Path(zoneDir))
+    require(before.nonEmpty, s"compact target $zoneDir holds no parquet files")
+    val bytes = before.map(_.getLen).sum
     val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val df = spark.read.parquet(zoneDir)
     val staged =
@@ -158,6 +169,6 @@ object DataLayout {
     (if (partitionCols.isEmpty) w2 else w2.partitionBy(partitionCols: _*))
       .parquet(outDir)
     CompactionReport(before.size, bytes,
-      parquetFiles(new java.io.File(outDir)).size)
+      parquetFiles(new org.apache.hadoop.fs.Path(outDir)).size)
   }
 }

@@ -65,7 +65,13 @@ object TemporalJoins {
     val pSide = probe.select(
       (keys.map(probe(_)) :+ probe(tsCol).as("__ts")
         :+ probeStruct.as("__p") :+ lit(null).cast(payloadType).as("__b")): _*)
-    val bSide = build.select(
+    // null-ts build rows can never qualify, and under NULLS-FIRST ordering
+    // they would land in EVERY probe row's preceding frame and win the
+    // `last` — dropping them here keeps this form on the shared contract
+    // with asOfExec and the ASOF oracle ("null ts rows never match"); a
+    // null-ts PROBE row then sorts before all build rows, sees an empty
+    // frame, and comes out unmatched, which is also the contract
+    val bSide = build.filter(build(tsCol).isNotNull).select(
       (keys.map(build(_)) :+ build(tsCol).as("__ts")
         :+ lit(null).cast(probeType).as("__p") :+ payload.as("__b")): _*)
 
@@ -209,7 +215,10 @@ object TemporalJoins {
         left.select((keys :+ leftId :+ leftTs).distinct.map(col): _*),
         right.select((keys :+ rightTs).distinct.map(col): _*),
         leftTs, rightTs, window, keys)
-      .select(leftId).distinct()
-    left.join(matched, Seq(leftId), "left_anti")
+      .select(col(leftId).as("__matched_id")).distinct()
+    // null-SAFE anti equality: with a plain equi-anti a null leftId never
+    // equals its own entry in the matched set, so a null-id left row that
+    // DID match a right row would be wrongly retained as "unmatched"
+    left.join(matched, col(leftId) <=> col("__matched_id"), "left_anti")
   }
 }

@@ -62,7 +62,13 @@ object TextDedup {
     // shingles via explode(sequence) + substring: identical values to
     // charShingles but fully codegen'd — no interpreted transform building
     // a ~|text|-element string array per row before the explode
-    val h = Tables.spread(docs.select("doc_id", "text"))
+    // null text emits NO bands, matching the in-row expression path
+    // (nullSafeEval -> null array -> posexplode drops the row): without
+    // the filter, every null-text doc's all-null signature concat_ws'd to
+    // "" and they all shared the same 4 buckets — mutual near-dups in the
+    // batch path only, silently diverging from the streaming twin
+    val h = Tables.spread(docs.select("doc_id", "text")
+        .filter(col("text").isNotNull))
       .select(col("doc_id"), col("text"),
         explode(expr(s"sequence(1, greatest(length(text) - ${ShingleK - 1}, 1))")).as("i"))
       .select(col("doc_id"),
@@ -259,12 +265,17 @@ object TextDedup {
     */
   def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val bands = minhashBandsAgg(docs)
+    // candidate pairs MATERIALIZED once (localCheckpoint — the d13 lesson
+    // applied to this sibling): cand feeds candDocs, withG1, and pairs,
+    // and itself contains the bands self-join, so without it the full
+    // scan→shingle→16-perm signature pipeline re-executes per plan branch
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
+      .localCheckpoint()
     // verify: shingle-set ARRAYS are materialized ONLY for candidate docs
     // (broadcast semi-join before the expensive array projection), then the
     // broadcast candidates intersect them in place — the corpus is never

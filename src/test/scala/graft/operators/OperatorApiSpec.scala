@@ -182,6 +182,24 @@ class OperatorApiSpec extends SparkTestBase {
     assert(got.toSeq === Seq((1L, 1L, 1.0), (2L, 2L, 0.7071), (3L, 3L, 0.0)))
   }
 
+  test("TextDedup: null-text docs emit zero bands on BOTH band paths") {
+    import spark.implicits._
+    // the batch aggregate used to turn a null-text doc's all-null signature
+    // into concat_ws("") bands, making every null-text doc a mutual
+    // near-dup — while the in-row expression path emitted nothing, so the
+    // batch and streaming twins silently disagreed on the same corpus
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, null: String), (3L, null: String)).toDF("doc_id", "text")
+    assert(TextDedup.minhashBandsAgg(docs)
+      .filter(col("doc_id") =!= 1L).count() === 0L,
+      "batch band path emitted bands for null text")
+    assert(TextDedup.minhashBandsInRow(docs)
+      .filter(col("doc_id") =!= 1L).count() === 0L)
+    assert(TextDedup.minhashBandsAgg(docs)
+      .filter(col("doc_id") === 1L).count() === 4L,
+      "real docs must still band on the batch path")
+  }
+
   test("VectorSearch: zero-norm vectors are excluded, never NaN-ranked first") {
     import spark.implicits._
     // without the norm filter, the zero corpus vector scores 0/0 = NaN

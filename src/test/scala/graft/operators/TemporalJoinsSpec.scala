@@ -70,6 +70,39 @@ class TemporalJoinsSpec extends SparkTestBase {
     assert(incl.length === 2 && incl.forall(_.getAs[Long]("asof_bid") == 9L))
   }
 
+  test("asOf never matches null-ts rows, on either side (shared contract with asOfExec)") {
+    import spark.implicits._
+    // null build ts sorts NULLS FIRST into every probe frame and would win
+    // `last`; null probe ts must come out unmatched, not crash or match
+    val probe = Seq((1L, Some(100L), 1L), (1L, None, 2L))
+      .toDF("k", "ts", "pid")
+    val build = Seq((1L, None, 77L), (1L, Some(50L), 88L))
+      .toDF("k", "ts", "bid")
+    val got = TemporalJoins.asOf(probe, build, Seq("k"), "ts", Seq("bid"),
+      keepUnmatched = true).collect()
+      .map(r => r.getAs[Long]("pid") -> Option(r.getAs[Any]("asof_bid"))).toMap
+    assert(got(1L) === Some(88L), "probe must match the real (non-null-ts) build row")
+    assert(got(2L) === None, "a null-ts probe row must come out unmatched")
+    // and the exec form agrees on the same inputs
+    val exec = TemporalJoins.asOfExec(probe, build, Seq("k"), "ts", Seq("bid"),
+      keepUnmatched = true).collect()
+      .map(r => r.getAs[Long]("pid") -> Option(r.getAs[Any]("asof_bid"))).toMap
+    assert(exec === got, "window and exec forms diverged on null ts")
+  }
+
+  test("boundedRangeAnti removes matched rows even when the left id is null") {
+    import spark.implicits._
+    // a plain equi-anti never equates null ids, so a matched null-id row
+    // was wrongly retained as "unmatched"
+    val left = Seq((Some(1L), 100L), (None, 100L), (Some(3L), 900L))
+      .toDF("lid", "lts")
+    val right = Seq(Tuple1(105L)).toDF("rts")
+    val got = TemporalJoins.boundedRangeAnti(left, right, "lid", "lts", "rts",
+      window = 10L).collect().map(r => Option(r.getAs[Any]("lid"))).toSet
+    assert(got === Set(Some(3L)),
+      "only the genuinely unmatched row may survive the anti-join")
+  }
+
   test("boundedRange equals brute force, keyed and keyless, pairs found exactly once") {
     import spark.implicits._
     val leftRows = rows(200, 4)
