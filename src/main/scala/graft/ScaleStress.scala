@@ -615,6 +615,9 @@ object ScaleStress {
           spark.catalog.clearCache(); System.gc()
           val r0 = System.nanoTime()
           graft.pipeline.ExportJob.reshard(spark, zone, to)
+          // vacuum inside the timed region: the pre-r14 reshard deleted the
+          // superseded layout inline, so reshard+vacuum is the comparable cost
+          graft.pipeline.ExportJob.vacuumLayouts(zone)
           val reSec = (System.nanoTime() - r0) / 1e9
           assert(graft.pipeline.ExportJob.zoneShards(zone).contains(to))
           spark.catalog.clearCache(); System.gc()

@@ -1,9 +1,9 @@
 package graft.pipeline
 
-import java.io.File
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -40,6 +40,16 @@ import graft.queries.Sampling
   *    needs INCREMENTAL re-export should shard by a stable content key
   *    instead (t7's salted hash mod N — assignments never shift), trading
   *    the strict per-shard token bound for per-partition overwrite.
+  *
+  * Filesystem contract: every metadata/layout operation (marker, manifest,
+  * pointer, shard listing, directory drop) goes through the Hadoop
+  * [[org.apache.hadoop.fs.FileSystem]] API resolved from the zone path's
+  * own scheme — NEVER `java.io.File`/`java.nio.file` — so a zone on
+  * `hdfs://`/`s3a://` (any real 100 TB deployment) sees exactly the same
+  * metadata the data writers see. A local-FS metadata layer on a remote
+  * zone would silently see NOTHING: a populated zone would "verify
+  * vacuously" as new and adopt a possibly-wrong shard count — precisely
+  * the doc→shard remap hazard the marker machinery exists to kill.
   */
 object ExportJob {
 
@@ -64,6 +74,105 @@ object ExportJob {
     // dynamic default (stale trailing shard dirs must not survive)
     writeShardPartitions(export, outDir, "static")
     export
+  }
+
+  // ------------------------------------------------------------ filesystem
+
+  /** Hadoop configuration of the running session — carries the cluster's
+    * filesystem bindings (credentials, `fs.defaultFS`, object-store
+    * committers); a bare `new Configuration()` only outside any session
+    * (never in practice — every public entry point runs under one).
+    */
+  private def hadoopConf: Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
+  private def fsOf(p: Path): FileSystem = p.getFileSystem(hadoopConf)
+
+  private def isDir(root: String, name: String): Boolean = {
+    val p = new Path(root, name)
+    val fs = fsOf(p)
+    fs.exists(p) && fs.getFileStatus(p).isDirectory
+  }
+
+  /** Entire content of a small metadata file, None if absent. */
+  private def readSmallFile(p: Path): Option[String] = {
+    val fs = fsOf(p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+        Some(new String(out.toByteArray, StandardCharsets.UTF_8))
+      } finally in.close()
+    }
+  }
+
+  /** Write a small metadata file atomically (temp + rename): a crash
+    * mid-write must never leave a truncated marker/manifest that bricks
+    * every later maintenance op with a parse error — and the LAYOUT
+    * POINTER additionally rides this rename for its reader-atomic swap.
+    * `FileContext.rename(OVERWRITE)` is the POSIX-rename equivalent
+    * (atomic on HDFS and the local FS); a filesystem with no
+    * AbstractFileSystem binding (some object-store mounts) falls back to
+    * delete-then-rename — a weaker, non-atomic publish, no worse than a
+    * direct write there, and the strongest primitive such stores offer.
+    */
+  private def writeMetaFile(dir: String, name: String, body: String): Unit = {
+    val target = new Path(dir, name)
+    val fs = fsOf(target)
+    fs.mkdirs(target.getParent)
+    val tmp = new Path(dir, s"$name.__tmp__")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    try
+      FileContext.getFileContext(fs.getUri, hadoopConf)
+        .rename(fs.makeQualified(tmp), fs.makeQualified(target),
+          Options.Rename.OVERWRITE)
+    catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        if (fs.exists(target)) fs.delete(target, false)
+        if (!fs.rename(tmp, target))
+          throw new java.io.IOException(s"rename $tmp -> $target failed")
+    }
+  }
+
+  // -------------------------------------------------------- layout pointer
+
+  /** Name of the zone's layout pointer — present only after a [[reshard]];
+    * its single line names the versioned layout directory holding the
+    * zone's live data and metadata. Underscore-prefixed like every other
+    * metadata file so Spark's file listing never sees it as data.
+    */
+  private val LayoutPointerName = "_graft_layout"
+
+  private def layoutDirName(v: Int) = s"_layout_v$v"
+  private val LayoutDirPattern = "_layout_v(\\d+)".r
+
+  private def readLayoutPointer(outDir: String): Option[String] =
+    readSmallFile(new Path(outDir, LayoutPointerName)).map(_.trim)
+
+  /** The zone's ACTIVE data root: `outDir` itself for a flat (never
+    * resharded) zone, or the versioned layout directory the atomic
+    * pointer names. Everything — shard directories, marker, manifest —
+    * lives under this root, so one pointer read pins a fully consistent
+    * (data, count, fingerprints) triple for the whole operation. A
+    * pointer whose target is missing means the live layout was deleted by
+    * hand (NOT by [[vacuumLayouts]], which only drops non-pointed dirs) —
+    * refuse loudly rather than mistake a populated-but-broken zone for a
+    * fresh one.
+    */
+  def zoneDataRoot(outDir: String): String = readLayoutPointer(outDir) match {
+    case None => outDir
+    case Some(name) =>
+      require(LayoutDirPattern.matches(name),
+        s"export zone $outDir has a corrupt layout pointer ('$name')")
+      require(isDir(outDir, name),
+        s"export zone $outDir points at layout $name but the directory " +
+          "is missing - the zone is corrupt (live layout deleted by hand?)")
+      new Path(outDir, name).toString
   }
 
   /** Explicit env override of the creation-time shard count, clamped to
@@ -111,28 +220,13 @@ object ExportJob {
     * EXPLICITLY conflicting request fails loudly instead — see
     * [[resolveZoneShards]]; [[reshard]] is the one legal way to change it.
     */
-  def zoneShards(outDir: String): Option[Int] = {
-    val p = Paths.get(outDir, ShardsMarkerName)
-    if (!Files.exists(p)) None
-    else Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toInt)
-  }
+  def zoneShards(outDir: String): Option[Int] = rootShards(zoneDataRoot(outDir))
 
-  /** Write a small metadata file atomically (temp + rename): a crash
-    * mid-write must never leave a truncated marker/manifest that bricks
-    * every later maintenance op with a parse error — the one crash window
-    * the staged-swap/self-heal design would otherwise not cover.
-    */
-  private def writeMetaFile(outDir: String, name: String, body: String): Unit = {
-    Files.createDirectories(Paths.get(outDir))
-    val tmp = Paths.get(outDir, s"$name.__tmp__")
-    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, Paths.get(outDir, name),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-  }
+  private def rootShards(root: String): Option[Int] =
+    readSmallFile(new Path(root, ShardsMarkerName)).map(_.trim.toInt)
 
-  private def writeShardsMarker(outDir: String, n: Int): Unit =
-    writeMetaFile(outDir, ShardsMarkerName, s"$n\n")
+  private def writeShardsMarker(root: String, n: Int): Unit =
+    writeMetaFile(root, ShardsMarkerName, s"$n\n")
 
   /** The ONE shard-directory writer all four zone writers share: rebalance
     * by shard (AQE may split a skewed shard across tasks, still one
@@ -144,7 +238,7 @@ object ExportJob {
     * options) would produce fingerprint-equal but byte-different output
     * and silently break the untouched-mtime contract.
     */
-  private def writeShardPartitions(df: DataFrame, outDir: String,
+  private def writeShardPartitions(df: DataFrame, root: String,
       overwriteMode: String): Unit =
     df.hint("rebalance", col("shard_id"))
       .sortWithinPartitions("shard_id", "doc_id")
@@ -154,28 +248,34 @@ object ExportJob {
       .option("maxRecordsPerFile", MaxRecordsPerFile)
       .option("compression", "gzip")
       .partitionBy("shard_id")
-      .json(outDir)
+      .json(root)
 
   /** Drop one shard directory; a no-op if it does not exist. */
-  private def dropShardDir(outDir: String, id: Long): Unit = {
-    val d = new File(outDir, s"shard_id=$id")
-    if (d.isDirectory) { d.listFiles().foreach(_.delete()); d.delete() }
+  private def dropShardDir(root: String, id: Long): Unit = {
+    val p = new Path(root, s"shard_id=$id")
+    fsOf(p).delete(p, true)
   }
 
   /** The zone's shard-directory ids, from one file listing — shared by
     * the full-zone read, the adoption check, and the has-layout test.
     */
-  private def zoneLayoutIds(outDir: String): Seq[Long] =
-    Option(new File(outDir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("shard_id="))
-      .map(_.getName.stripPrefix("shard_id=").toLong).sorted.toSeq
+  private def zoneLayoutIds(root: String): Seq[Long] = {
+    val p = new Path(root)
+    val fs = fsOf(p)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("shard_id="))
+      .map(_.getPath.getName.stripPrefix("shard_id=").toLong).sorted
+  }
 
-  /** Whether `outDir` materially IS a zone: it holds shard data or a
-    * manifest (a manifest-only zone — every shard emptied — still counts).
+  /** Whether the layout root materially IS a zone: it holds shard data or
+    * a manifest (a manifest-only zone — every shard emptied — still
+    * counts).
     */
-  private def zoneHasLayout(outDir: String): Boolean =
-    zoneLayoutIds(outDir).nonEmpty ||
-      Files.exists(Paths.get(outDir, ManifestName))
+  private def zoneHasLayout(root: String): Boolean = {
+    val m = new Path(root, ManifestName)
+    zoneLayoutIds(root).nonEmpty || fsOf(m).exists(m)
+  }
 
   /** Resolve the shard count an operation on `outDir` must use, enforcing
     * the fixed-per-zone-lifetime contract: the zone's marker wins; a
@@ -193,22 +293,26 @@ object ExportJob {
     * they first materialize the zone.
     */
   private[pipeline] def resolveZoneShards(spark: SparkSession,
-      outDir: String, requested: Option[Int]): Int = {
+      outDir: String, requested: Option[Int]): Int =
+    resolveRootShards(spark, zoneDataRoot(outDir), requested)
+
+  private def resolveRootShards(spark: SparkSession,
+      root: String, requested: Option[Int]): Int = {
     val explicit = requested.map(v => math.max(1, v)).orElse(ShardsEnvOverride)
-    zoneShards(outDir) match {
+    rootShards(root) match {
       case Some(n) =>
         explicit.filter(_ != n).foreach { m =>
           throw new IllegalStateException(
-            s"export zone $outDir was written with $n shards but $m were " +
+            s"export zone $root was written with $n shards but $m were " +
               "requested: the doc->shard mapping is fixed per zone " +
               "lifetime - run ExportJob.reshard to migrate the zone")
         }
         n
       case None =>
         val n = explicit.getOrElse(IncrementalShards)
-        if (zoneHasLayout(outDir)) {
-          verifyAdoptedShards(spark, outDir, n)
-          writeShardsMarker(outDir, n)
+        if (zoneHasLayout(root)) {
+          verifyAdoptedShards(spark, root, n)
+          writeShardsMarker(root, n)
         }
         n
     }
@@ -226,19 +330,19 @@ object ExportJob {
     * count by chance (every probe row is checked, none sampled). New
     * zones (no shard directories) verify vacuously.
     */
-  private def verifyAdoptedShards(spark: SparkSession, outDir: String,
+  private def verifyAdoptedShards(spark: SparkSession, root: String,
       n: Int): Unit = {
-    val ids = zoneLayoutIds(outDir)
+    val ids = zoneLayoutIds(root)
     if (ids.isEmpty) return
     def fail(detail: String): Nothing = throw new IllegalStateException(
-      s"export zone $outDir predates shard markers and its layout is " +
+      s"export zone $root predates shard markers and its layout is " +
         s"inconsistent with the configured count $n ($detail): set " +
         "SPARK_GRAFT_EXPORT_SHARDS to the count the zone was written " +
         "with (maintenance will then persist it), or rebuild the zone")
     if (ids.max >= n) fail(s"directory shard_id=${ids.max} exists")
     VectorOps.register(spark)
     val probes = Seq(ids.head, ids(ids.size / 2), ids.last).distinct
-    val sample = readShards(spark, outDir, probes)
+    val sample = readShards(spark, root, probes)
     val bad = sample.filter(
       pmod(hash60(concat(lit(IncrementalSalt), col("doc_id").cast("string"))),
         lit(n.toLong)) =!= col("shard_id")).count()
@@ -292,7 +396,8 @@ object ExportJob {
   def writeTrainingShardsIncremental(spark: SparkSession, dir: String,
       outDir: String, requestedShards: Option[Int] = None): DataFrame = {
     VectorOps.register(spark) // graft_hash60
-    val nShards = resolveZoneShards(spark, outDir, requestedShards)
+    val root = zoneDataRoot(outDir)
+    val nShards = resolveRootShards(spark, root, requestedShards)
     val docs = graft.core.Tables(spark, dir).documents
       .select("doc_id", "text", "lang", "source")
     val assigned = docs.withColumn("shard_id",
@@ -302,20 +407,20 @@ object ExportJob {
     assigned.persist()
     try {
       val fps = fingerprints(assigned)
-      val prev = readManifest(outDir)
+      val prev = readManifest(root)
       val changed = fps.keys.filter(k => !prev.get(k).contains(fps(k))).toSeq.sorted
       if (changed.nonEmpty)
         // dynamic = replace ONLY the partitions present in the frame
         writeShardPartitions(assigned.filter(col("shard_id").isin(changed: _*)),
-          outDir, "dynamic")
+          root, "dynamic")
       // shards the previous export had that now hold zero rows: dynamic
       // overwrite never saw them — drop their directories
-      for (gone <- prev.keySet -- fps.keySet) dropShardDir(outDir, gone)
+      for (gone <- prev.keySet -- fps.keySet) dropShardDir(root, gone)
       // the export is the zone-creating writer: a brand-new zone gets its
       // marker here, at the moment data materializes (resolveZoneShards
       // deliberately does not conjure one for layoutless paths)
-      if (zoneShards(outDir).isEmpty) writeShardsMarker(outDir, nShards)
-      writeManifest(outDir, fps)
+      if (rootShards(root).isEmpty) writeShardsMarker(root, nShards)
+      writeManifest(root, fps)
     } finally assigned.unpersist()
     assigned
   }
@@ -351,12 +456,13 @@ object ExportJob {
   def deleteFromShards(spark: SparkSession, outDir: String,
       docIds: Seq[Long]): Unit = {
     if (docIds.isEmpty) return
-    val nShards = resolveZoneShards(spark, outDir, None)
+    val root = zoneDataRoot(outDir)
+    val nShards = resolveRootShards(spark, root, None)
     val affected = docIds.distinct.map(shardOf(_, nShards)).distinct.sorted
     val victims = docIds.toSet
-    val preOp = readShards(spark, outDir, affected)
+    val preOp = readShards(spark, root, affected)
     val kept = preOp.filter(!col("doc_id").isin(victims.toSeq: _*))
-    rewriteAffectedShards(spark, outDir, nShards, affected, preOp, kept)
+    rewriteAffectedShards(spark, root, nShards, affected, preOp, kept)
   }
 
   /** Row-level UPSERT (MERGE INTO) over an incremental export zone: the
@@ -383,7 +489,8 @@ object ExportJob {
   def upsertShards(spark: SparkSession, outDir: String,
       upserts: DataFrame): Unit = {
     VectorOps.register(spark)
-    val nShards = resolveZoneShards(spark, outDir, None)
+    val root = zoneDataRoot(outDir)
+    val nShards = resolveRootShards(spark, root, None)
     val up = upserts
       .select(col("doc_id").cast("long").as("doc_id"), col("text"),
         col("lang"), col("source"))
@@ -401,9 +508,9 @@ object ExportJob {
         "doc_id is null or not castable to long - MERGE keys must be non-null")
       val affected = up.select("shard_id").distinct()
         .collect().map(_.getAs[Long]("shard_id")).sorted.toSeq
-      val existing = readShards(spark, outDir, affected)
+      val existing = readShards(spark, root, affected)
       val kept = existing.join(up.select("doc_id"), Seq("doc_id"), "left_anti")
-      rewriteAffectedShards(spark, outDir, nShards, affected, existing,
+      rewriteAffectedShards(spark, root, nShards, affected, existing,
         kept.unionByName(up.select(kept.columns.map(col): _*)))
     } finally up.unpersist()
   }
@@ -415,51 +522,72 @@ object ExportJob {
     * zone lifetime, and this is the one legal way to change it).
     *
     * One read of the zone, one stable-hash reassignment (the SAME salted
-    * key — only the modulus changes), one write: the new layout is staged
-    * to a sibling temp directory with its manifest and shard marker
-    * rebuilt in the same pass, then swapped in (rename live away, rename
-    * staging in, drop the old). The guarantee is CRASH-consistency, not
-    * reader atomicity: a crash leaves either the old zone or the new one
-    * (plus debris the next run cleans up), and a reader never observes a
-    * half-migrated MIX — but between the two renames the zone path
-    * briefly does not exist, so a concurrent reader can fail on a missing
-    * path (and [[zoneShards]] returns None). Quiesce readers for the
-    * migration window, as for any table swap. Re-running at the zone's
-    * current count is a no-op (nothing read, nothing written); re-running
-    * after a crash restarts from whichever layout survived. Unlike
-    * delete/upsert the cost is deliberately zone-sized — it IS the
-    * migration — but flat in the target shard count (same rows, one
-    * rebalance).
+    * key — only the modulus changes), one write. The new layout — shard
+    * directories, marker, AND manifest — is staged into a fresh versioned
+    * directory (`_layout_v{N+1}`, underscore-prefixed so Spark's file
+    * listing never mixes it into a read of the zone), then PUBLISHED by
+    * one atomic write of the layout pointer ([[writeMetaFile]]'s
+    * temp+rename). The guarantee is READER-ATOMIC old-or-new: a reader
+    * resolving the zone through [[zoneDataRoot]]/[[readZone]] sees the
+    * complete old layout or the complete new one, never a missing path
+    * and never a mix — the pointer pins data, shard count, and
+    * fingerprints together because all three live inside the versioned
+    * directory. The SUPERSEDED layout is deliberately retained so
+    * in-flight readers that resolved the old pointer finish against
+    * intact files; [[vacuumLayouts]] reclaims it once they quiesce (and
+    * the next reshard vacuums stale non-pointed layouts automatically).
+    * Until vacuum the zone briefly holds two copies — the standard
+    * snapshot-swap storage cost, paid only across a migration.
+    *
+    * Crash-consistent at every step: a crash while staging leaves the
+    * pointer on the old layout (the half-built directory is never
+    * referenced and is swept at the next reshard's entry); a crash after
+    * the pointer write leaves the new layout live with the old one as
+    * debris for vacuum. Re-running at the zone's current count is a
+    * no-op; re-running after a crash restarts from whichever layout the
+    * pointer names. Unlike delete/upsert the cost is deliberately
+    * zone-sized — it IS the migration — but flat in the target shard
+    * count (same rows, one rebalance).
+    *
+    * A resharded zone's data lives under the versioned directory, which a
+    * naive `spark.read.json(outDir)` cannot see (underscore prefix):
+    * read maintained zones through [[readZone]], which resolves the
+    * pointer — the API contract that makes the swap invisible.
     */
   def reshard(spark: SparkSession, outDir: String, newShards: Int): Unit = {
     require(newShards >= 1, s"newShards must be >= 1, got $newShards")
-    val tmp = outDir + ".__reshard__"
-    val old = outDir + ".__reshard_old__"
-    // crash debris: staging is never the source of truth — drop it; an
-    // orphaned old layout NEXT TO a live dir means a prior run finished
-    // its swap but not the cleanup — drop it; an old layout WITHOUT a
-    // live dir means the crash hit between the two renames — roll back
-    graft.core.FsUtil.deleteRecursively(tmp)
-    if (new File(old).isDirectory) {
-      if (new File(outDir).isDirectory) graft.core.FsUtil.deleteRecursively(old)
-      else Files.move(Paths.get(old), Paths.get(outDir))
-    }
+    val zonePath = new Path(outDir)
+    val fs = fsOf(zonePath)
     // a migration needs a zone: refuse a path that holds neither data nor
     // metadata rather than conjuring an empty marker-only directory
-    require(new File(outDir).isDirectory,
+    require(fs.exists(zonePath) && fs.getFileStatus(zonePath).isDirectory,
       s"reshard target $outDir does not exist - nothing to migrate")
-    val cur = zoneShards(outDir).getOrElse {
+    // entry sweep: every versioned layout dir the pointer does NOT name is
+    // debris — staging from a crashed migration (never published) or a
+    // superseded layout a prior migration retained for its readers
+    val pointed = readLayoutPointer(outDir)
+    for (st <- fs.listStatus(zonePath)
+         if st.isDirectory && LayoutDirPattern.matches(st.getPath.getName)
+         if !pointed.contains(st.getPath.getName))
+      fs.delete(st.getPath, true)
+    val root = zoneDataRoot(outDir)
+    val cur = rootShards(root).getOrElse {
       // legacy-zone adoption verifies like resolveZoneShards: an adopted
       // count that happens to equal newShards would otherwise no-op AND
       // persist a wrong marker
       val n = IncrementalShards
-      verifyAdoptedShards(spark, outDir, n)
-      writeShardsMarker(outDir, n)
+      verifyAdoptedShards(spark, root, n)
+      writeShardsMarker(root, n)
       n
     }
     if (cur == newShards) return
     VectorOps.register(spark)
-    val content = readZone(spark, outDir)
+    val nextV = pointed.map { name =>
+      val LayoutDirPattern(v) = name: @unchecked
+      v.toInt + 1
+    }.getOrElse(1)
+    val staging = new Path(zonePath, layoutDirName(nextV)).toString
+    val content = readShards(spark, root, zoneLayoutIds(root))
       .drop("shard_id")
       .withColumn("shard_id",
         pmod(hash60(concat(lit(IncrementalSalt), col("doc_id").cast("string"))),
@@ -467,13 +595,49 @@ object ExportJob {
     content.persist()
     try {
       val fps = fingerprints(content)
-      if (fps.nonEmpty) writeShardPartitions(content, tmp, "static")
-      writeManifest(tmp, fps)
-      writeShardsMarker(tmp, newShards)
-      Files.move(Paths.get(outDir), Paths.get(old))
-      Files.move(Paths.get(tmp), Paths.get(outDir))
-      graft.core.FsUtil.deleteRecursively(old)
+      if (fps.nonEmpty) writeShardPartitions(content, staging, "static")
+      writeManifest(staging, fps)
+      writeShardsMarker(staging, newShards)
+      // the PUBLISH: one atomic pointer write flips every future
+      // resolution to the staged layout
+      writeMetaFile(outDir, LayoutPointerName, layoutDirName(nextV) + "\n")
     } finally content.unpersist()
+  }
+
+  /** Reclaim the storage a [[reshard]] retained for in-flight readers:
+    * drop every versioned layout directory the pointer does not name,
+    * and — once a pointer exists — the flat pre-reshard remnants at the
+    * zone root (old shard directories, marker, manifest). Call when
+    * readers of the pre-migration layout have quiesced; never touches the
+    * live layout, so it is safe (but pointless) at any other time. A
+    * flat, never-resharded zone is a no-op.
+    */
+  def vacuumLayouts(outDir: String): Unit = {
+    val zonePath = new Path(outDir)
+    val fs = fsOf(zonePath)
+    if (!fs.exists(zonePath)) return
+    val pointed = readLayoutPointer(outDir)
+    if (pointed.isEmpty) return // flat zone: the root IS the live layout
+    for (st <- fs.listStatus(zonePath)) {
+      val name = st.getPath.getName
+      val superseded =
+        (st.isDirectory && LayoutDirPattern.matches(name) &&
+          !pointed.contains(name)) ||
+          (st.isDirectory && name.startsWith("shard_id=")) ||
+          name == ManifestName || name == ShardsMarkerName
+      if (superseded) fs.delete(st.getPath, true)
+    }
+  }
+
+  /** Read a zone through its layout pointer — THE read API for maintained
+    * zones. A flat (never resharded) zone also reads naively via
+    * `spark.read.json(outDir)`; after a [[reshard]] the live data sits
+    * under an underscore-prefixed versioned directory Spark's listing
+    * deliberately hides, and this resolution is the only correct read.
+    */
+  def readZone(spark: SparkSession, outDir: String): DataFrame = {
+    val root = zoneDataRoot(outDir)
+    readShards(spark, root, zoneLayoutIds(root))
   }
 
   /** Per-shard order-independent fingerprints of `content` (`bit_xor` of
@@ -502,20 +666,15 @@ object ExportJob {
         (r.getAs[Long]("fp"), r.getAs[Long]("n"))).toMap
   }
 
-  /** Read EVERY shard directory of a zone — the reshard's one full read;
-    * maintenance ops never use this (they read only affected shards).
+  /** Read ONLY the given shard directories of a layout root (skipping ids
+    * whose directory does not exist yet -- an upsert may target an empty
+    * shard); basePath re-derives the shard_id partition column from the
+    * paths.
     */
-  private def readZone(spark: SparkSession, outDir: String): DataFrame =
-    readShards(spark, outDir, zoneLayoutIds(outDir))
-
-  /** Read ONLY the given shard directories of a zone (skipping ids whose
-    * directory does not exist yet -- an upsert may target an empty shard);
-    * basePath re-derives the shard_id partition column from the paths.
-    */
-  private def readShards(spark: SparkSession, outDir: String,
+  private def readShards(spark: SparkSession, root: String,
       shardIds: Seq[Long]): DataFrame = {
-    val dirs = shardIds.map(k => s"$outDir/shard_id=$k")
-      .filter(p => new File(p).isDirectory)
+    val dirs = shardIds.map(k => s"shard_id=$k")
+      .filter(isDir(root, _)).map(d => s"$root/$d")
     if (dirs.isEmpty) {
       import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
       spark.createDataFrame(
@@ -525,7 +684,7 @@ object ExportJob {
           StructField("lang", StringType), StructField("source", StringType),
           StructField("shard_id", LongType))))
     } else spark.read
-      .option("basePath", outDir)
+      .option("basePath", root)
       .json(dirs: _*)
       .select(col("doc_id").cast("long").as("doc_id"), col("text"),
         col("lang"), col("source"), col("shard_id").cast("long").as("shard_id"))
@@ -544,13 +703,13 @@ object ExportJob {
     * pure no-op instead of conjuring metadata there (an upsert that lands
     * rows is zone CREATION, and persists the marker with its manifest).
     */
-  private def rewriteAffectedShards(spark: SparkSession, outDir: String,
+  private def rewriteAffectedShards(spark: SparkSession, root: String,
       nShards: Int, affected: Seq[Long], preOp: DataFrame,
       content: DataFrame): Unit = {
     content.persist()
     try {
       val fps = fingerprints(content)
-      val prevAll = readManifest(outDir)
+      val prevAll = readManifest(root)
       // diff basis: the manifest where it knows the shard; for affected
       // shards a pre-manifest (legacy) zone holds but the manifest does
       // not list, fingerprint their PRE-op rows — with an empty basis
@@ -559,14 +718,14 @@ object ExportJob {
       // first maintenance op on a legacy zone seeds manifest entries for
       // its affected shards; the next full export completes the rest)
       val missing = affected.filter(k => !prevAll.contains(k) &&
-        new File(outDir, s"shard_id=$k").isDirectory)
+        isDir(root, s"shard_id=$k"))
       val basis = if (missing.isEmpty) prevAll
         else prevAll ++ fingerprints(
           preOp.filter(col("shard_id").isin(missing: _*)))
       val changed = fps.keySet.filter(k => !basis.get(k).contains(fps(k)))
       if (changed.nonEmpty)
         writeShardPartitions(content.filter(col("shard_id").isin(changed.toSeq: _*)),
-          outDir, "dynamic")
+          root, "dynamic")
       // emptied = affected shards with no surviving rows whose directory
       // exists (to drop) OR that the manifest still lists (to prune — a
       // crash between a prior run's directory drop and its manifest write
@@ -574,12 +733,13 @@ object ExportJob {
       // that never had a directory or manifest row (nonexistent zone, or
       // an upsert key hashing to a never-written shard) is not an event.
       val emptied = affected.filter(k => !fps.contains(k) &&
-        (prevAll.contains(k) || new File(outDir, s"shard_id=$k").isDirectory))
-      emptied.foreach(dropShardDir(outDir, _))
+        (prevAll.contains(k) || isDir(root, s"shard_id=$k")))
+      emptied.foreach(dropShardDir(root, _))
+      val manifestPath = new Path(root, ManifestName)
       if (changed.nonEmpty || emptied.nonEmpty ||
-          Files.exists(Paths.get(outDir, ManifestName))) {
-        if (zoneShards(outDir).isEmpty) writeShardsMarker(outDir, nShards)
-        writeManifest(outDir, prevAll -- emptied ++ fps)
+          fsOf(manifestPath).exists(manifestPath)) {
+        if (rootShards(root).isEmpty) writeShardsMarker(root, nShards)
+        writeManifest(root, prevAll -- emptied ++ fps)
       }
     } finally content.unpersist()
   }
@@ -589,18 +749,36 @@ object ExportJob {
     */
   private val ManifestName = "_graft_manifest.tsv"
 
-  private def readManifest(outDir: String): Map[Long, (Long, Long)] = {
-    val p = Paths.get(outDir, ManifestName)
-    if (!Files.exists(p)) Map.empty
-    else new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-      .linesIterator.filter(_.nonEmpty).map { line =>
-        val Array(k, fp, n) = line.split("\t")
-        k.toLong -> (fp.toLong, n.toLong)
-      }.toMap
-  }
+  /** Version tag of the manifest's row-fingerprint ENCODING, written as a
+    * `#`-prefixed header line. The encoding is part of the diff contract:
+    * when it changes (as it did when separator-joined concat_ws became
+    * the length-prefixed injective form), every stored fingerprint is
+    * stale, and without a version field the first maintenance op would
+    * silently rewrite affected shards byte-identically ONCE with no
+    * signal. A mismatched (or future) version instead reads as an empty
+    * manifest — the same known one-time full re-fingerprint, but visible
+    * in the header. Headerless manifests predate the field and were
+    * written with THIS encoding, so they parse as current.
+    */
+  private val ManifestVersion = "graft_fp_v2"
 
-  private def writeManifest(outDir: String,
+  private def readManifest(root: String): Map[Long, (Long, Long)] =
+    readSmallFile(new Path(root, ManifestName)) match {
+      case None => Map.empty
+      case Some(body) =>
+        val lines = body.linesIterator.filter(_.nonEmpty).toSeq
+        val (header, rows) = lines.partition(_.startsWith("#"))
+        val ver = header.headOption.map(_.stripPrefix("#").trim)
+        if (ver.exists(_ != ManifestVersion)) Map.empty
+        else rows.map { line =>
+          val Array(k, fp, n) = line.split("\t")
+          k.toLong -> (fp.toLong, n.toLong)
+        }.toMap
+    }
+
+  private def writeManifest(root: String,
       fps: Map[Long, (Long, Long)]): Unit =
-    writeMetaFile(outDir, ManifestName, fps.toSeq.sortBy(_._1)
-      .map { case (k, (fp, n)) => s"$k\t$fp\t$n" }.mkString("", "\n", "\n"))
+    writeMetaFile(root, ManifestName,
+      (s"#$ManifestVersion" +: fps.toSeq.sortBy(_._1)
+        .map { case (k, (fp, n)) => s"$k\t$fp\t$n" }).mkString("", "\n", "\n"))
 }

@@ -85,10 +85,13 @@ class ExportJobSpec extends SparkTestBase {
   }
 
   /** Latest data-file mtime per shard directory — the witness that a shard
-    * was (or was not) rewritten.
+    * was (or was not) rewritten. Resolves the zone's layout pointer so the
+    * same witness works before and after a reshard; strips a `file:`
+    * scheme so the scheme-qualified spec can share it.
     */
   private def shardMtimes(out: String): Map[String, Long] =
-    new File(out).listFiles().filter(_.isDirectory)
+    new File(ExportJob.zoneDataRoot(out).stripPrefix("file:"))
+      .listFiles().filter(_.isDirectory)
       .filter(_.getName.startsWith("shard_id="))
       .map(d => d.getName -> d.listFiles()
         .filter(_.getName.endsWith(".json.gz")).map(_.lastModified).max)
@@ -467,21 +470,22 @@ class ExportJobSpec extends SparkTestBase {
     val newCount = 5
     ExportJob.reshard(spark, out, newCount)
     assert(ExportJob.zoneShards(out) === Some(newCount))
-    // round-trip: exactly the same rows, now under the new assignment
-    val back = spark.read.json(out)
+    // round-trip THROUGH THE POINTER: exactly the same rows, now under
+    // the new assignment (the live layout is a hidden versioned dir —
+    // readZone is the read API for maintained zones)
+    val back = ExportJob.readZone(spark, out)
       .select(col("doc_id").cast("long"), col("text"), col("lang"),
         col("source"), col("shard_id").cast("long")).collect()
     assert(back.map(r => (r.getLong(0), r.getString(1), r.getString(2),
       r.getString(3))).sortBy(_._1).toSeq === before.toSeq)
-    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+    val newRoot = ExportJob.zoneDataRoot(out)
+    assert(newRoot != out, "reshard did not publish a versioned layout")
+    val dirs = new java.io.File(newRoot).listFiles().filter(_.isDirectory)
       .map(_.getName).filter(_.startsWith("shard_id=")).sorted
     assert(dirs.forall(_.stripPrefix("shard_id=").toLong < newCount))
     assert(back.forall(r =>
       r.getLong(4) === ExportJob.shardOf(r.getLong(0), newCount)),
       "a row's directory disagrees with the stable hash at the new count")
-    // no swap debris left behind
-    assert(!new java.io.File(out + ".__reshard__").exists())
-    assert(!new java.io.File(out + ".__reshard_old__").exists())
 
     // manifest honesty: a re-export from the unchanged corpus sees zero
     // changed shards under the NEW layout
@@ -504,48 +508,170 @@ class ExportJobSpec extends SparkTestBase {
     for ((d, m) <- t1)
       if (d == s"shard_id=$vShard") assert(t2(d) > m, "victim shard not rewritten")
       else assert(t2(d) === m, s"shard $d rewrote under the wrong modulus")
-    assert(!spark.read.json(out).filter(col("doc_id") === victim).collect()
-      .nonEmpty, "victim survived the post-reshard delete")
+    assert(!ExportJob.readZone(spark, out).filter(col("doc_id") === victim)
+      .collect().nonEmpty, "victim survived the post-reshard delete")
   }
 
-  test("reshard cleans crash debris: stale staging, finished-swap leftovers, mid-swap rollback") {
+  test("reshard swap is reader-atomic: a pre-swap resolution reads a complete layout until vacuum") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val corpus = scratch("reshard-atomic-corpus")
+    docs.write.mode("overwrite").parquet(s"$corpus/documents.parquet")
+    val out = scratch("reshard-atomic-export")
+    ExportJob.writeTrainingShardsIncremental(spark, corpus, out)
+    val rows = ExportJob.readZone(spark, out).count()
+
+    // a reader resolves the zone BEFORE the migration...
+    val rootBefore = ExportJob.zoneDataRoot(out)
+    assert(rootBefore === out, "never-resharded zone must resolve flat")
+    ExportJob.reshard(spark, out, 5)
+    // ...and after the swap its resolved path still reads the COMPLETE
+    // old layout (the superseded copy is retained; the pointer write was
+    // the only mutation) — old-or-new, never a missing path
+    assert(spark.read.json(rootBefore).count() === rows,
+      "pre-swap reader lost its layout mid-migration")
+    val rootAfter = ExportJob.zoneDataRoot(out)
+    assert(rootAfter != rootBefore)
+    assert(ExportJob.readZone(spark, out).count() === rows)
+
+    // vacuum (readers quiesced): flat remnants reclaimed, live layout kept
+    ExportJob.vacuumLayouts(out)
+    val atRoot = new File(out).listFiles().map(_.getName)
+    assert(!atRoot.exists(_.startsWith("shard_id=")),
+      "vacuum left superseded flat shard directories")
+    assert(!atRoot.contains("_graft_manifest.tsv") &&
+      !atRoot.contains("_graft_shards"),
+      "vacuum left superseded flat metadata")
+    assert(ExportJob.readZone(spark, out).count() === rows)
+    assert(ExportJob.zoneShards(out) === Some(5))
+
+    // second migration: the versioned predecessor is likewise retained
+    // for its readers, then reclaimed by vacuum
+    ExportJob.reshard(spark, out, 7)
+    assert(spark.read.json(rootAfter).count() === rows,
+      "pre-swap reader of a versioned layout lost it mid-migration")
+    assert(ExportJob.zoneDataRoot(out) != rootAfter)
+    ExportJob.vacuumLayouts(out)
+    assert(!new File(rootAfter).exists(), "vacuum kept a superseded layout")
+    assert(ExportJob.readZone(spark, out).count() === rows)
+    assert(ExportJob.zoneShards(out) === Some(7))
+  }
+
+  test("reshard is crash-consistent: unpublished staging is swept, the pointer pins the survivor") {
     val docs = spark.read.parquet(s"$Sf/documents.parquet")
     val corpus = scratch("reshard-crash-corpus")
     docs.write.mode("overwrite").parquet(s"$corpus/documents.parquet")
     val out = scratch("reshard-crash-export")
     ExportJob.writeTrainingShardsIncremental(spark, corpus, out)
-    val rows = spark.read.json(out).count()
-    val tmp = new java.io.File(out + ".__reshard__")
-    val old = new java.io.File(out + ".__reshard_old__")
+    val rows = ExportJob.readZone(spark, out).count()
 
-    // (a) stale staging from a crash mid-write: never the source of
-    // truth — dropped, and the migration completes normally
-    java.nio.file.Files.createDirectories(tmp.toPath)
-    java.nio.file.Files.write(tmp.toPath.resolve("junk"), Array[Byte](1))
+    // (a) crash MID-STAGING before the pointer write: the half-built
+    // versioned dir is never referenced — the zone still resolves flat
+    // and reads whole, and the rerun sweeps the debris then completes
+    val staleStaging = new java.io.File(out, "_layout_v1")
+    java.nio.file.Files.createDirectories(staleStaging.toPath)
+    java.nio.file.Files.write(staleStaging.toPath.resolve("junk"), Array[Byte](1))
+    assert(ExportJob.zoneDataRoot(out) === out)
+    assert(ExportJob.readZone(spark, out).count() === rows)
     ExportJob.reshard(spark, out, 5)
-    assert(!tmp.exists() && !old.exists())
+    assert(!staleStaging.toPath.resolve("junk").toFile.exists(),
+      "crashed staging debris survived the rerun")
     assert(ExportJob.zoneShards(out) === Some(5))
-    assert(spark.read.json(out).count() === rows)
+    assert(ExportJob.readZone(spark, out).count() === rows)
 
-    // (b) crash AFTER both renames but before dropping the old layout:
-    // live zone intact, orphaned old dir next to it — dropped on rerun
-    java.nio.file.Files.createDirectories(old.toPath)
-    java.nio.file.Files.write(old.toPath.resolve("stale"), Array[Byte](1))
-    ExportJob.reshard(spark, out, 5) // also the same-count no-op path
-    assert(!old.exists(), "finished-swap leftover not cleaned")
-    assert(spark.read.json(out).count() === rows)
+    // (b) crash AFTER the pointer write, before any vacuum: the new
+    // layout is live, the old one is debris — a same-count rerun is a
+    // no-op and a later migration's entry sweep reclaims stale versions
+    ExportJob.reshard(spark, out, 5) // same-count no-op path
+    assert(ExportJob.zoneShards(out) === Some(5))
+    val v1 = ExportJob.zoneDataRoot(out)
+    ExportJob.reshard(spark, out, 7) // v1 retained for readers
+    assert(new java.io.File(v1).isDirectory)
+    ExportJob.reshard(spark, out, 5) // entry sweep drops non-pointed v1
+    assert(!new java.io.File(v1).exists(),
+      "superseded layout survived the next migration's entry sweep")
+    assert(ExportJob.readZone(spark, out).count() === rows)
+    assert(ExportJob.zoneShards(out) === Some(5))
 
-    // (c) crash BETWEEN the renames: old layout moved aside, no live dir
-    // — rolled back to the old layout, then the migration reruns cleanly
-    val parent = new java.io.File(out).getParentFile
-    java.nio.file.Files.move(new java.io.File(out).toPath, old.toPath)
-    assert(!new java.io.File(out).exists())
-    ExportJob.reshard(spark, out, 7)
-    assert(new java.io.File(out).isDirectory && !old.exists() && !tmp.exists())
-    assert(ExportJob.zoneShards(out) === Some(7))
-    assert(spark.read.json(out).count() === rows)
-    assert(parent.listFiles().map(_.getName)
-      .count(_.startsWith(new java.io.File(out).getName)) === 1,
-      "debris directories left next to the zone")
+    // (c) a fully-staged but unpublished layout (crash in the instant
+    // before the pointer write): maintenance keeps resolving the pointed
+    // layout; the next migration sweeps the orphan
+    val cur = ExportJob.zoneDataRoot(out)
+    val orphanName = "_layout_v99"
+    val orphan = new java.io.File(out, orphanName)
+    java.nio.file.Files.createDirectories(orphan.toPath)
+    java.nio.file.Files.write(orphan.toPath.resolve("stale"), Array[Byte](1))
+    assert(ExportJob.zoneDataRoot(out) === cur)
+    ExportJob.reshard(spark, out, ExportJob.zoneShards(out).get) // no-op count
+    assert(!orphan.exists(), "unpublished orphan layout not swept")
+    assert(ExportJob.readZone(spark, out).count() === rows)
+  }
+
+  test("zone metadata works on a scheme-qualified path (the hdfs/s3a deployment shape)") {
+    // the r13 finding: a java.io.File metadata layer on a scheme path
+    // silently sees NOTHING — a populated zone "verifies vacuously" as
+    // new and adopts a possibly-wrong count. Everything here runs the
+    // Hadoop FS route with an explicit file: scheme.
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val corpus = scratch("scheme-corpus")
+    docs.write.mode("overwrite").parquet(s"$corpus/documents.parquet")
+    val outLocal = scratch("scheme-export")
+    val out = "file:" + outLocal
+    val first = ExportJob.writeTrainingShardsIncremental(spark, corpus, out,
+      requestedShards = Some(8)).collect()
+    // the marker is visible THROUGH THE SCHEME and on the local disk
+    assert(ExportJob.zoneShards(out) === Some(8))
+    assert(new File(outLocal, "_graft_shards").exists())
+    assert(new File(outLocal, "_graft_manifest.tsv").exists())
+
+    // idempotence through the scheme: nothing rewrites
+    Thread.sleep(1100)
+    val t0 = shardMtimes(out)
+    ExportJob.writeTrainingShardsIncremental(spark, corpus, out,
+      requestedShards = Some(8))
+    assert(shardMtimes(out) === t0, "unchanged re-export rewrote a shard")
+
+    // the adoption hazard itself: marker gone, maintenance under the
+    // WRONG default count must refuse — on the scheme path the old
+    // local-FS layer saw an empty layout and would have verified
+    // vacuously, persisting the remap
+    assert(new File(outLocal, "_graft_shards").delete())
+    val e = intercept[IllegalStateException] {
+      ExportJob.deleteFromShards(spark, out,
+        Seq(first.head.getAs[Long]("doc_id")))
+    }
+    assert(e.getMessage.contains("inconsistent"))
+    assert(ExportJob.zoneShards(out) === None, "wrong adoption was persisted")
+    // correct re-adoption restores the marker through the scheme
+    ExportJob.writeTrainingShardsIncremental(spark, corpus, out,
+      requestedShards = Some(8))
+    assert(ExportJob.zoneShards(out) === Some(8))
+
+    // targeted delete via the scheme: victim gone, only its shard moved
+    val victim = first.head.getAs[Long]("doc_id")
+    val vShard = ExportJob.shardOf(victim, 8)
+    Thread.sleep(1100)
+    val t1 = shardMtimes(out)
+    ExportJob.deleteFromShards(spark, out, Seq(victim))
+    val t2 = shardMtimes(out)
+    assert(t2(s"shard_id=$vShard") > t1(s"shard_id=$vShard"))
+    for ((d, m) <- t1 if d != s"shard_id=$vShard")
+      assert(t2(d) === m, s"shard $d rewrote through the scheme path")
+    assert(ExportJob.readZone(spark, out)
+      .filter(col("doc_id") === victim).count() === 0)
+
+    // upsert + reshard + vacuum complete the family on the scheme path
+    import spark.implicits._
+    ExportJob.upsertShards(spark, out,
+      Seq((777777L, "hello", "en", "web")).toDF("doc_id", "text", "lang", "source"))
+    assert(ExportJob.readZone(spark, out)
+      .filter(col("doc_id") === 777777L).count() === 1)
+    val rows = ExportJob.readZone(spark, out).count()
+    ExportJob.reshard(spark, out, 5)
+    assert(ExportJob.zoneShards(out) === Some(5))
+    assert(ExportJob.zoneDataRoot(out).startsWith("file:"))
+    ExportJob.vacuumLayouts(out)
+    assert(ExportJob.readZone(spark, out).count() === rows)
+    assert(!new File(outLocal).listFiles().map(_.getName)
+      .exists(_.startsWith("shard_id=")), "vacuum missed flat remnants")
   }
 }
