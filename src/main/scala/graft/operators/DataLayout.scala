@@ -147,6 +147,10 @@ object DataLayout {
     // silently size the rewrite from bytes=0 -> one giant output partition
     def parquetFiles(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] = {
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      // a nonexistent path must fall through to the friendly require below
+      // (the mistyped-path case), not surface as a raw Hadoop
+      // FileNotFoundException from listFiles
+      if (!fs.exists(p)) return Seq.empty
       val it = fs.listFiles(p, true)
       val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
       while (it.hasNext) {
@@ -156,7 +160,8 @@ object DataLayout {
       out.result()
     }
     val before = parquetFiles(new org.apache.hadoop.fs.Path(zoneDir))
-    require(before.nonEmpty, s"compact target $zoneDir holds no parquet files")
+    require(before.nonEmpty,
+      s"compact target $zoneDir does not exist or holds no parquet files")
     val bytes = before.map(_.getLen).sum
     val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val df = spark.read.parquet(zoneDir)

@@ -201,6 +201,16 @@ object TemporalJoins {
     * covering-bucket fan-out dies here) and removed by one left-anti join
     * on `leftId`. `leftTs`/`rightTs` must be distinct column names (they
     * meet inside one joined frame).
+    *
+    * CONTRACT: `leftId` must be a UNIQUE, NON-NULL row identifier. The
+    * anti-join removes rows by id value, so rows SHARING an id conflate:
+    * if any one of them matched, all of them are removed. Null ids
+    * conflate the same way under the null-safe equality below (all null-id
+    * rows drop if any null-id row matched) — and under a plain equi-anti
+    * they would mis-conflate in the OPPOSITE direction (a null-id row that
+    * DID match would be retained as "unmatched"). When left rows carry no
+    * natural unique id, synthesize one (`monotonically_increasing_id()`)
+    * before calling.
     */
   def boundedRangeAnti(
       left: DataFrame,

@@ -321,8 +321,8 @@ object Sketches {
     * Returns, per group, the interpolated value
     * per requested percentile (`quantile_cont` semantics: v = v_floor +
     * frac·(v_ceil − v_floor) at pos = (n−1)·p). Null values are ignored
-    * (SQL aggregate semantics); null group keys are not supported (the
-    * fixture's group key is non-null).
+    * (SQL aggregate semantics); null group keys are rejected loudly at
+    * entry (the task routing is equality-based, which never matches null).
     */
   def groupQuantilesExact(df0: DataFrame, keyCol: String,
       valCol: String, ps: Seq[Double], buckets: Int = SelBuckets,
@@ -337,6 +337,16 @@ object Sketches {
       .collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
       .toMap
+    // reject null GROUP KEYS up front with the same loud contract the NaN
+    // check below gets: a null key would flow into the stats map and then
+    // never match the inline CASE routing (col === key is never true for
+    // null), surfacing passes later as a baffling "rank missing from its
+    // histogram" — not as the contract error it is. SQL-GROUP-BY-style
+    // null-group support would need null-safe (<=>) routing throughout.
+    require(!stats.contains(null),
+      s"$keyCol contains null group keys: groupQuantilesExact routes " +
+        "refinement tasks by key equality, which never matches null - " +
+        "filter or coalesce null keys upstream")
     // reject NaN up front with a clear contract error: engines disagree on
     // NaN rank order, and driver-side NaN != NaN would otherwise surface
     // as a baffling progress-stall failure deep in the refinement.

@@ -115,4 +115,15 @@ class DataLayoutSpec extends SparkTestBase {
       .orderBy("doc_id").collect().toSeq
     assert(a === b)
   }
+
+  test("compact on a nonexistent path fails with the friendly diagnostic, not a raw FS error") {
+    // fs.listFiles throws FileNotFoundException before the require used to
+    // be reached, so a mistyped zone path surfaced as an unrelated-looking
+    // Hadoop error instead of the "holds no parquet files" contract message
+    val ghost = s"${scratch("compact-ghost")}/never-written"
+    val e = intercept[IllegalArgumentException] {
+      DataLayout.compact(spark, ghost, scratch("compact-ghost-out"), 1L << 20)
+    }
+    assert(e.getMessage.contains("does not exist or holds no parquet files"))
+  }
 }

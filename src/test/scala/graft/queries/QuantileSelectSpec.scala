@@ -15,7 +15,13 @@ class QuantileSelectSpec extends SparkTestBase {
   private val Ps = Seq(0.5, 0.9, 0.99)
 
   /** Reference implementation: driver-side sort + quantile_cont
-    * interpolation — O(n log n) on the test fixture, fine here.
+    * interpolation — O(n log n) on the test fixture, fine here. The
+    * lo==hi short-circuit is forced arithmetic, not convention (the plain
+    * formula gives Inf + 0·NaN = NaN when both endpoints are the same
+    * infinity); the -Inf-endpoint INTERPOLATION convention is deliberately
+    * NOT re-derived here — it is pinned by hard-coded literals in the
+    * ±Infinity test, so a wrong production convention cannot hide behind
+    * a reference that shares its branch.
     */
   private def expected(rows: Seq[(String, Double)],
       ps: Seq[Double]): Map[String, Seq[Double]] =
@@ -24,7 +30,7 @@ class QuantileSelectSpec extends SparkTestBase {
       k -> ps.map { p =>
         val pos = (s.length - 1) * p
         val (lo, hi) = (s(math.floor(pos).toInt), s(math.ceil(pos).toInt))
-        if (lo == hi || lo.isNegInfinity) lo
+        if (lo == hi) lo
         else lo + (pos - math.floor(pos)) * (hi - lo)
       }
     }
@@ -144,15 +150,18 @@ class QuantileSelectSpec extends SparkTestBase {
     val rows = (Seq(-inf, -inf, inf, inf) ++ synth(97, 11)).map("g" -> _)
     assert(rows.size === 101)
     check(rows, buckets = 8, collectAt = 1)
-    // NON-integral ranks across an infinite endpoint: lerp FROM -Inf is
-    // -Inf (the continuity limit; the naive formula gives -Inf+Inf=NaN),
-    // and a finite floor against a +Inf ceil is +Inf (formula already)
+    // NON-integral ranks across an infinite endpoint, pinned with
+    // HARD-CODED literals (the driver-side reference deliberately does
+    // not model this convention — see `expected`'s scaladoc): lerp FROM
+    // -Inf is -Inf at every fraction (the continuity limit; the naive
+    // formula gives -Inf+Inf=NaN), and a finite floor against a +Inf
+    // ceil is +Inf at every nonzero fraction
     val two = Seq("i" -> -inf, "i" -> 5.0, "j" -> 5.0, "j" -> inf)
-    check(two, buckets = 4, collectAt = 1) // p50: pos=0.5 on both groups
     val got = Sketches.groupQuantilesExact(
-      { import spark.implicits._; two.toDF("k", "v") }, "k", "v", Seq(0.5))
-    assert(got("i") === Seq(Double.NegativeInfinity))
-    assert(got("j") === Seq(inf))
+      { import spark.implicits._; two.toDF("k", "v") }, "k", "v",
+      Seq(0.25, 0.5, 0.75))
+    assert(got("i") === Seq(-inf, -inf, -inf))
+    assert(got("j") === Seq(inf, inf, inf))
     // NaN: a clear up-front contract error, not a deep progress stall
     import spark.implicits._
     val bad = Seq(("a", 1.0), ("a", Double.NaN), ("a", 3.0)).toDF("k", "v")
@@ -168,6 +177,19 @@ class QuantileSelectSpec extends SparkTestBase {
       .toDF("k", "v")
     val got = Sketches.groupQuantilesExact(df, "k", "v", Seq(0.5))
     assert(got === Map("a" -> Seq(2.0)))
+  }
+
+  test("null group keys fail the contract loudly at entry") {
+    import spark.implicits._
+    // a null key used to flow into the stats map, miss the equality-based
+    // CASE routing forever, and die passes later as "rank ... missing
+    // from its histogram" — an oblique symptom of a contract violation
+    val df = Seq((Some("a"), 1.0), (None: Option[String], 2.0),
+      (Some("a"), 3.0)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      Sketches.groupQuantilesExact(df, "k", "v", Seq(0.5))
+    }
+    assert(e.getMessage.contains("null group keys"))
   }
 
   /** The point of the rewrite: no WindowExec and no SortExec in any scan
