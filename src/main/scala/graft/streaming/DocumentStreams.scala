@@ -79,6 +79,12 @@ object DocumentStreams {
     */
   def dedupWithinWatermark(docs: DataFrame, delay: String): DataFrame =
     docs
+      // a row with no ingest clock cannot be placed on the horizon at all —
+      // drop it rather than hand the dedup state machinery a null event
+      // time (the same null-event-time posture as every watermarked
+      // operator in this tier; the GLOBAL variant needs no clock and keeps
+      // such rows)
+      .filter(col("event_ts").isNotNull)
       .select(md5(col("text")).as("text_md5"), col("doc_id"), col("event_ts"))
       .withWatermark("event_ts", delay)
       .dropDuplicatesWithinWatermark("text_md5")
@@ -200,6 +206,10 @@ object DocumentStreams {
       .as[(Long, String)]
       .groupByKey(_._1).mapValues(_._2)
     newDocs
+      // no ingest clock = no place on the TTL timeline, and the typed
+      // state function would NPE on event_ts.getTime — drop the row (the
+      // unbounded cdcVerdicts twin takes no clock and classifies it)
+      .filter(col("event_ts").isNotNull)
       .withWatermark("event_ts", watermarkDelay)
       .select(col("doc_id"), digest(col("text")).as("new_md5"), col("event_ts"))
       .as[DocArrival]
@@ -399,6 +409,10 @@ object DocumentStreams {
     import spark.implicits._
     graft.operators.TextDedup.minhashBandsInRow(docs, keep = Seq("event_ts"))
       .select(col("doc_id"), col("band"), col("bh"), col("event_ts"))
+      // same null-ingest-clock posture as dedupWithinWatermark: a null
+      // event_ts row has no horizon position and would NPE in the typed
+      // sort below — drop it (the global nearDupBandHits keeps it)
+      .filter(col("event_ts").isNotNull)
       .withWatermark("event_ts", s"$horizonMs milliseconds")
       .as[TsBandRow]
       .groupByKey(r => (r.band, r.bh))

@@ -59,6 +59,14 @@ object EventStreams {
   /** Streaming twin of e1: tumbling-hour counts/sums per event type, with a
     * 2-hour watermark bounding state for late data. Output formatting is
     * identical to the batch query so the two hash-match.
+    *
+    * Null-ts rows are deliberately NOT filtered here: `window(null)` lands
+    * them in a null window group, which the drained replay emits exactly
+    * like the batch GROUP BY's null-hour row — filtering would diverge
+    * from the twin. The cost is that the null group can never be evicted
+    * by the watermark (its window end compares null), so an UNBOUNDED
+    * deployment whose feed can carry null event times should drop them
+    * upstream; the aggregation state leak is one row.
     */
   def hourlyRollup(events: DataFrame): DataFrame =
     events
@@ -100,6 +108,13 @@ object EventStreams {
     * lateness, not to the replay span (a finite single-batch replay is
     * exact under any delay, because the watermark only moves between
     * batches).
+    *
+    * Null event times are DROPPED at entry: a row with no event time has
+    * no place on the session timeline (and sessionization is defined BY
+    * event time), and inside the typed state function it would otherwise
+    * NPE — one poison row killing a long-running stream. Matching the
+    * null-ts posture of the batch as-of family: such rows produce
+    * nothing, loudly documented rather than silently ranked.
     */
   def userSessions(events: Dataset[Ev], delay: String = "1 hour"): Dataset[UserSessions] = {
     import events.sparkSession.implicits._
@@ -114,6 +129,7 @@ object EventStreams {
           s.nSessions + (if (isBreak) 1 else 0), s.nEvents + 1)
       }
     events
+      .where(col("ts").isNotNull)
       .withWatermark("ts", delay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessBuf, UserSessions](
@@ -158,10 +174,16 @@ object EventStreams {
     * as-of result. Ties: among same-timestamp triggers the max event_id
     * wins (the batch window's (ts, trig_id) order); a trigger at exactly a
     * purchase's timestamp does NOT attribute (strict <, matching ASOF).
+    * Null event times are dropped at entry, exactly like the batch as-of
+    * contract (null-ts rows match nothing on either side — the r13
+    * TemporalJoins fix): a null-ts trigger must not attribute, a null-ts
+    * purchase must fall out unmatched, and the typed state function would
+    * otherwise NPE on one poison row.
     */
   def attribution(events: Dataset[AttrEv], delay: String = "1 hour"): Dataset[Attribution] = {
     import events.sparkSession.implicits._
     events
+      .where(col("ts").isNotNull)
       .withWatermark("ts", delay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[AttrBuf, Attribution](
@@ -272,7 +294,13 @@ object EventStreams {
     // scheme — the fan-out-vs-candidate-density tradeoff is measured on
     // TemporalJoins.boundedRange (2W wins in both regimes).
     val bucketWidth = 2 * windowUs
-    val p = purchaseEvents.filter(col("event_type") === "purchase")
+    // null ts rows could never PAIR anyway (their bucket is null and the
+    // equi-join drops them — same fallout as the batch twin), but in a
+    // stream-stream join they would still be STORED: a null event time
+    // defeats the watermark eviction compare, so each such row becomes a
+    // permanent state entry. Filter them before they enter state.
+    val p = purchaseEvents
+      .filter(col("event_type") === "purchase" && col("ts").isNotNull)
       .select(pCols: _*)
       .withWatermark("p_ts", delay)
       .withColumn("p_us", unix_micros(col("p_ts")))
@@ -280,7 +308,8 @@ object EventStreams {
         explode(array_distinct(array(
           expr(s"(p_us - $windowUs) DIV $bucketWidth"),
           expr(s"(p_us + $windowUs) DIV $bucketWidth")))))
-    val e = errorEvents.filter(col("event_type") === "error")
+    val e = errorEvents
+      .filter(col("event_type") === "error" && col("ts").isNotNull)
       .select(eCols: _*)
       .withWatermark("e_ts", delay)
       .withColumn("e_us", unix_micros(col("e_ts")))

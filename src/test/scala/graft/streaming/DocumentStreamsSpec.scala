@@ -104,4 +104,64 @@ class DocumentStreamsSpec extends SparkTestBase {
     assert(got.nonEmpty && got.size === want.size)
     got.zip(want).foreach { case (a, b) => assert(a === b) }
   }
+
+  test("null ingest clocks drop at entry of the watermarked document operators") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val nullTs: Timestamp = null
+    val t0 = Timestamp.valueOf("2026-01-01 10:00:00")
+
+    // bounded dedup: a null-clock row neither emits nor occupies state
+    val dd = MemoryStream[(Long, String, Timestamp)]
+    val ddQ = DocumentStreams.dedupWithinWatermark(
+      dd.toDF().toDF("doc_id", "text", "event_ts"), "10 minutes")
+      .writeStream.queryName("nullclock_dd")
+      .outputMode(OutputMode.Append()).format("memory").start()
+    try {
+      dd.addData((1L, "alpha", t0), (2L, "beta", nullTs), (3L, "alpha", t0))
+      ddQ.processAllAvailable()
+      val kept = spark.table("nullclock_dd").select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(kept === Set(1L), s"wrong survivors: $kept")
+    } finally ddQ.stop()
+
+    // TTL CDC: the null-clock arrival is dropped (it used to NPE arming
+    // the eviction clock); clocked arrivals still classify
+    val cdc = MemoryStream[(Long, String, Timestamp)]
+    val old = Seq((1L, "old text")).toDF("doc_id", "text")
+    val cdcQ = DocumentStreams.cdcVerdictsWithTtl(
+      cdc.toDF().toDF("doc_id", "text", "event_ts"), old, ttlMs = 3600000L)
+      .toDF()
+      .writeStream.queryName("nullclock_cdc")
+      .outputMode(OutputMode.Append()).format("memory").start()
+    try {
+      cdc.addData((1L, "new text", t0), (2L, "added doc", nullTs))
+      cdcQ.processAllAvailable()
+      val verdicts = spark.table("nullclock_cdc").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(verdicts === Map(1L -> "modified"), s"wrong verdicts: $verdicts")
+    } finally cdcQ.stop()
+
+    // bounded near-dup: the null-clock doc is not flagged and does not
+    // seed buckets (it used to NPE in the event-time sort)
+    val nd = MemoryStream[(Long, String, Timestamp)]
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val ndQ = DocumentStreams.nearDupBandHitsWithinWatermark(
+      nd.toDF().toDF("doc_id", "text", "event_ts"), horizonMs = 3600000L)
+      .toDF()
+      .writeStream.queryName("nullclock_nd")
+      .outputMode(OutputMode.Append()).format("memory").start()
+    try {
+      nd.addData((1L, text, nullTs), (2L, text, t0),
+        (3L, text, new Timestamp(t0.getTime + 1000)))
+      ndQ.processAllAvailable()
+      val hits = spark.table("nullclock_nd").groupBy("doc_id")
+        .agg(max(col("hit").cast("int")).as("h")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      // doc 1 never appears (dropped); doc 2 seeds; doc 3 hits doc 2
+      assert(hits === Map(2L -> 0, 3L -> 1), s"wrong hits: $hits")
+    } finally ndQ.stop()
+  }
 }
