@@ -90,11 +90,15 @@ object ExportJob {
 
   private def fsOf(p: Path): FileSystem = p.getFileSystem(hadoopConf)
 
-  private def isDir(root: String, name: String): Boolean = {
-    val p = new Path(root, name)
-    val fs = fsOf(p)
-    fs.exists(p) && fs.getFileStatus(p).isDirectory
-  }
+  private def isDir(root: String, name: String): Boolean =
+    isDirPath(new Path(root, name))
+
+  // one metadata round-trip, not two: FileSystem.exists is itself a
+  // getFileStatus in a try/catch, and this runs once per shard id on
+  // maintenance paths — 2x the RPC count on a remote store otherwise
+  private def isDirPath(p: Path): Boolean =
+    try fsOf(p).getFileStatus(p).isDirectory
+    catch { case _: java.io.FileNotFoundException => false }
 
   /** Entire content of a small metadata file, None if absent. */
   private def readSmallFile(p: Path): Option[String] = {
@@ -117,8 +121,12 @@ object ExportJob {
     * `FileContext.rename(OVERWRITE)` is the POSIX-rename equivalent
     * (atomic on HDFS and the local FS); a filesystem with no
     * AbstractFileSystem binding (some object-store mounts) falls back to
-    * delete-then-rename — a weaker, non-atomic publish, no worse than a
-    * direct write there, and the strongest primitive such stores offer.
+    * delete-then-rename — a weaker publish with a crash window in which
+    * the file is ABSENT. For the marker/manifest that reads as a
+    * legacy/manifest-less zone (self-healing paths exist); for the layout
+    * POINTER an absent file would silently resolve a versioned zone as
+    * flat, so [[zoneDataRoot]] detects the orphaned-versioned-dirs
+    * signature and refuses loudly instead.
     */
   private def writeMetaFile(dir: String, name: String, body: String): Unit = {
     val target = new Path(dir, name)
@@ -165,7 +173,23 @@ object ExportJob {
     * fresh one.
     */
   def zoneDataRoot(outDir: String): String = readLayoutPointer(outDir) match {
-    case None => outDir
+    case None =>
+      // LOST-POINTER detection: versioned layout dirs with NO pointer and
+      // NO flat layout at the root is not a legal state this code ever
+      // writes (a crashed staging run leaves the flat layout in place; a
+      // vacuumed versioned zone keeps its pointer) — it is the signature
+      // of a pointer file lost to a non-atomic-rename filesystem's
+      // delete+rename fallback window. Resolving it as "flat" would make
+      // a POPULATED zone look brand-new (the silent-remap hazard), so
+      // refuse loudly and name the repair.
+      if (!flatHasLayout(outDir) && versionedLayoutDirs(outDir).nonEmpty)
+        throw new IllegalStateException(
+          s"export zone $outDir has versioned layout directories " +
+            s"(${versionedLayoutDirs(outDir).mkString(", ")}) but no " +
+            s"$LayoutPointerName pointer and no flat layout - the pointer " +
+            "was likely lost to a non-atomic metadata filesystem; restore " +
+            s"it by writing $LayoutPointerName naming the live directory")
+      outDir
     case Some(name) =>
       require(LayoutDirPattern.matches(name),
         s"export zone $outDir has a corrupt layout pointer ('$name')")
@@ -173,6 +197,22 @@ object ExportJob {
         s"export zone $outDir points at layout $name but the directory " +
           "is missing - the zone is corrupt (live layout deleted by hand?)")
       new Path(outDir, name).toString
+  }
+
+  /** Whether the zone ROOT itself (ignoring any pointer) holds a flat
+    * layout — shard data or a manifest. Used only by the lost-pointer
+    * check above; pointered zones resolve through [[zoneDataRoot]].
+    */
+  private def flatHasLayout(outDir: String): Boolean = zoneHasLayout(outDir)
+
+  /** Names of the zone's versioned layout directories (one listing). */
+  private def versionedLayoutDirs(outDir: String): Seq[String] = {
+    val p = new Path(outDir)
+    val fs = fsOf(p)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && LayoutDirPattern.matches(st.getPath.getName))
+      .map(_.getPath.getName).sorted
   }
 
   /** Explicit env override of the creation-time shard count, clamped to
@@ -558,19 +598,37 @@ object ExportJob {
     require(newShards >= 1, s"newShards must be >= 1, got $newShards")
     val zonePath = new Path(outDir)
     val fs = fsOf(zonePath)
+    // pre-versioned-scheme debris (the old two-rename swap): a crash
+    // between its renames left the zone at '<out>.__reshard_old__' with no
+    // live dir — roll it back; a finished swap's leftover next to a live
+    // zone is debris — drop it. Zones written by this scheme never create
+    // these paths, so this is pure migration/repair.
+    val legacyOld = new Path(outDir + ".__reshard_old__")
+    if (isDirPath(legacyOld)) {
+      if (fs.exists(zonePath)) fs.delete(legacyOld, true)
+      else require(fs.rename(legacyOld, zonePath),
+        s"failed to roll back legacy reshard debris $legacyOld to $outDir")
+    }
+    val legacyTmp = new Path(outDir + ".__reshard__")
+    if (isDirPath(legacyTmp)) fs.delete(legacyTmp, true)
     // a migration needs a zone: refuse a path that holds neither data nor
     // metadata rather than conjuring an empty marker-only directory
     require(fs.exists(zonePath) && fs.getFileStatus(zonePath).isDirectory,
       s"reshard target $outDir does not exist - nothing to migrate")
-    // entry sweep: every versioned layout dir the pointer does NOT name is
-    // debris — staging from a crashed migration (never published) or a
-    // superseded layout a prior migration retained for its readers
+    // resolve (and VALIDATE) the pointer before any deletion: a corrupt or
+    // dangling pointer must fail here, loudly, while every layout dir is
+    // still intact — sweeping first would destroy the live layout (corrupt
+    // case) or the retained recovery copy (dangling case) and then tell
+    // the operator to repair a zone the same call just emptied
+    val root = zoneDataRoot(outDir)
+    // entry sweep: every versioned layout dir the (validated) pointer does
+    // NOT name is debris — staging from a crashed migration (never
+    // published) or a superseded layout retained for in-flight readers
     val pointed = readLayoutPointer(outDir)
     for (st <- fs.listStatus(zonePath)
          if st.isDirectory && LayoutDirPattern.matches(st.getPath.getName)
          if !pointed.contains(st.getPath.getName))
       fs.delete(st.getPath, true)
-    val root = zoneDataRoot(outDir)
     val cur = rootShards(root).getOrElse {
       // legacy-zone adoption verifies like resolveZoneShards: an adopted
       // count that happens to equal newShards would otherwise no-op AND
@@ -616,13 +674,18 @@ object ExportJob {
     val zonePath = new Path(outDir)
     val fs = fsOf(zonePath)
     if (!fs.exists(zonePath)) return
-    val pointed = readLayoutPointer(outDir)
-    if (pointed.isEmpty) return // flat zone: the root IS the live layout
+    if (readLayoutPointer(outDir).isEmpty)
+      return // flat zone: the root IS the live layout
+    // VALIDATE the pointer before deleting anything: on a corrupt or
+    // dangling pointer, zoneDataRoot throws — without this, a garbage
+    // pointer value would match no directory name and the sweep below
+    // would delete every layout (the live one included) and return
+    // success. Validation makes vacuum strictly unable to touch live data.
+    val live = new Path(zoneDataRoot(outDir)).getName
     for (st <- fs.listStatus(zonePath)) {
       val name = st.getPath.getName
       val superseded =
-        (st.isDirectory && LayoutDirPattern.matches(name) &&
-          !pointed.contains(name)) ||
+        (st.isDirectory && LayoutDirPattern.matches(name) && name != live) ||
           (st.isDirectory && name.startsWith("shard_id=")) ||
           name == ManifestName || name == ShardsMarkerName
       if (superseded) fs.delete(st.getPath, true)

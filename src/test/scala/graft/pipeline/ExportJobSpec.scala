@@ -606,6 +606,84 @@ class ExportJobSpec extends SparkTestBase {
     assert(ExportJob.readZone(spark, out).count() === rows)
   }
 
+  test("corrupt, dangling, or lost layout pointers fail loudly and destroy nothing") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val corpus = scratch("ptr-corpus")
+    docs.write.mode("overwrite").parquet(s"$corpus/documents.parquet")
+    val out = scratch("ptr-export")
+    ExportJob.writeTrainingShardsIncremental(spark, corpus, out)
+    val rows = ExportJob.readZone(spark, out).count()
+    ExportJob.reshard(spark, out, 5)
+    ExportJob.vacuumLayouts(out)
+    val live = new File(ExportJob.zoneDataRoot(out))
+    val pointer = new File(out, "_graft_layout")
+
+    def writePointer(s: String): Unit = {
+      // drop the Hadoop checksum sidecar: hand-editing the pointer with
+      // java.nio leaves the FS-written .crc stale, and the local
+      // ChecksumFileSystem would fail the read with a ChecksumException
+      // instead of exercising the contract under test
+      new File(out, "._graft_layout.crc").delete()
+      java.nio.file.Files.write(pointer.toPath, s.getBytes)
+    }
+
+    // CORRUPT pointer: vacuum must refuse BEFORE deleting — a garbage
+    // value matches no directory name, so an unvalidated sweep would have
+    // deleted every layout including the live one and returned success
+    writePointer("_layout_v")
+    intercept[IllegalArgumentException] { ExportJob.vacuumLayouts(out) }
+    assert(live.isDirectory, "vacuum destroyed the live layout on a corrupt pointer")
+    intercept[IllegalArgumentException] { ExportJob.reshard(spark, out, 7) }
+    assert(live.isDirectory, "reshard's sweep destroyed the live layout on a corrupt pointer")
+
+    // DANGLING pointer (names a missing dir): same refusal, and a retained
+    // predecessor layout must survive as the recovery copy
+    writePointer("_layout_v9\n")
+    intercept[IllegalArgumentException] { ExportJob.vacuumLayouts(out) }
+    intercept[IllegalArgumentException] { ExportJob.reshard(spark, out, 7) }
+    assert(live.isDirectory, "the recovery copy was swept under a dangling pointer")
+
+    // LOST pointer (the non-atomic-fallback crash window): versioned dirs
+    // with no pointer and no flat layout must NOT resolve as a fresh flat
+    // zone — that is the silent-remap hazard — but refuse, naming the repair
+    assert(pointer.delete())
+    val e = intercept[IllegalStateException] { ExportJob.zoneShards(out) }
+    assert(e.getMessage.contains("no _graft_layout pointer"))
+    intercept[IllegalStateException] {
+      ExportJob.deleteFromShards(spark, out, Seq(1L))
+    }
+    // the named repair restores the zone fully
+    writePointer(live.getName + "\n")
+    assert(ExportJob.readZone(spark, out).count() === rows)
+    assert(ExportJob.zoneShards(out) === Some(5))
+  }
+
+  test("reshard repairs pre-versioned-scheme crash debris") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val corpus = scratch("legacydebris-corpus")
+    docs.write.mode("overwrite").parquet(s"$corpus/documents.parquet")
+    val out = scratch("legacydebris-export")
+    ExportJob.writeTrainingShardsIncremental(spark, corpus, out)
+    val rows = ExportJob.readZone(spark, out).count()
+    val old = new File(out + ".__reshard_old__")
+    val tmp = new File(out + ".__reshard__")
+
+    // crash BETWEEN the old scheme's two renames: zone stranded at the
+    // sibling path, no live dir — reshard must roll it back, then migrate
+    java.nio.file.Files.move(new File(out).toPath, old.toPath)
+    assert(!new File(out).exists())
+    ExportJob.reshard(spark, out, 5)
+    assert(!old.exists() && ExportJob.zoneShards(out) === Some(5))
+    assert(ExportJob.readZone(spark, out).count() === rows)
+
+    // finished-swap leftovers next to a live zone: swept, not accumulated
+    java.nio.file.Files.createDirectories(old.toPath)
+    java.nio.file.Files.createDirectories(tmp.toPath)
+    ExportJob.reshard(spark, out, 5) // same-count entry repairs still run
+    assert(!old.exists() && !tmp.exists(), "legacy debris not cleaned")
+    assert(ExportJob.readZone(spark, out).count() === rows)
+  }
+
   test("zone metadata works on a scheme-qualified path (the hdfs/s3a deployment shape)") {
     // the r13 finding: a java.io.File metadata layer on a scheme path
     // silently sees NOTHING — a populated zone "verifies vacuously" as
