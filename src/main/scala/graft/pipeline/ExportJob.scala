@@ -174,21 +174,39 @@ object ExportJob {
     */
   def zoneDataRoot(outDir: String): String = readLayoutPointer(outDir) match {
     case None =>
-      // LOST-POINTER detection: versioned layout dirs with NO pointer and
-      // NO flat layout at the root is not a legal state this code ever
-      // writes (a crashed staging run leaves the flat layout in place; a
-      // vacuumed versioned zone keeps its pointer) — it is the signature
-      // of a pointer file lost to a non-atomic-rename filesystem's
-      // delete+rename fallback window. Resolving it as "flat" would make
-      // a POPULATED zone look brand-new (the silent-remap hazard), so
-      // refuse loudly and name the repair.
-      if (!flatHasLayout(outDir) && versionedLayoutDirs(outDir).nonEmpty)
-        throw new IllegalStateException(
-          s"export zone $outDir has versioned layout directories " +
-            s"(${versionedLayoutDirs(outDir).mkString(", ")}) but no " +
-            s"$LayoutPointerName pointer and no flat layout - the pointer " +
-            "was likely lost to a non-atomic metadata filesystem; restore " +
-            s"it by writing $LayoutPointerName naming the live directory")
+      // ORPHANED-ZONE detection, one root listing (free on nonexistent
+      // paths). Two states would otherwise resolve a POPULATED zone as
+      // empty/new — the silent-remap hazard — so both refuse loudly,
+      // naming the repair:
+      //  - versioned layout dirs with NO pointer and NO flat layout: not
+      //    a state this code ever writes (crashed staging leaves the flat
+      //    layout; vacuum keeps the pointer) — the signature of a pointer
+      //    lost to a non-atomic-rename filesystem's delete+rename window;
+      //  - an absent/empty root with legacy two-rename debris at the
+      //    sibling path: a pre-versioned reshard crashed between its
+      //    renames (only reshard repairs this — a delete/upsert/export
+      //    must not quietly no-op or recreate a fresh zone beside the
+      //    stranded data).
+      val names = rootChildNames(outDir)
+      val flatLayout = names.exists(_.startsWith("shard_id=")) ||
+        names.contains(ManifestName)
+      if (!flatLayout) {
+        val versioned = names.filter(LayoutDirPattern.matches).sorted
+        if (versioned.nonEmpty)
+          throw new IllegalStateException(
+            s"export zone $outDir has versioned layout directories " +
+              s"(${versioned.mkString(", ")}) but no $LayoutPointerName " +
+              "pointer and no flat layout - the pointer was likely lost " +
+              "to a non-atomic metadata filesystem; restore it by writing " +
+              s"$LayoutPointerName naming the live directory")
+        val legacy = legacySibling(outDir, ".__reshard_old__")
+        if (isDirPath(legacy))
+          throw new IllegalStateException(
+            s"export zone $outDir is absent or empty but legacy reshard " +
+              s"debris exists at $legacy - a pre-versioned reshard " +
+              "crashed between its renames; run ExportJob.reshard on the " +
+              "zone to roll it back before any other maintenance")
+      }
       outDir
     case Some(name) =>
       require(LayoutDirPattern.matches(name),
@@ -199,20 +217,23 @@ object ExportJob {
       new Path(outDir, name).toString
   }
 
-  /** Whether the zone ROOT itself (ignoring any pointer) holds a flat
-    * layout — shard data or a manifest. Used only by the lost-pointer
-    * check above; pointered zones resolve through [[zoneDataRoot]].
-    */
-  private def flatHasLayout(outDir: String): Boolean = zoneHasLayout(outDir)
+  /** Child names of a directory, empty when it does not exist (one RPC). */
+  private def rootChildNames(dir: String): Seq[String] = {
+    val p = new Path(dir)
+    try fsOf(p).listStatus(p).toSeq.map(_.getPath.getName)
+    catch { case _: java.io.FileNotFoundException => Seq.empty }
+  }
 
-  /** Names of the zone's versioned layout directories (one listing). */
-  private def versionedLayoutDirs(outDir: String): Seq[String] = {
-    val p = new Path(outDir)
-    val fs = fsOf(p)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq
-      .filter(st => st.isDirectory && LayoutDirPattern.matches(st.getPath.getName))
-      .map(_.getPath.getName).sorted
+  /** Sibling path of the zone root (`<outDir><suffix>`), built from the
+    * NORMALIZED parent/name — raw string concatenation would turn a
+    * trailing-slash `outDir` into a CHILD path and silently miss the
+    * legacy debris the old two-rename scheme wrote as a true sibling.
+    */
+  private def legacySibling(outDir: String, suffix: String): Path = {
+    val base = new Path(outDir)
+    Option(base.getParent)
+      .map(new Path(_, base.getName + suffix))
+      .getOrElse(new Path(base.getName + suffix))
   }
 
   /** Explicit env override of the creation-time shard count, clamped to
@@ -603,17 +624,17 @@ object ExportJob {
     // live dir — roll it back; a finished swap's leftover next to a live
     // zone is debris — drop it. Zones written by this scheme never create
     // these paths, so this is pure migration/repair.
-    val legacyOld = new Path(outDir + ".__reshard_old__")
+    val legacyOld = legacySibling(outDir, ".__reshard_old__")
     if (isDirPath(legacyOld)) {
       if (fs.exists(zonePath)) fs.delete(legacyOld, true)
       else require(fs.rename(legacyOld, zonePath),
         s"failed to roll back legacy reshard debris $legacyOld to $outDir")
     }
-    val legacyTmp = new Path(outDir + ".__reshard__")
+    val legacyTmp = legacySibling(outDir, ".__reshard__")
     if (isDirPath(legacyTmp)) fs.delete(legacyTmp, true)
     // a migration needs a zone: refuse a path that holds neither data nor
     // metadata rather than conjuring an empty marker-only directory
-    require(fs.exists(zonePath) && fs.getFileStatus(zonePath).isDirectory,
+    require(isDirPath(zonePath),
       s"reshard target $outDir does not exist - nothing to migrate")
     // resolve (and VALIDATE) the pointer before any deletion: a corrupt or
     // dangling pointer must fail here, loudly, while every layout dir is
@@ -621,10 +642,15 @@ object ExportJob {
     // case) or the retained recovery copy (dangling case) and then tell
     // the operator to repair a zone the same call just emptied
     val root = zoneDataRoot(outDir)
+    // the sweep's keep-name derives from the VALIDATED root — a second
+    // pointer read here could disagree with the one zoneDataRoot just
+    // validated (concurrent publish, or the non-atomic fallback's absent
+    // window) and the sweep would then key deletion off an unvalidated
+    // value, destroying the live layout
+    val pointed = if (root == outDir) None else Some(new Path(root).getName)
     // entry sweep: every versioned layout dir the (validated) pointer does
     // NOT name is debris — staging from a crashed migration (never
     // published) or a superseded layout retained for in-flight readers
-    val pointed = readLayoutPointer(outDir)
     for (st <- fs.listStatus(zonePath)
          if st.isDirectory && LayoutDirPattern.matches(st.getPath.getName)
          if !pointed.contains(st.getPath.getName))
@@ -674,14 +700,25 @@ object ExportJob {
     val zonePath = new Path(outDir)
     val fs = fsOf(zonePath)
     if (!fs.exists(zonePath)) return
-    if (readLayoutPointer(outDir).isEmpty)
-      return // flat zone: the root IS the live layout
-    // VALIDATE the pointer before deleting anything: on a corrupt or
-    // dangling pointer, zoneDataRoot throws — without this, a garbage
-    // pointer value would match no directory name and the sweep below
-    // would delete every layout (the live one included) and return
-    // success. Validation makes vacuum strictly unable to touch live data.
-    val live = new Path(zoneDataRoot(outDir)).getName
+    // read the pointer ONCE and validate THAT value before deleting
+    // anything. Two hazards, one discipline: a garbage pointer matches no
+    // directory name, so an unvalidated sweep would delete every layout
+    // (the live one included) and return success; and a SECOND read (e.g.
+    // re-resolving via zoneDataRoot) could land in a concurrent publish's
+    // absent window on a non-atomic-fallback filesystem and fall back to
+    // "flat", with the same total deletion. One read pins one decision —
+    // validation makes vacuum strictly unable to touch live data.
+    val live = readLayoutPointer(outDir) match {
+      case None => return // flat zone: the root IS the live layout
+      case Some(name) =>
+        require(LayoutDirPattern.matches(name),
+          s"export zone $outDir has a corrupt layout pointer ('$name') - " +
+            "refusing to vacuum")
+        require(isDir(outDir, name),
+          s"export zone $outDir points at layout $name but the directory " +
+            "is missing - the zone is corrupt; refusing to vacuum")
+        name
+    }
     for (st <- fs.listStatus(zonePath)) {
       val name = st.getPath.getName
       val superseded =

@@ -672,6 +672,16 @@ class ExportJobSpec extends SparkTestBase {
     // sibling path, no live dir — reshard must roll it back, then migrate
     java.nio.file.Files.move(new File(out).toPath, old.toPath)
     assert(!new File(out).exists())
+    // every OTHER operation must refuse the stranded state loudly, naming
+    // reshard as the repair: a delete quietly no-op'ing (victims live on
+    // in the debris) or an export recreating a fresh zone BESIDE the
+    // stranded data would be the silent hazard class again
+    val e = intercept[IllegalStateException] { ExportJob.zoneShards(out) }
+    assert(e.getMessage.contains("reshard"))
+    intercept[IllegalStateException] {
+      ExportJob.deleteFromShards(spark, out, Seq(1L))
+    }
+    assert(old.isDirectory, "the refusal must not touch the stranded data")
     ExportJob.reshard(spark, out, 5)
     assert(!old.exists() && ExportJob.zoneShards(out) === Some(5))
     assert(ExportJob.readZone(spark, out).count() === rows)
