@@ -143,8 +143,23 @@ object CleanJob {
       .map(r => (r.getString(0), r.getString(1), r.getString(2)))
     if (keys.isEmpty) return
     val partitions = keys.map(k => (k._1, k._2)).distinct
+    // decide "first batch" by LOOKING at the zone (one listing), never by
+    // catching AnalysisException from the read: that exception also covers
+    // a schema-evolved zone missing a clean column or a corrupted
+    // partition that breaks inference, and treating those as "no zone yet"
+    // would merge against an EMPTY basis and install batch-only partition
+    // dirs over live ones -- silently deleting every retained row this
+    // merge exists to keep. A zone that exists but cannot be read must
+    // fail the batch loudly (the streaming retry re-runs it).
+    val zoneHasData = fs.exists(livePath) &&
+      fs.listStatus(livePath).exists(st =>
+        st.isDirectory && st.getPath.getName.contains("="))
     val existing =
-      try {
+      if (!zoneHasData)
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          cleanedBatch.schema)
+      else {
         val sep = "\u0001" // never appears in path-derived values
         val fileKey = concat_ws(sep,
           col("province"), col("date_range"), col("source_file"))
@@ -154,11 +169,6 @@ object CleanJob {
           }.reduce(_ || _))
           .filter(!fileKey.isin(keys.map(k => s"${k._1}$sep${k._2}$sep${k._3}"): _*))
           .select(ProductSchema.cleanColumns.map(col): _*)
-      } catch {
-        case _: org.apache.spark.sql.AnalysisException => // first batch: no zone yet
-          spark.createDataFrame(
-            new java.util.ArrayList[org.apache.spark.sql.Row](),
-            cleanedBatch.schema)
       }
     val merged = existing
       .union(cleanedBatch.select(ProductSchema.cleanColumns.map(col): _*))
@@ -229,7 +239,13 @@ object CleanJob {
     // warehouse dir may need URI escaping — both are its business, not ours
     val loc = spark.sessionState.catalog.defaultTablePath(
       org.apache.spark.sql.catalyst.TableIdentifier(tableName))
-    graft.core.FsUtil.deleteRecursively(new java.io.File(loc).getPath)
+    // delete through the location's own Hadoop filesystem: a warehouse on
+    // hdfs://'/s3a:// makes new java.io.File(loc) throw (non-file URI
+    // scheme), and a local-only delete could never clear a remote orphan —
+    // the LOCATION_ALREADY_EXISTS failure this exists to prevent
+    val locPath = new org.apache.hadoop.fs.Path(loc)
+    locPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(locPath, true)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     df.write
       .mode("overwrite")
@@ -239,11 +255,25 @@ object CleanJob {
   }
 
   /** Full batch run (the `bulk_clean.sh` equivalent, E3): read every silver
-    * file, clean, write the partitioned clean zone, return the re-read
-    * result — one job replaces the reference's O(files) Lambda round-trips.
+    * file, clean, write the partitioned clean zone AND the quarantine zone,
+    * return the re-read clean result — one job replaces the reference's
+    * O(files) Lambda round-trips. The quarantine write is the batch half of
+    * the nothing-silently-disappears contract: clean() + quarantined()
+    * partition the input, and the streaming path (PipelineStreams
+    * .cleanStream) already lands the quarantine rows — a batch backfill
+    * that dropped them would silently lose exactly the rows a re-run is
+    * usually chasing. Persisted once: the clean write and the quarantine
+    * probe both consume the multiLine JSON parse.
     */
   def run(spark: SparkSession, silverGlob: String, cleanRoot: String): DataFrame = {
-    writeClean(clean(readSilver(spark, silverGlob)), cleanRoot)
+    val silver = readSilver(spark, silverGlob)
+    silver.persist()
+    try {
+      writeClean(clean(silver), cleanRoot)
+      val q = quarantined(silver)
+      if (!q.isEmpty)
+        q.write.mode("append").parquet(s"${cleanRoot}_quarantine")
+    } finally silver.unpersist()
     spark.read.parquet(cleanRoot)
   }
 }

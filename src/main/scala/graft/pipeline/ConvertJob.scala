@@ -58,21 +58,26 @@ object ConvertJob {
     import org.apache.spark.sql.Row
     pages.select("province", "flyer", "page_number", "image")
       .foreachPartition { rows: Iterator[Row] =>
-        import java.nio.file.{Files, Paths}
-        rows.foreach { r =>
-          val p = Paths.get(
-            s"$interimRoot/PnP/${r.getString(0)}/${r.getString(1)}/page_${r.getLong(2)}.jpg")
-          Files.createDirectories(p.getParent)
-          Files.write(p, r.getAs[Array[Byte]](3))
-        }
+        // Hadoop FS, not java.nio: a scheme'd interim root must reach the
+        // real filesystem, not a relative local path (see ExecutorFs)
+        ExecutorFs.writeFiles(rows,
+          r => if (r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(2)) null
+            else s"$interimRoot/PnP/${r.getString(0)}/${r.getString(1)}/page_${r.getLong(2)}.jpg",
+          _.getAs[Array[Byte]](3))
       }
   }
 
   /** Full batch run: raw PDFs → page JPEGs on disk, returning the pages
-    * frame for chaining.
+    * frame for chaining. Cached before the sink (CropJob.run's discipline):
+    * an uncached return would re-rasterize every PDF on each consumer
+    * action AND re-list the raw zone, so files arriving between the write
+    * and the consumption would appear in the frame with no JPEG on disk.
+    * The refresh first drops any PRIOR run's cache entry over the same
+    * path — the CacheManager matches by analyzed plan, not file mtimes.
     */
   def run(spark: SparkSession, rawRoot: String, interimRoot: String): DataFrame = {
-    val p = pages(readPdfs(spark, rawRoot))
+    spark.catalog.refreshByPath(rawRoot)
+    val p = pages(readPdfs(spark, rawRoot)).cache()
     writeImages(p, interimRoot)
     p
   }

@@ -85,7 +85,14 @@ object CropJob {
       ImageOps.cropJpeg(img, l, t, r, b))
     val padded = BboxOps.padClamp(col("bbox"))
     val px = BboxOps.toPixels(padded, col("img_w").cast("double"), col("img_h").cast("double"))
-    val name = coalesce(col("product_name"), concat(lit("product_"), col("i").cast("string")))
+    // fall back to product_<i> whenever the SANITIZED name is empty, not
+    // only when it is null: the reference's Python falsiness check treats
+    // "" like missing, and a name of special characters only ("???")
+    // sanitizes to "" — a null-only coalesce produced the degenerate
+    // "<i>_.jpg" filename for both
+    val sanitized = ProductNormalize.sanitizeFilename(col("product_name"))
+    val name = when(sanitized.isNull || length(sanitized) === 0,
+      concat(lit("product_"), col("i").cast("string"))).otherwise(sanitized)
     val dims = udf((b: Array[Byte]) => ImageOps.decodeDims(b))
     pages.join(broadcast(products), Seq("page_key"))
       .withColumn("_px", px)
@@ -94,8 +101,7 @@ object CropJob {
           col("_px.right"), col("_px.bottom")))
       .filter(col("crop").isNotNull)
       .withColumn("crop_file",
-        concat(col("i").cast("string"), lit("_"),
-          ProductNormalize.sanitizeFilename(name), lit(".jpg")))
+        concat(col("i").cast("string"), lit("_"), name, lit(".jpg")))
       .withColumn("_cdims", dims(col("crop")))
       .select(col("page_key"), col("i").cast("long").as("i"),
         col("product_name"), col("crop_file"), col("crop"),
@@ -109,12 +115,12 @@ object CropJob {
     import org.apache.spark.sql.Row
     crops.select("page_key", "crop_file", "crop")
       .foreachPartition { rows: Iterator[Row] =>
-        import java.nio.file.{Files, Paths}
-        rows.foreach { r =>
-          val p = Paths.get(s"$shrRoot/PnP/${r.getString(0)}/${r.getString(1)}")
-          Files.createDirectories(p.getParent)
-          Files.write(p, r.getAs[Array[Byte]](2))
-        }
+        // Hadoop FS, not java.nio: a scheme'd shr root must reach the
+        // real filesystem, not a relative local path (see ExecutorFs)
+        ExecutorFs.writeFiles(rows,
+          r => if (r.isNullAt(0) || r.isNullAt(1)) null
+            else s"$shrRoot/PnP/${r.getString(0)}/${r.getString(1)}",
+          _.getAs[Array[Byte]](2))
       }
   }
 
@@ -139,8 +145,14 @@ object CropJob {
     // `.../part-*.json` must refresh `.../` (the dir), not the dangling
     // `.../part-` fragment, which matches nothing and no-ops silently.
     val fixedPrefix = silverGlob.takeWhile(c => !"*?[{".contains(c))
+    // a RELATIVE glob whose fixed prefix has no '/' (e.g. "data*.json")
+    // would otherwise truncate to a bogus one-character path that matches
+    // no cache entry and no-ops silently — refresh the working directory
+    // (the base such a glob resolves against) so the stale-cache guard
+    // still bites
+    val cut = fixedPrefix.lastIndexOf('/')
     spark.catalog.refreshByPath(
-      fixedPrefix.substring(0, math.max(fixedPrefix.lastIndexOf('/'), 1)))
+      if (cut < 0) "." else fixedPrefix.substring(0, math.max(cut, 1)))
     val c = crops(pagesWithKey(readImages(spark, interimRoot)),
       productsWithKey(spark, silverGlob)).cache()
     writeCrops(c, shrRoot)

@@ -41,9 +41,19 @@ object ExtractJob {
     * array + a status column. The extractor call is a plain UDF (opaque
     * client work, SURVEY §2.11); a per-partition pooled client would move
     * it to mapPartitions without changing the frame contract.
+    *
+    * The UDF is marked NONDETERMINISTIC: the production impl is an LLM
+    * call, and a deterministic marking would license Catalyst to
+    * duplicate, re-order, or collapse invocations — two "copies" of the
+    * same call could then disagree inside one plan. Across ACTIONS the
+    * frame still re-executes like any frame; a caller consuming it more
+    * than once (e.g. the K3 sink plus a product fan-out) must persist it,
+    * or the silver JSON on disk and the rows it returns come from two
+    * different extractor runs — lineage corruption at double API cost.
     */
   def extract(pages: DataFrame, extractor: VisionExtractor): DataFrame = {
     val ex = udf((img: Array[Byte], key: String) => extractor.extract(img, key))
+      .asNondeterministic()
     pages
       .select(col("page_key"), ex(col("image"), col("page_key")).as("raw_json"))
       .withColumn("products",
@@ -75,11 +85,11 @@ object ExtractJob {
     import org.apache.spark.sql.Row
     extracted.select("page_key", "raw_json")
       .foreachPartition { rows: Iterator[Row] =>
-        rows.foreach { r =>
-          val p = Paths.get(s"$silverRoot/PnP/${r.getString(0)}.json")
-          Files.createDirectories(p.getParent)
-          Files.write(p, r.getString(1).getBytes("UTF-8"))
-        }
+        // Hadoop FS, not java.nio: a scheme'd silver root must reach the
+        // real filesystem, not a relative local path (see ExecutorFs)
+        ExecutorFs.writeFiles(rows,
+          r => if (r.isNullAt(0)) null else s"$silverRoot/PnP/${r.getString(0)}.json",
+          _.getString(1).getBytes("UTF-8"))
       }
   }
 }

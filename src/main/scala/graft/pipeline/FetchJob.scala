@@ -1,7 +1,5 @@
 package graft.pipeline
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
@@ -58,14 +56,18 @@ object FetchJob {
       .select("province", "date_slug", "href", "target_key", "content")
   }
 
-  /** K1: write each fetched PDF at its raw-zone key, from the executors. */
+  /** K1: write each fetched PDF at its raw-zone key, from the executors —
+    * through the root's own Hadoop filesystem (see [[ExecutorFs]]; a
+    * java.nio path here silently writes a scheme'd root into the task's
+    * working directory). A null target_key fails the task loudly: it means
+    * the plan's (province, date_slug) derivation produced null, and the
+    * old interpolation wrote the PDF to a file literally named "null".
+    */
   def writeRaw(fetched: DataFrame, rawRootParent: String): Unit =
     fetched.select("target_key", "content")
       .foreachPartition { rows: Iterator[Row] =>
-        rows.foreach { r =>
-          val p = Paths.get(s"$rawRootParent/${r.getString(0)}")
-          Files.createDirectories(p.getParent)
-          Files.write(p, r.getAs[Array[Byte]](1))
-        }
+        ExecutorFs.writeFiles(rows,
+          r => if (r.isNullAt(0)) null else s"$rawRootParent/${r.getString(0)}",
+          _.getAs[Array[Byte]](1))
       }
 }

@@ -32,6 +32,16 @@ object ScrapeFeeder {
     * (case-insensitive) whose province is not the "Shop now" pseudo-link
     * (`pnpscrLambda.py:107-108`), deriving the sanitized (province,
     * date_slug) key.
+    *
+    * Both key components must be NON-NULL, checked explicitly: a null
+    * province previously fell out only by three-valued-logic accident
+    * (`!null.contains(...)` is null), while a null date_text SURVIVED and
+    * null-propagated through fetchPlan's `concat` into a NULL target_key —
+    * which the raw sink would have interpolated into a file literally
+    * named "null" (overwritten per such row, invisible to the `*.pdf`
+    * glob: the catalogue silently vanished). A link row without a
+    * derivable key has no raw-zone destination; it is dropped here, by
+    * stated contract, and the sink independently refuses null keys.
     */
   def catalogueLinks(links: DataFrame): DataFrame =
     links
@@ -41,6 +51,7 @@ object ScrapeFeeder {
         col("href"))
       .filter(col("href").isNotNull &&
         lower(col("href")).contains(".pdf") &&
+        col("province").isNotNull && col("date_slug").isNotNull &&
         !col("province").contains("Shop_now"))
 
   /** J2 + K1: the fetch plan. Each distinct href is downloaded exactly once

@@ -332,7 +332,13 @@ object BinaryPipeline {
     * exactly.
     */
   def extractProducts(spark: SparkSession, dir: String): DataFrame = {
+    // persisted: the K3 sink below and the returned product fan-out are
+    // two ACTIONS over the same frame, and the extractor UDF is the
+    // expensive, in-production-nondeterministic stage — without the cache
+    // it runs twice per page and the silver JSON on disk could disagree
+    // with the rows returned (ExtractJob.extract's scaladoc contract)
     val extracted = ExtractJob.extract(pagesWithKey(spark), new FixtureExtractor())
+      .persist()
     ExtractJob.writeSilver(extracted, s"$RawRoot/../pro/json")
     val k = split(col("page_key"), "/")
     ExtractJob.products(extracted).select(

@@ -34,6 +34,7 @@ object Scrape {
        |  SELECT * FROM derived
        |  WHERE href IS NOT NULL
        |    AND contains(lower(href), '.pdf')
+       |    AND province IS NOT NULL AND date_slug IS NOT NULL
        |    AND NOT contains(province, 'Shop_now'))
        |SELECT province, date_slug, href,
        |  (row_number() OVER (PARTITION BY href ORDER BY province, date_slug) = 1)

@@ -209,4 +209,50 @@ class CleanJobSpec extends SparkTestBase {
     assert(r.getAs[String]("province") === null)
     assert(r.getAs[String]("source_file") === "shallow.json")
   }
+
+  test("batch run() lands quarantine rows beside the clean zone, like the stream") {
+    // the batch backfill used to write ONLY the clean zone: a corrupt
+    // silver file left no trace anywhere — the streaming path's
+    // nothing-silently-disappears contract, broken on the batch half
+    val silverRoot = scratch("brun-silver")
+    val good = """[{"product_name":"Milk","brand":"clover","current_price":12.5}]"""
+    val bad = """{"product_name": "Broken"""
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$silverRoot/Gauteng/1_Jan_-_2_Jan_2026"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$silverRoot/Gauteng/1_Jan_-_2_Jan_2026/p1.json"),
+      good.getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$silverRoot/Gauteng/1_Jan_-_2_Jan_2026/p2.json"),
+      bad.getBytes("UTF-8"))
+    val cleanRoot = scratch("brun-clean")
+    // the quarantine zone is a SIBLING of cleanRoot (append-mode log), so
+    // scratch()'s per-run wipe of cleanRoot never clears it
+    graft.core.FsUtil.deleteRecursively(s"${cleanRoot}_quarantine")
+    val out = CleanJob.run(spark, s"$silverRoot/*/*/*.json", cleanRoot)
+    assert(out.count() === 1)
+    val q = spark.read.parquet(s"${cleanRoot}_quarantine").collect()
+    assert(q.length === 1)
+    assert(q(0).getAs[String]("reason") === "unparseable")
+    assert(q(0).getAs[String]("src_path").endsWith("p2.json"))
+  }
+
+  test("mergeWriteClean fails loudly on an unreadable existing zone instead of discarding it") {
+    import spark.implicits._
+    // an AnalysisException from reading the live zone used to be treated
+    // as "first batch": the merge basis silently became empty and the
+    // swap installed batch-only partition dirs over live ones. A zone
+    // that EXISTS but cannot serve the clean columns must fail the batch.
+    val cleanRoot = scratch("merge-evolved")
+    // a populated "zone" whose schema lacks the clean columns entirely
+    Seq((1, "x")).toDF("a", "b").write.mode("overwrite")
+      .partitionBy("b").parquet(cleanRoot)
+    val batch = CleanJob.clean(
+      CleanJob.readSilver(spark, "/root/repo/fixtures/silver/PnP/*/*/*.json"))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      CleanJob.mergeWriteClean(batch, cleanRoot)
+    }
+    // the live (albeit foreign-schema) data survived the refusal
+    assert(spark.read.parquet(cleanRoot).count() === 1)
+  }
 }

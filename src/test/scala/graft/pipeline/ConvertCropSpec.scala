@@ -98,4 +98,40 @@ class ConvertCropSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"))
     assert(!plan.contains("SortMergeJoin"))
   }
+
+  test("empty or all-special product names fall back to product_<i>, like null ones") {
+    import spark.implicits._
+    val raw = scratch("emptyname-raw")
+    val interim = scratch("emptyname-interim")
+    FixtureBinaries.writeRawPdfs(raw)
+    ConvertJob.run(spark, raw, interim)
+    val pages = CropJob.pagesWithKey(CropJob.readImages(spark, interim))
+    val key = pages.select("page_key").head().getString(0)
+    // "" and "???" both sanitize to nothing: the null-only coalesce used
+    // to emit the degenerate "<i>_.jpg" for them
+    val products = Seq(
+      (key, 0, "", Seq(10.0, 10.0, 60.0, 60.0)),
+      (key, 1, "???", Seq(10.0, 10.0, 60.0, 60.0)),
+      (key, 2, null: String, Seq(10.0, 10.0, 60.0, 60.0)))
+      .toDF("page_key", "i", "product_name", "bbox")
+    val files = CropJob.crops(pages, products)
+      .select("i", "crop_file").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(files === Map(0L -> "0_product_0.jpg", 1L -> "1_product_1.jpg",
+      2L -> "2_product_2.jpg"), s"wrong fallback names: $files")
+  }
+
+  test("binary sinks write through the path's own filesystem (scheme-qualified roots)") {
+    // java.nio Paths.get("file:/...") treats the scheme as a path segment
+    // and silently writes a RELATIVE local path — the executor-side twin
+    // of the export zone's r13 metadata hazard; the Hadoop FS route must
+    // land the bytes at the real root
+    val raw = scratch("scheme-sink-raw")
+    val interimLocal = scratch("scheme-sink-interim")
+    FixtureBinaries.writeRawPdfs(raw)
+    ConvertJob.run(spark, raw, "file:" + interimLocal)
+    assert(Files.exists(Paths.get(
+      s"$interimLocal/PnP/Gauteng/13_February_-_15_February_2026/page_1.jpg")),
+      "scheme-qualified sink did not land at the real root")
+  }
 }
