@@ -18,10 +18,22 @@ object BboxOps {
   /** `PADDING_PERCENT` (`pnp-cropperLambda.py:12`). */
   val PaddingPercent = 0.10
 
-  /** F5: bbox present and exactly 4 elements (`pnp-cropperLambda.py:61-63`). */
-  def isValid(b: Column): Column = b.isNotNull && size(b) === 4
+  /** F5: bbox present, exactly 4 elements, and every element NON-NULL
+    * (`pnp-cropperLambda.py:61-63`). The element check matters because
+    * greatest/least SKIP nulls: a box like [null, 100, null, 300] would
+    * otherwise sail through padClamp with the null side fabricated to the
+    * full page extent (greatest(0, null) = 0, least(1000, null) = 1000) —
+    * a silent full-height crop where the reference's Python arithmetic on
+    * None would at least error.
+    */
+  def isValid(b: Column): Column =
+    b.isNotNull && size(b) === 4 &&
+      el(b, 1).isNotNull && el(b, 2).isNotNull &&
+      el(b, 3).isNotNull && el(b, 4).isNotNull
 
-  def isValidSql(x: String): String = s"($x IS NOT NULL AND len($x) = 4)"
+  def isValidSql(x: String): String =
+    s"($x IS NOT NULL AND len($x) = 4 AND $x[1] IS NOT NULL AND " +
+      s"$x[2] IS NOT NULL AND $x[3] IS NOT NULL AND $x[4] IS NOT NULL)"
 
   private def el(b: Column, i: Int): Column =
     try_element_at(b, lit(i)).cast("double")

@@ -73,10 +73,21 @@ case class TopCells(
         dot += vec.getDouble(i) * flatCvs(base + i)
         i += 1
       }
-      val score = JBigDecimal.valueOf(dot / (norm * cnorms(c)))
-        .setScale(4, RoundingMode.HALF_UP).doubleValue()
+      // Round-parity: Spark's round(double, 4) passes NaN/±Infinity through
+      // unchanged, while BigDecimal.valueOf(NaN) THROWS — a zero-norm or
+      // NaN-element vector must degrade exactly like the unrolled
+      // round(graft_dot/..., 4) form, not kill the query (callers exclude
+      // such vectors upstream; this is the not-crash contract)
+      val raw = dot / (norm * cnorms(c))
+      val score =
+        if (java.lang.Double.isFinite(raw))
+          JBigDecimal.valueOf(raw).setScale(4, RoundingMode.HALF_UP).doubleValue()
+        else raw
+      // Double.compare, not primitive <: NaN must rank GREATEST (Spark's
+      // desc-sort order, which the unrolled form inherits) instead of
+      // comparing false against everything and never displacing
       var pos = filled
-      while (pos > 0 && topScore(pos - 1) < score) pos -= 1
+      while (pos > 0 && java.lang.Double.compare(topScore(pos - 1), score) < 0) pos -= 1
       if (pos < n) {
         val last = math.min(filled, n - 1)
         var j = last

@@ -31,6 +31,12 @@ object Skew {
     */
   def saltedSum(df: DataFrame, keys: Seq[String], value: String,
                 saltBuckets: Int, resultName: String): DataFrame = {
+    // withColumn REPLACES a same-named column silently: a user column named
+    // _salt would be overwritten by the synthetic salt (sums of salt values
+    // returned as data, no error), and _partial would collide in phase two
+    for (reserved <- Seq("_salt", "_partial"))
+      require(!df.columns.contains(reserved),
+        s"saltedSum reserves the column name '$reserved'; rename it upstream")
     val partial = df
       .withColumn("_salt", saltCol(saltBuckets))
       .groupBy((keys :+ "_salt").map(col): _*)

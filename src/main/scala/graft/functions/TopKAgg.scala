@@ -22,8 +22,16 @@ final class TopKHeap(val k: Int) {
   private[functions] val ids = new Array[Long](k)
   private[functions] var size = 0
 
-  @inline private def weaker(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-    s1 < s2 || (s1 == s2 && i1 > i2)
+  // TOTAL order via java.lang.Double.compare (Spark's own double ordering):
+  // NaN ranks greatest and -0.0 below 0.0. Primitive < / == are not total
+  // under NaN — a NaN at the root compared false against everything, so it
+  // could never be displaced and silently blocked strictly better scores;
+  // and primitive == calls ±0.0 a tie while the final sort's total order
+  // does not, making rank order disagree with the heap's own displacement.
+  @inline private def weaker(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c < 0 || (c == 0 && i1 > i2)
+  }
 
   private def siftUp(pos0: Int): Unit = {
     var pos = pos0
@@ -60,10 +68,16 @@ final class TopKHeap(val k: Int) {
       siftDown(0)
     }
 
-  /** (score, id) pairs in final rank order: score DESC, id ASC. */
+  /** (score, id) pairs in final rank order: score DESC, id ASC — the same
+    * Double.compare total order the heap uses (negating under sortBy would
+    * reintroduce the ±0.0 disagreement the comparator exists to avoid).
+    */
   def sorted: Array[(Double, Long)] = {
     val out = (0 until size).map(i => (scores(i), ids(i))).toArray
-    out.sortBy { case (s, i) => (-s, i) }
+    out.sortWith { case ((s1, i1), (s2, i2)) =>
+      val c = java.lang.Double.compare(s1, s2)
+      c > 0 || (c == 0 && i1 < i2)
+    }
   }
 }
 
@@ -168,7 +182,13 @@ object TopKAgg {
       s"graft_topk(k, score, id) takes 3 arguments, got ${exprs.length}")
     val kExpr = exprs.head
     require(kExpr.foldable, "graft_topk: k must be a literal")
-    val k = kExpr.eval().asInstanceOf[Number].intValue()
+    val kv = kExpr.eval()
+    // a null or non-numeric literal k must fail with the analysis-time
+    // message this constructor promises, not a bare NPE/ClassCastException
+    require(kv != null && kv.isInstanceOf[Number],
+      "graft_topk: k must be a non-null numeric literal, got " +
+        (if (kv == null) "NULL" else kv.getClass.getSimpleName))
+    val k = kv.asInstanceOf[Number].intValue()
     TopKAgg(k, exprs(1), exprs(2))
   }
 }

@@ -40,19 +40,30 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // nullable even when both children are not: a LENGTH MISMATCH returns
+  // null (below), matching the built-in aggregate(zip_with(x, y, (a,b) ->
+  // a*b), ...) chain this expression documents itself as bit-identical
+  // to — zip_with pads the shorter side with null, the product nulls, and
+  // the fold propagates it. Truncating to the shorter array instead
+  // silently scored a malformed embedding row with a partial sum.
+  override def nullable: Boolean = true
+
   override def prettyName: String = "graft_dot"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var s = 0.0
-    var i = 0
-    while (i < n) {
-      s += x.getDouble(i) * y.getDouble(i)
-      i += 1
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        s += x.getDouble(i) * y.getDouble(i)
+        i += 1
+      }
+      s
     }
-    s
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -61,12 +72,16 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 
@@ -89,6 +104,14 @@ object VectorOps {
         "graft_hash60", exprs => Hash60(exprs(0)), "built-in")
       s.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_minhash_bands", exprs => MinhashBands(exprs(0)), "built-in")
-    case _ => () // non-classic session: callers fall back to built-ins
+    case _ =>
+      // no caller has a built-in fallback — every site unconditionally
+      // emits call_function("graft_..."), so a silent no-op here would
+      // surface later as an "undefined function" AnalysisException far
+      // from the cause; refuse loudly at registration instead
+      throw new UnsupportedOperationException(
+        "graft native expressions require a classic (JVM) SparkSession: " +
+          "this session type cannot host internal Expression registration " +
+          s"(got ${spark.getClass.getName})")
   }
 }

@@ -70,8 +70,12 @@ object AsOfJoin {
   /** SQL surface (`graft_asof(p_ts, b_ts, tieBreak...)`, strict ASOF): lets
     * plain-SQL joins opt into the exec the same way the DataFrame API does.
     */
-  def fromSql(exprs: Seq[Expression]): Expression =
+  def fromSql(exprs: Seq[Expression]): Expression = {
+    require(exprs.length >= 2,
+      s"graft_asof(probe_ts, build_ts, tieBreak...) takes at least 2 " +
+        s"arguments, got ${exprs.length}")
     AsOfCondition(exprs(0), exprs(1), exprs.drop(2), strict = true)
+  }
 
   private[plans] def orderable(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | TimestampType => true
@@ -92,10 +96,14 @@ object AsOfJoinStrategy extends SparkStrategy with PredicateHelper {
         if cond.exists(_.isInstanceOf[AsOfJoin.AsOfCondition]) =>
       val conjuncts = splitConjunctivePredicates(cond)
       val (markers, rest) = conjuncts.partition(_.isInstanceOf[AsOfJoin.AsOfCondition])
-      val m = markers.head.asInstanceOf[AsOfJoin.AsOfCondition]
       def fail(why: String): Nothing = throw new IllegalArgumentException(
         s"graft_asof join cannot be planned: $why (condition: $cond)")
-      if (markers.size != 1) fail("exactly one graft_asof marker is required")
+      // size check BEFORE head: a marker nested under OR/NOT is found by
+      // cond.exists but yields zero top-level conjuncts, and markers.head
+      // would throw a bare NoSuchElementException instead of this error
+      if (markers.size != 1)
+        fail("exactly one TOP-LEVEL (AND-conjunct) graft_asof marker is required")
+      val m = markers.head.asInstanceOf[AsOfJoin.AsOfCondition]
       if (joinType != Inner && joinType != LeftOuter)
         fail(s"only INNER and LEFT OUTER are supported, got $joinType")
       if (!m.probeTs.references.subsetOf(l.outputSet) ||

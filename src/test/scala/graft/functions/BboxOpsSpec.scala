@@ -33,12 +33,17 @@ class BboxOpsSpec extends SparkTestBase {
     assert(p === Seq(0.0, 0.0, 1000.0, 1000.0))
   }
 
-  test("validity filter: null and wrong-arity boxes are rejected") {
+  test("validity filter: null, wrong-arity, and null-element boxes are rejected") {
     import spark.implicits._
     val df = Seq(
-      (1, Some(Seq(1, 2, 3, 4))),
-      (2, Some(Seq(1, 2, 3))),
-      (3, Option.empty[Seq[Int]])).toDF("id", "b")
+      (1, Some(Seq[Option[Int]](Some(1), Some(2), Some(3), Some(4)))),
+      (2, Some(Seq[Option[Int]](Some(1), Some(2), Some(3)))),
+      (3, Option.empty[Seq[Option[Int]]]),
+      // a null COORDINATE must invalidate the box: greatest/least skip
+      // nulls, so padClamp would fabricate the missing side to the full
+      // page extent (0/1000) instead of propagating the null
+      (4, Some(Seq[Option[Int]](None, Some(100), None, Some(300)))))
+      .toDF("id", "b")
     assert(df.filter(BboxOps.isValid(col("b"))).select("id")
       .collect().map(_.getInt(0)).toSeq === Seq(1))
   }

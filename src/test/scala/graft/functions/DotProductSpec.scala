@@ -34,9 +34,21 @@ class DotProductSpec extends SparkTestBase {
     assert(interp === viaSql(a, b)) // viaSql goes through whole-stage codegen
   }
 
-  test("null array yields null; length mismatch uses the shorter prefix") {
+  test("null array yields null; length mismatch yields null like the built-in chain") {
     assert(viaSql(null, Seq(1.0)) === null)
-    assert(viaSql(Seq(2.0, 3.0), Seq(10.0)) === 20.0)
+    // aggregate(zip_with(a, b, (x,y) -> x*y), ...) null-pads the shorter
+    // side and the fold propagates the null — a truncated partial sum
+    // would silently score a malformed embedding row
+    assert(viaSql(Seq(2.0, 3.0), Seq(10.0)) === null)
+    val builtin = {
+      import spark.implicits._
+      val r = Seq((Seq(2.0, 3.0), Seq(10.0))).toDF("a", "b")
+        .select(expr(
+          "aggregate(zip_with(a, b, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)"))
+        .collect()(0)
+      if (r.isNullAt(0)) null else r.getDouble(0)
+    }
+    assert(builtin === null, "built-in chain changed semantics")
   }
 
   test("rejects non-double-array inputs at analysis time") {

@@ -69,5 +69,37 @@ class TopKAggSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("literal") || e.getMessage.contains("foldable")
       || e.getMessage.toLowerCase.contains("graft_topk"))
+    // a NULL literal k used to NPE instead of naming the contract
+    val e2 = intercept[Exception] {
+      Seq((1L, 1.0, 2L)).toDF("g", "s", "i")
+        .groupBy("g").agg(expr("graft_topk(NULL, s, i)")).collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("graft_topk"))
+  }
+
+  test("NaN scores rank greatest (Spark's total double order) and never wedge the heap") {
+    // primitive < is not total under NaN: a NaN at the heap root compared
+    // false against everything, so it could never be displaced — [NaN, 5]
+    // survived while a strictly better 9 was rejected
+    val rows = Seq((1L, Double.NaN, 1L), (1L, 5.0, 2L), (1L, 9.0, 3L),
+      (1L, 7.0, 4L))
+    val got = rows.toDF("g", "s", "i")
+      .groupBy("g").agg(expr("graft_topk(2, s, i)").as("top"))
+      .selectExpr("transform(top, t -> t.id) AS ids").collect()(0)
+      .getAs[scala.collection.Seq[Long]](0)
+    // NaN is greatest in Spark's sort order (above +Inf), so it ranks
+    // first, then 9.0 — exactly what ORDER BY s DESC would keep
+    assert(got.toSeq === Seq(1L, 3L), s"wrong ids: $got")
+  }
+
+  test("±0.0 ties break by id, consistently between heap and final order") {
+    val rows = Seq((1L, 0.0, 2L), (1L, -0.0, 1L))
+    val got = rows.toDF("g", "s", "i")
+      .groupBy("g").agg(expr("graft_topk(2, s, i)").as("top"))
+      .selectExpr("transform(top, t -> t.id) AS ids").collect()(0)
+      .getAs[scala.collection.Seq[Long]](0)
+    // Double.compare puts 0.0 above -0.0 — one total order everywhere
+    // (the old sortBy(-s) negation flipped them against the heap's rule)
+    assert(got.toSeq === Seq(2L, 1L), s"wrong ids: $got")
   }
 }
