@@ -46,11 +46,23 @@ object CorpusDrift {
     * auditable report).
     */
   def report(oldSnapshot: DataFrame, newSnapshot: DataFrame,
-      dims: Seq[(String, Column)]): DataFrame =
-    dimCounts(oldSnapshot, dims).withColumnRenamed("n", "old_n")
-      .join(dimCounts(newSnapshot, dims).withColumnRenamed("n", "new_n"),
-        Seq("dim", "value"), "full_outer")
-      .select(col("dim"), col("value"),
+      dims: Seq[(String, Column)]): DataFrame = {
+    // NULL-SAFE value equality: a dimension value that is NULL in both
+    // snapshots (null lang, null text making len_x100 null) must count as
+    // the SAME value — plain equi-join split it into a (old_n, 0) and a
+    // (0, new_n) row, manufacturing a vanish+appear alert pair for a
+    // dimension that did not drift. dim itself is a literal, never null.
+    val o = dimCounts(oldSnapshot, dims).withColumnRenamed("n", "old_n")
+      .alias("__o")
+    val nw = dimCounts(newSnapshot, dims).withColumnRenamed("n", "new_n")
+      .alias("__n")
+    o.join(nw,
+        col("__o.dim") === col("__n.dim") &&
+          col("__o.value") <=> col("__n.value"), "full_outer")
+      .select(
+        coalesce(col("__o.dim"), col("__n.dim")).as("dim"),
+        coalesce(col("__o.value"), col("__n.value")).as("value"),
         coalesce(col("old_n"), lit(0L)).as("old_n"),
         coalesce(col("new_n"), lit(0L)).as("new_n"))
+  }
 }

@@ -46,13 +46,32 @@ object Rollups {
     * (same schema as the input state). Measures stay RAW in state — any
     * display rounding happens at read time, after the last fold, so
     * folding order cannot move a rounded boundary mid-stream.
+    *
+    * Key matching is NULL-SAFE (`<=>`), because groupBy treats NULL as one
+    * ordinary key: under plain equi-joins a NULL-key state row slipped the
+    * semi-join (never merged) while surviving the anti-join (passed
+    * through), so every fold carrying NULL-key delta rows APPENDED a fresh
+    * NULL-key row beside the old one — an ever-growing split of one group
+    * that a one-shot GROUP BY (the e5 oracle) reports as a single row.
+    *
+    * Honesty note on total_value: the double sum is a commutative monoid
+    * only up to float rounding — addition is not associative, so
+    * delta-at-a-time folding matches the one-shot aggregate bit-for-bit on
+    * well-conditioned values (the gate's regime, and typical metric data)
+    * but can drift at catastrophic-cancellation magnitudes (±1e15 pairs).
+    * Callers needing bit-stable folds at any input quantize the measure to
+    * BIGINT at ingest (the RankFusion fixed-point discipline); n_events is
+    * exact regardless.
     */
   def fold(delta: DataFrame, state: DataFrame, keys: Seq[String]): DataFrame = {
     val deltaAgg = delta.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
-    val deltaKeys = deltaAgg.select(keys.map(col): _*)
-    val untouched = state.join(broadcast(deltaKeys), keys, "left_anti")
-    val merged = state.join(broadcast(deltaKeys), keys, "left_semi")
+    val deltaKeys = deltaAgg.select(keys.map(col): _*).alias("__dk")
+    val s = state.alias("__state")
+    val cond = keys.map(k => col(s"__state.$k") <=> col(s"__dk.$k"))
+      .reduce(_ && _)
+    val untouched = s.join(broadcast(deltaKeys), cond, "left_anti")
+    val merged = s.join(broadcast(deltaKeys), cond, "left_semi")
       .unionByName(deltaAgg)
       .groupBy(keys.map(col): _*)
       .agg(sum("n_events").as("n_events"), sum("total_value").as("total_value"))

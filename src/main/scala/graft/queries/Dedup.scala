@@ -322,7 +322,15 @@ object Dedup {
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
+    // null text produces no grams AT ALL: without the filter, size(t) is
+    // null, greatest() skips it to 1, and concat_ws over three null tokens
+    // collapses to "" — every null-text doc would emit the SAME
+    // xxhash64("") gram and pair with every other null-text (and
+    // empty-text) doc at jaccard 1.0, while the DuckDB twin's gram for
+    // null text is NULL and never equi-joins (same divergence class as the
+    // r13 minhash banding fix)
     val toks = Tables.spread(docs.select("doc_id", "text"))
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
     // Grams are hashed to longs INSIDE the per-row transform and deduped
     // doc-locally (array_distinct): the (doc_id, gram) dedup needs no
@@ -407,6 +415,12 @@ object Dedup {
     val e = Tables(spark, dir).embeddings
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
+      // zero-norm and NaN-norm vectors have no defined cosine: 0/0 = NaN,
+      // and BOTH engines rank NaN above every real similarity under
+      // ORDER BY cos DESC, so one broken vector would evict every genuine
+      // pair from the top-20 (the r13 VectorSearch fix, applied to the
+      // batch near-dup report; the twin SQL carries the same guard)
+      .filter(col("norm") > 0 && !isnan(col("norm")))
       .withColumn("bucket", VectorLsh.bucketColFor(planes))
     val a = e.select(col("vec_id").as("id1"), col("v").as("v1"),
       col("norm").as("n1"), col("bucket"))
@@ -426,10 +440,11 @@ object Dedup {
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
        |n AS (
-       |  SELECT vec_id, v,
-       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS norm,
-       |    ${VectorLsh.bucketSqlFor(planes)} AS bucket
-       |  FROM e)
+       |  SELECT vec_id, v, norm, ${VectorLsh.bucketSqlFor(planes)} AS bucket
+       |  FROM (SELECT vec_id, v,
+       |          sqrt(list_sum(list_transform(v, x -> x * x))) AS norm
+       |        FROM e)
+       |  WHERE norm > 0 AND NOT isnan(norm))
        |SELECT a.vec_id AS id1, b.vec_id AS id2,
        |  round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) AS cos
        |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
@@ -488,7 +503,14 @@ object Dedup {
     // e ⋈ cells join re-shuffled the whole corpus by vec_id just to pair
     // each vector with its own cell id — assignment is an inline
     // projection now, so the only shuffle left is the by-cell pairing join
+    // zero/NaN-norm vectors are excluded BEFORE the pairing: under ANSI
+    // (Spark 4's default) the cosine's n1·n2 = 0 denominator raises
+    // DIVIDE_BY_ZERO and aborts the whole job on one broken encoder
+    // output — and with ANSI off the 0/0 = NaN witness would flag every
+    // cell-mate (both engines call NaN >= threshold). Same guard as d6
+    // and the n-family prep; the twin SQL carries it too.
     val m = Similarity.semanticCellsFull(spark, dir, numCells)
+      .filter(col("norm") > 0 && !isnan(col("norm")))
     val a = m.select(col("vec_id").as("id1"), col("v").as("v1"),
       col("norm").as("n1"), col("cell"))
     val b = m.select(col("vec_id").as("id2"), col("v").as("v2"),
@@ -497,7 +519,10 @@ object Dedup {
       .filter(col("id2") < col("id1"))
       .withColumn("cos",
         round(expr("graft_dot(v1, v2)") / (col("n1") * col("n2")), 4))
-      .filter(col("cos") >= SemDedupThreshold)
+      // NOT isnan too: a zero-norm vector's 0/0 cosine is NaN, which BOTH
+      // engines call >= threshold (NaN is greatest), so one broken vector
+      // would mark every cell-mate a "semantic dup" on a NaN witness
+      .filter(col("cos") >= SemDedupThreshold && !isnan(col("cos")))
       .groupBy(col("id1"), col("cell"))
       .agg(max("cos").as("max_cos"))
       .select(col("id1").as("vec_id"), col("cell"), col("max_cos"))
@@ -511,12 +536,14 @@ object Dedup {
     s"""${Similarity.cellsCteSqlFor(numCells)},
        |m AS (
        |  SELECT n.vec_id, n.v, n.norm, a.cell
-       |  FROM n JOIN assign a USING (vec_id))
+       |  FROM n JOIN assign a USING (vec_id)
+       |  WHERE n.norm > 0 AND NOT isnan(n.norm))
        |SELECT a.vec_id, a.cell,
        |  max(round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4)) AS max_cos
        |FROM m a JOIN m b ON a.cell = b.cell AND b.vec_id < a.vec_id
        |  AND round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4)
        |    >= $SemDedupThreshold
+       |  AND NOT isnan(round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4))
        |GROUP BY a.vec_id, a.cell
        |ORDER BY a.vec_id""".stripMargin
 
@@ -950,8 +977,20 @@ object Dedup {
     val evalGrams = grams.filter(col("doc_id") % EvalMod === 0)
       .select("h").distinct()
     // expectedNumItems is metadata a pipeline knows (benchmark sizes are
-    // fixed); here it costs one count over the eval slice
-    val bf = evalGrams.stat.bloomFilter("h", evalGrams.count(), fpp)
+    // fixed); here it costs one count over the eval slice. An EMPTY eval
+    // slice (no doc cleared the gram threshold yet) must return zero
+    // contamination rows like its d8 twin — stat.bloomFilter over zero
+    // rows NPEs inside Spark's sketch merge, so short-circuit before it
+    val nEval = evalGrams.count()
+    if (nEval == 0)
+      return grams.sparkSession.createDataFrame(
+        grams.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_shared",
+            org.apache.spark.sql.types.LongType))))
+    val bf = evalGrams.stat.bloomFilter("h", nEval, fpp)
     val bfB = spark.sparkContext.broadcast(bf)
     val mightContain = udf((h: Long) => bfB.value.mightContainLong(h))
     grams.filter(col("doc_id") % EvalMod =!= 0)

@@ -169,9 +169,19 @@ object EventStreaming {
       graft.operators.CorpusDrift.dimCounts(
         Sampling.nextSnapshotFullOf(stream), Sampling.DriftDims),
       s"st14_mem_${runSeq.incrementAndGet()}", OutputMode.Update())
-    updates.groupBy("dim", "value").agg(max("n").as("new_n"))
-      .join(broadcast(oldCounts), Seq("dim", "value"), "full_outer")
-      .select(col("dim"), col("value"),
+    // same null-safe value equality as the batch CorpusDrift.report: a
+    // both-sides-NULL dimension value is one key, not a vanish+appear pair
+    val nw = updates.groupBy("dim", "value").agg(max("n").as("new_n"))
+      .alias("__n")
+    val o = broadcast(oldCounts).alias("__o")
+    nw.join(o,
+        col("__n.dim") === col("__o.dim") &&
+          col("__n.value") <=> col("__o.value"), "full_outer")
+      .select(
+        org.apache.spark.sql.functions.coalesce(
+          col("__o.dim"), col("__n.dim")).as("dim"),
+        org.apache.spark.sql.functions.coalesce(
+          col("__o.value"), col("__n.value")).as("value"),
         org.apache.spark.sql.functions.coalesce(col("old_n"),
           org.apache.spark.sql.functions.lit(0L)).as("old_n"),
         org.apache.spark.sql.functions.coalesce(col("new_n"),

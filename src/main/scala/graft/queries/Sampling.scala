@@ -628,9 +628,16 @@ object Sampling {
     val bySource = docs.groupBy("source").agg(sum("n_tok").as("tok_s"))
       .withColumn("w", expr("CAST(floor(sqrt(tok_s)) AS BIGINT)"))
     val totalW = bySource.agg(sum("w")).first().getLong(0)
+    // STAGED division — identical result (floor division is associative
+    // for positive integers: floor(a/(b·c)) = floor(floor(a/b)/c)) but the
+    // denominator product totalW·tok_s is never formed: at the advertised
+    // multi-source pretraining scale (~100 sources × 2.5e11 tokens) it
+    // exceeds 2^63 and ANSI Spark aborts (non-ANSI wraps negative and
+    // silently drops whole sources). Remaining headroom is the NUMERATOR:
+    // 1000·B·w stays in-range for budgets to ~10^12 tokens at w ≤ 10^6.
     bySource.withColumn("rate_permille",
       least(lit(1000L),
-        expr(s"(1000 * $TempMixBudget * w) DIV ($totalW * tok_s)")))
+        expr(s"(1000 * $TempMixBudget * w) DIV $totalW DIV tok_s")))
       .select("source", "rate_permille")
   }
 
@@ -665,7 +672,7 @@ object Sampling {
        |rates AS (
        |  SELECT source,
        |    CAST(least(1000, (1000 * $TempMixBudget * w)
-       |               // (tw.total_w * tok_s)) AS BIGINT)
+       |               // tw.total_w // tok_s) AS BIGINT)
        |      AS rate_permille
        |  FROM by_source, tw)
        |SELECT d.doc_id, d.source, d.n_tok, r.rate_permille
@@ -859,7 +866,7 @@ object Sampling {
        |  coalesce(oc.value, nc.value) AS value,
        |  coalesce(old_n, 0) AS old_n, coalesce(new_n, 0) AS new_n
        |FROM oc FULL OUTER JOIN nc
-       |  ON oc.dim = nc.dim AND oc.value = nc.value
+       |  ON oc.dim = nc.dim AND oc.value IS NOT DISTINCT FROM nc.value
        |ORDER BY dim, value""".stripMargin
   }
 

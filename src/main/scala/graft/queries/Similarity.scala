@@ -511,7 +511,10 @@ object Similarity {
     val e = Tables(spark, dir).embeddings
       .select(col("vec_id"), asDouble("embedding").as("v"))
       .withColumn("amax", expr("array_max(transform(v, x -> abs(x)))"))
-      .filter(col("amax") > 0)
+      // NOT isnan too: both engines call NaN greater than 0, so a vector
+      // with one NaN element would pass the zero-vector guard and feed
+      // NaN into the ANSI BIGINT cast (job abort) instead of dropping
+      .filter(col("amax") > 0 && !isnan(col("amax")))
       .withColumn("qv",
         expr("transform(v, x -> CAST(round(x * 127.0 / amax, 0) AS BIGINT))"))
       .withColumn("errs",
@@ -537,7 +540,7 @@ object Similarity {
        |    list_transform(v, x -> CAST(round(x * 127.0 / amax, 0) AS BIGINT)) AS qv,
        |    list_transform(v,
        |      x -> pow(x - round(x * 127.0 / amax, 0) * amax / 127.0, 2)) AS errs
-       |  FROM a WHERE amax > 0)
+       |  FROM a WHERE amax > 0 AND NOT isnan(amax))
        |SELECT vec_id, round(amax, 6) AS amax,
        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
        |  round(list_sum(errs) / $Dim, 8) AS mse
@@ -568,7 +571,7 @@ object Similarity {
        |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax,
        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
        |  FROM e),
-       |nz AS (SELECT * FROM z WHERE amax > 0),
+       |nz AS (SELECT * FROM z WHERE amax > 0 AND NOT isnan(amax)),
        |qz AS (
        |  SELECT vec_id, v, amax, nrm,
        |    list_transform(v, x -> CAST(round(x * 127.0 / amax, 0) AS BIGINT)) AS qv

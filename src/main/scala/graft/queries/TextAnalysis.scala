@@ -273,7 +273,12 @@ object TextAnalysis {
     */
   def repetition(spark: SparkSession, dir: String): DataFrame =
     Tables.spread(Tables(spark, dir).documents.select("doc_id", "text"))
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      // coalesce BEFORE the split so null text takes the same [""] path
+      // in both engines: uncoalesced, Spark's gram builder collapsed the
+      // null tokens to one "" bigram (frac 0.0) while DuckDB's
+      // list_distinct stripped its NULLs (frac 1.0) — a doc-level metric
+      // flip that t14's curation thresholds would propagate
+      .select(col("doc_id"), split(coalesce(col("text"), lit("")), " ").as("t"))
       .withColumn("n_tok", size(col("t")).cast("long"))
       .withColumn("top_cnt",
         expr("array_max(transform(array_distinct(t), x -> size(filter(t, y -> y = x))))")
@@ -297,7 +302,8 @@ object TextAnalysis {
        |    CAST(list_max(list_transform(list_distinct(t),
        |      x -> len(list_filter(t, y -> y = x)))) AS BIGINT) AS top_cnt,
        |    ${TextHash.wordNgramsSql("t", 2)} AS bigrams
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+       |  FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t
+       |        FROM documents))
        |ORDER BY doc_id""".stripMargin
 
   /** PII patterns shared by the scrub and its oracle — deliberately
@@ -536,10 +542,17 @@ object TextAnalysis {
       .select(col("doc_id"), round(exp(col("nll")), 4).as("ppl"),
         round(exp(col("nll")) * 10000, 0).cast("long").as("ppl_i"))
     val mean = scored.agg(sum("ppl_i").as("s"), count(lit(1)).as("n"))
+    // the flag comparison runs in DECIMAL(38,0) (HUGEINT on the DuckDB
+    // side): ppl_i carries a 1e4 fixed-point scale, so the BIGINT product
+    // ppl_i·n·10 overflows 2^63 at n ≈ 9e8 docs for a ppl-1e5 doc — the
+    // exact corpus size and the exact documents this filter exists to
+    // flag (ANSI aborts; non-ANSI wraps negative and unflags them).
+    // Decimal keeps the test integer-exact with ~1e38 headroom.
     scored.crossJoin(broadcast(mean))
       .select(col("doc_id"), col("ppl"),
-        (col("ppl_i") * col("n") * 10 >
-          lit((PplCapFactor * 10).toLong) * col("s")).as("flagged"))
+        (col("ppl_i").cast("decimal(38,0)") * col("n") * 10 >
+          lit((PplCapFactor * 10).toLong) * col("s").cast("decimal(38,0)"))
+          .as("flagged"))
       .orderBy("doc_id")
   }
 
@@ -560,7 +573,8 @@ object TextAnalysis {
        |  GROUP BY doc_id),
        |m AS (SELECT sum(ppl_i) AS s, count(*) AS n FROM scored)
        |SELECT doc_id, ppl,
-       |  ppl_i * n * 10 > ${(PplCapFactor * 10).toLong} * s AS flagged
+       |  CAST(ppl_i AS HUGEINT) * n * 10
+       |    > ${(PplCapFactor * 10).toLong} * CAST(s AS HUGEINT) AS flagged
        |FROM scored CROSS JOIN m
        |ORDER BY doc_id""".stripMargin
 

@@ -266,6 +266,24 @@ class OperatorApiSpec extends SparkTestBase {
       ("len_x100", "2") -> (0L, 1L)))
   }
 
+  test("CorpusDrift.report: a both-sides-NULL value is one key, not a vanish+appear pair") {
+    import spark.implicits._
+    // plain equi full-outer split the NULL value into (n, 0) + (0, n),
+    // firing a false 'vanished' AND a false 'appeared' alert for a
+    // dimension that did not drift
+    val old = Seq((Option.empty[String], 10), (Some("en"), 20))
+      .toDF("lang", "n_chars")
+    val next = Seq((Option.empty[String], 10), (Option.empty[String], 30))
+      .toDF("lang", "n_chars")
+    val got = CorpusDrift.report(old, next, Seq("lang" -> col("lang")))
+      .collect()
+      .map(r => (r.getString(0), Option(r.getString(1))) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got === Map(
+      ("lang", None) -> (1L, 2L),
+      ("lang", Some("en")) -> (1L, 0L)), s"wrong drift rows: $got")
+  }
+
   test("CorpusDiff.diff: added/removed/modified only — unchanged rows never surface") {
     import spark.implicits._
     val old = Seq((1L, "same"), (2L, "will change"), (3L, "will vanish"))

@@ -56,4 +56,21 @@ class RollupsSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
       s"expected broadcast anti-join state passthrough:\n$plan")
   }
+
+  test("NULL keys merge as one group across folds, like GROUP BY treats them") {
+    // plain equi pruning never matched a NULL-key state row: it slipped
+    // the semi-join AND survived the anti-join, so each fold APPENDED a
+    // fresh NULL-key row beside the old one — the one-shot oracle (one
+    // NULL group) disagreed and dashboards double-counted
+    val nullType = Seq((1L, Option.empty[String], 1.0), (1L, Option.empty[String], 2.0))
+      .toDF("k", "event_type", "value")
+    val s1 = Rollups.fold(nullType, empty, keys).localCheckpoint()
+    val more = Seq((1L, Option.empty[String], 5.0))
+      .toDF("k", "event_type", "value")
+    val s2 = Rollups.fold(more, s1, keys)
+    val rows = s2.filter(col("event_type").isNull).collect()
+    assert(rows.length === 1, s"NULL-key group split into ${rows.length} rows")
+    assert(rows(0).getAs[Long]("n_events") === 3L)
+    assert(rows(0).getAs[Double]("total_value") === 8.0)
+  }
 }
