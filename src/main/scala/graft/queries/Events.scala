@@ -38,6 +38,12 @@ object Events {
   def userSessions(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
     Tables(spark, dir).events
+      // null event times are excluded BY CONTRACT (shared with the st3
+      // streaming twin, which drops them at entry): the engines place
+      // NULL at opposite ends of an ASC window (Spark NULLS FIRST,
+      // DuckDB NULLS LAST), so an unfiltered null-ts row pairs different
+      // lag() neighbors in each engine and moves n_sessions
+      .filter(col("ts").isNotNull)
       .withColumn("prev_ts", lag("ts", 1).over(w))
       .withColumn("new_sess",
         when(col("prev_ts").isNull ||
@@ -54,7 +60,7 @@ object Events {
       |        CASE WHEN lag(ts, 1) OVER w IS NULL
       |               OR ts > lag(ts, 1) OVER w + INTERVAL 30 MINUTE
       |             THEN 1 ELSE 0 END AS new_sess
-      |      FROM events
+      |      FROM events WHERE ts IS NOT NULL
       |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
@@ -93,9 +99,16 @@ object Events {
     */
   def funnel(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir).events.select("user_id", "ts", "event_type")
+    // no broadcast() hint on the survivors frame: it is one row per user
+    // surviving the funnel so far — user-population-sized, not
+    // dimension-sized — and a mandatory hint bypasses
+    // autoBroadcastJoinThreshold, shipping the full frame to every
+    // executor at 100 TB scale (OOM / broadcast-size abort). AQE still
+    // broadcasts it when it measures small; at scale it shuffles, which
+    // is the correct plan for a fact-sized build side.
     def stage(slice: DataFrame, prev: DataFrame, prevTs: String,
         outTs: String): DataFrame =
-      slice.join(broadcast(prev), "user_id")
+      slice.join(prev, "user_id")
         .filter(col("ts") > col(prevTs))
         .groupBy((prev.columns :+ "user_id").distinct.map(col): _*)
         .agg(min("ts").as(outTs))
@@ -168,18 +181,28 @@ object Events {
     * string-encoded numbers ({"k": "95"}) — from_json with a LONG field
     * would reject those rows and silently diverge.
     */
-  def propsExtract(spark: SparkSession, dir: String): DataFrame =
+  def propsExtract(spark: SparkSession, dir: String): DataFrame = {
+    // tolerant numeric parse = INTEGRAL STRINGS ONLY, by explicit regex on
+    // both engines: a bare cast on "90.5" ABORTS under ANSI Spark
+    // (CAST_INVALID_INPUT) while DuckDB ROUNDS it to 91 — a job-crash on
+    // one side and a silently different row on the other. The regex pins
+    // one semantics everywhere: non-integral values are null (filtered).
+    val raw = get_json_object(col("props"), "$.k")
     Tables(spark, dir).events
       .select(
         col("event_id"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        when(raw.rlike("^-?[0-9]+$"), raw.cast("long")).as("k"))
       .filter(col("k") >= 90)
       .orderBy("event_id")
+  }
 
   val propsExtractSql: String =
-    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-      |FROM events
-      |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 90
+    """SELECT event_id, k FROM (
+      |  SELECT event_id,
+      |    CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]+$')
+      |         THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+      |  FROM events)
+      |WHERE k >= 90
       |ORDER BY event_id""".stripMargin
 
   /** e5: INCREMENTAL rollup maintenance — `Rollups.fold` driven as an
@@ -200,13 +223,18 @@ object Events {
         col("event_type"), col("value"))
     val Array(lo, hi) = ev.agg(min("hour"), max("hour"))
       .collect().map(r => Seq(r.getTimestamp(0), r.getTimestamp(1))).head.toArray
-    val (t1, t2) = (
-      new java.sql.Timestamp(lo.getTime + (hi.getTime - lo.getTime) / 3),
-      new java.sql.Timestamp(lo.getTime + 2 * (hi.getTime - lo.getTime) / 3))
-    val deltas = Seq(
-      ev.filter(col("hour") <= lit(t1)),
-      ev.filter(col("hour") > lit(t1) && col("hour") <= lit(t2)),
-      ev.filter(col("hour") > lit(t2)))
+    // an EMPTY (or fully filtered) events table yields null min/max — fold
+    // zero deltas and return the empty rollup like the one-shot oracle,
+    // instead of NPE-ing on lo.getTime at the driver
+    val deltas = if (lo == null) Seq.empty else {
+      val (t1, t2) = (
+        new java.sql.Timestamp(lo.getTime + (hi.getTime - lo.getTime) / 3),
+        new java.sql.Timestamp(lo.getTime + 2 * (hi.getTime - lo.getTime) / 3))
+      Seq(
+        ev.filter(col("hour") <= lit(t1)),
+        ev.filter(col("hour") > lit(t1) && col("hour") <= lit(t2)),
+        ev.filter(col("hour") > lit(t2)))
+    }
     val keys = Seq("hour", "event_type")
     var state = graft.operators.Rollups.emptyRollup(spark,
       Seq("hour" -> org.apache.spark.sql.types.TimestampType,

@@ -71,7 +71,11 @@ object Relational {
   def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val p = t.part.filter(col("p_size") <= 3).select("p_partkey", "p_name")
-    val eff = col("l_extendedprice") / col("l_quantity")
+    // try_divide: under ANSI (Spark 4's default) a single l_quantity = 0
+    // row would abort the whole job with DIVIDE_BY_ZERO, where the DuckDB
+    // oracle's x/0.0 yields NULL and min() skips it — try_divide IS that
+    // NULL, so the two engines degrade identically
+    val eff = expr("try_divide(l_extendedprice, l_quantity)")
     val w = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
     t.lineitem.select(col("l_partkey"), col("l_suppkey"), eff.as("eff"))
       .join(broadcast(p), col("l_partkey") === col("p_partkey"))
@@ -315,8 +319,13 @@ object Relational {
       .join(broadcast(Tables(spark, dir).part.select("p_partkey", "p_brand")),
         col("l_partkey") === col("p_partkey"))
       .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      // try_divide: a year whose volume sums to 0.0 must yield NULL like
+      // the oracle's x/0.0, not abort the job under ANSI
       .agg(round(
-        sum(when(col("p_brand") === "Brand#1", vol).otherwise(lit(0.0))) / sum(vol),
+        expr("try_divide(" +
+          "sum(CASE WHEN p_brand = 'Brand#1' " +
+          "THEN l_extendedprice * (1 - l_discount) ELSE 0.0D END), " +
+          "sum(l_extendedprice * (1 - l_discount)))"),
         4).as("brand1_share"))
       .orderBy("o_year")
   }

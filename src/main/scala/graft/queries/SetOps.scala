@@ -151,8 +151,13 @@ object SetOps {
     t.lineitem.select("l_partkey", "l_extendedprice", "l_discount")
       .join(broadcast(t.part.select("p_partkey", "p_type")),
         col("l_partkey") === col("p_partkey"))
+      // try_divide: a corpus whose revenue sums to 0.0 must yield NULL
+      // like the oracle's x/0.0, not abort the job under ANSI
       .agg(round(
-        lit(100.0) * sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))) / sum(rev),
+        expr("try_divide(" +
+          "100.0D * sum(CASE WHEN p_type = 'PROMO' " +
+          "THEN l_extendedprice * (1 - l_discount) ELSE 0.0D END), " +
+          "sum(l_extendedprice * (1 - l_discount)))"),
         4).as("promo_pct"))
   }
 

@@ -119,8 +119,8 @@ object Strings {
       |      WHEN unit_raw IN ('l', 'litre', 'litres') THEN 'litre'
       |      ELSE unit_raw END AS unit_norm
       |FROM (SELECT p_partkey,
-      |        lower(trim(concat(CAST(p_size AS VARCHAR),
-      |          CASE WHEN p_size % 2 = 0 THEN 'kg' ELSE 'g' END))) AS unit_raw
+      |        lower(trim(CAST(p_size AS VARCHAR) ||
+      |          CASE WHEN p_size % 2 = 0 THEN 'kg' ELSE 'g' END)) AS unit_raw
       |      FROM part)
       |ORDER BY p_partkey""".stripMargin
 

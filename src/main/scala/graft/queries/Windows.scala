@@ -66,10 +66,16 @@ object Windows {
       |WHERE price_rank <= 5
       |ORDER BY p_type, price_rank, p_partkey""".stripMargin
 
-  /** Inter-order gap stats per customer via lag(). */
+  /** Inter-order gap stats per customer via lag(). Null order dates are
+    * excluded by contract on both engines: they sort at OPPOSITE ends of
+    * an ASC window (Spark NULLS FIRST, DuckDB NULLS LAST), so an
+    * unfiltered null-date row pairs different lag() neighbors in each —
+    * in DuckDB it even survives the prev_date filter with a NULL gap.
+    */
   def customerOrderGaps(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy(asc("o_orderdate"), asc("o_orderkey"))
     Tables(spark, dir).orders
+      .filter(col("o_orderdate").isNotNull)
       .withColumn("prev_date", lag("o_orderdate", 1).over(w))
       .withColumn("gap_days", datediff(col("o_orderdate"), col("prev_date")).cast("long"))
       .filter(col("prev_date").isNotNull)
@@ -88,7 +94,7 @@ object Windows {
       |FROM (SELECT o_custkey,
       |        CAST(date_diff('day', lag(o_orderdate, 1) OVER w, o_orderdate) AS BIGINT) AS gap_days,
       |        lag(o_orderdate, 1) OVER w AS prev_date
-      |      FROM orders
+      |      FROM orders WHERE o_orderdate IS NOT NULL
       |      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
       |WHERE prev_date IS NOT NULL
       |GROUP BY o_custkey
@@ -138,14 +144,18 @@ object Windows {
 
   /** The tie rule differs between the heap (score DESC, id ASC) and a
     * naive `ORDER BY o_totalprice DESC` window (id order unspecified), so
-    * the oracle pins the identical total order explicitly.
+    * the oracle pins the identical total order explicitly — including the
+    * NULL convention: graft_topk never admits a null score or id (SQL
+    * aggregates ignore nulls), where an unfiltered window would RANK a
+    * null price (DESC NULLS LAST) and emit the row.
     */
   val topOrdersPerCustomerSql: String =
     """SELECT o_custkey, rank, o_orderkey, round(o_totalprice, 2) AS o_totalprice
       |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
       |        CAST(row_number() OVER (PARTITION BY o_custkey
       |          ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank
-      |      FROM orders)
+      |      FROM orders
+      |      WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL)
       |WHERE rank <= 3
       |ORDER BY o_custkey, rank""".stripMargin
 
