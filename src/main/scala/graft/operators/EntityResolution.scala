@@ -44,9 +44,12 @@ object EntityResolution {
       .groupBy(col(valueCol).as("value"))
       .agg(min(col(idCol)).as("canon_id"), count(lit(1)).as("n_rows"))
       .withColumn("block", blockOf(col("value")))
+    // the small-blocks frame is |distinct blocks|-sized — it GROWS with
+    // the entity population, so the broadcast choice is AQE's (a forced
+    // hint would bypass the size threshold and abort at corpus scale)
     val sized = names.join(
-      broadcast(names.groupBy("block").agg(count(lit(1)).as("block_n"))
-        .filter(col("block_n") <= maxBlockSize).select("block")),
+      names.groupBy("block").agg(count(lit(1)).as("block_n"))
+        .filter(col("block_n") <= maxBlockSize).select("block"),
       "block")
     val a = sized.select(col("block"), col("value").as("value_a"),
       col("canon_id").as("canon_id_a"), col("n_rows").as("n_rows_a"))

@@ -78,12 +78,18 @@ object Relational {
     val eff = expr("try_divide(l_extendedprice, l_quantity)")
     val w = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
     t.lineitem.select(col("l_partkey"), col("l_suppkey"), eff.as("eff"))
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      // no broadcast() hint on SF-SCALING tables (part/supplier/customer
+      // grow linearly with the corpus; at 100 TB none fit a broadcast,
+      // and a mandatory hint bypasses autoBroadcastJoinThreshold into an
+      // OOM/size abort — the e7 hazard class). AQE still broadcasts them
+      // whenever they measure small, which is every fixture run; only
+      // nation/region (25/5 rows, constant) keep the explicit hint.
+      .join(p, col("l_partkey") === col("p_partkey"))
       .withColumn("min_eff", min("eff").over(w))
       .filter(col("eff") === col("min_eff"))
       .groupBy("p_partkey", "p_name", "l_suppkey")
       .agg(round(min("eff"), 2).as("unit_price"))
-      .join(broadcast(t.supplier.select("s_suppkey", "s_name", "s_nationkey")),
+      .join(t.supplier.select("s_suppkey", "s_name", "s_nationkey"),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(t.nation.select("n_nationkey", "n_name")),
         col("s_nationkey") === col("n_nationkey"))
@@ -126,8 +132,10 @@ object Relational {
       |  AND l_discount >= 0.03 AND l_discount <= 0.07
       |  AND l_quantity < 24""".stripMargin
 
-  /** TPC-H Q3 shape: selective fact-fact join + top-k. `customer` is tiny
-    * relative to the facts → broadcast; orders⋈lineitem shuffles on orderkey.
+  /** TPC-H Q3 shape: selective fact-fact join + top-k. `customer` is small
+    * relative to the facts — AQE broadcasts it when it measures under the
+    * threshold (every fixture run) and shuffles it at the scale where a
+    * forced broadcast would abort; orders⋈lineitem shuffles on orderkey.
     * Top-k is computed with TakeOrderedAndProject (no full sort).
     */
   def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
@@ -138,7 +146,7 @@ object Relational {
     val l = t.lineitem.filter(col("l_shipdate") > ts("1998-01-01 00:00:00"))
       .select("l_orderkey", "l_extendedprice", "l_discount")
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey")) // SF-scaled: AQE decides
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
       .select(
@@ -232,7 +240,7 @@ object Relational {
       .select("l_orderkey", "l_extendedprice", "l_discount")
     l.join(t.orders.select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t.customer.select("c_custkey", "c_name", "c_acctbal", "c_nationkey")),
+      .join(t.customer.select("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables(spark, dir).nation.select("n_nationkey", "n_name")),
         col("c_nationkey") === col("n_nationkey"))
@@ -316,8 +324,8 @@ object Relational {
       .join(t.customer.select("c_custkey", "c_nationkey"),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(regionNations), col("c_nationkey") === col("n_nationkey"))
-      .join(broadcast(Tables(spark, dir).part.select("p_partkey", "p_brand")),
-        col("l_partkey") === col("p_partkey"))
+      .join(Tables(spark, dir).part.select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey")) // SF-scaled: AQE decides
       .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
       // try_divide: a year whose volume sums to 0.0 must yield NULL like
       // the oracle's x/0.0, not abort the job under ANSI
@@ -356,7 +364,13 @@ object Relational {
     val profit = col("l_extendedprice") * (lit(1) - col("l_discount")) -
       col("p_retailprice") * lit(0.5) * col("l_quantity")
     t.lineitem
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      // no broadcast() hint on SF-SCALING tables (part/supplier/customer
+      // grow linearly with the corpus; at 100 TB none fit a broadcast,
+      // and a mandatory hint bypasses autoBroadcastJoinThreshold into an
+      // OOM/size abort — the e7 hazard class). AQE still broadcasts them
+      // whenever they measure small, which is every fixture run; only
+      // nation/region (25/5 rows, constant) keep the explicit hint.
+      .join(p, col("l_partkey") === col("p_partkey"))
       .join(t.supplier.select("s_suppkey", "s_nationkey"),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(t.nation.select("n_nationkey", "n_name")),

@@ -144,12 +144,16 @@ object SetOps {
       |HAVING count(*) >= 12
       |ORDER BY o_custkey""".stripMargin
 
-  /** TPC-H Q14 shape: conditional aggregation over a broadcast join. */
+  /** TPC-H Q14 shape: conditional aggregation over a part join. No forced
+    * broadcast: part SCALES with the corpus, so a mandatory hint would
+    * bypass the size threshold and abort at 100 TB — AQE broadcasts it at
+    * every scale where it actually fits (including all fixture runs).
+    */
   def promoRevenuePct(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
     t.lineitem.select("l_partkey", "l_extendedprice", "l_discount")
-      .join(broadcast(t.part.select("p_partkey", "p_type")),
+      .join(t.part.select("p_partkey", "p_type"),
         col("l_partkey") === col("p_partkey"))
       // try_divide: a corpus whose revenue sums to 0.0 must yield NULL
       // like the oracle's x/0.0, not abort the job under ANSI
