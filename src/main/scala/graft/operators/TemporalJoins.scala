@@ -204,13 +204,20 @@ object TemporalJoins {
     *
     * CONTRACT: `leftId` must be a UNIQUE, NON-NULL row identifier. The
     * anti-join removes rows by id value, so rows SHARING an id conflate:
-    * if any one of them matched, all of them are removed. Null ids
-    * conflate the same way under the null-safe equality below (all null-id
-    * rows drop if any null-id row matched) — and under a plain equi-anti
-    * they would mis-conflate in the OPPOSITE direction (a null-id row that
-    * DID match would be retained as "unmatched"). When left rows carry no
-    * natural unique id, synthesize one (`monotonically_increasing_id()`)
-    * before calling.
+    * if any one of them matched, all of them are removed. NULL ids are
+    * REJECTED LOUDLY at entry: every null-id row would conflate into one
+    * identity (all of them silently dropped if any one matched — and
+    * under a plain equi-anti they would mis-conflate in the OPPOSITE
+    * direction, a matched null-id row retained as "unmatched"), so there
+    * is no per-row-correct answer to give. The null probe is one
+    * `filter(isNull).isEmpty` job — in the clean case the pushed IsNull
+    * predicate proves emptiness from parquet row-group null-count stats
+    * (metadata-only), and when nulls exist limit-1 short-circuits on the
+    * first hit. Uniqueness stays a documented contract (a full distinct
+    * count would be a second shuffle as expensive as the join itself).
+    * When left rows carry no natural unique id, synthesize one
+    * (`monotonically_increasing_id()`) before calling — on a frame that
+    * is stable across recomputation (source scan or checkpointed).
     */
   def boundedRangeAnti(
       left: DataFrame,
@@ -221,6 +228,12 @@ object TemporalJoins {
       window: Long,
       keys: Seq[String] = Nil): DataFrame = {
     require(leftTs != rightTs, "leftTs and rightTs must be distinct names")
+    require(left.filter(col(leftId).isNull).isEmpty,
+      s"boundedRangeAnti: left id column '$leftId' carries null values - " +
+        "the anti stage removes rows BY ID, so null-id rows conflate into " +
+        "one identity and drop or survive together; filter them out or " +
+        "synthesize a unique id (monotonically_increasing_id on a " +
+        "recomputation-stable frame) before calling")
     val matched = boundedRange(
         left.select((keys :+ leftId :+ leftTs).distinct.map(col): _*),
         right.select((keys :+ rightTs).distinct.map(col): _*),

@@ -56,11 +56,12 @@ object ConvertJob {
     */
   def writeImages(pages: DataFrame, interimRoot: String): Unit = {
     import org.apache.spark.sql.Row
+    val hconf = ExecutorFs.capture(pages.sparkSession)
     pages.select("province", "flyer", "page_number", "image")
       .foreachPartition { rows: Iterator[Row] =>
         // Hadoop FS, not java.nio: a scheme'd interim root must reach the
         // real filesystem, not a relative local path (see ExecutorFs)
-        ExecutorFs.writeFiles(rows,
+        ExecutorFs.writeFiles(rows, hconf,
           r => if (r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(2)) null
             else s"$interimRoot/PnP/${r.getString(0)}/${r.getString(1)}/page_${r.getLong(2)}.jpg",
           _.getAs[Array[Byte]](3))

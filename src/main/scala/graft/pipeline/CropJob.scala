@@ -85,14 +85,15 @@ object CropJob {
       ImageOps.cropJpeg(img, l, t, r, b))
     val padded = BboxOps.padClamp(col("bbox"))
     val px = BboxOps.toPixels(padded, col("img_w").cast("double"), col("img_h").cast("double"))
-    // fall back to product_<i> whenever the SANITIZED name is empty, not
-    // only when it is null: the reference's Python falsiness check treats
-    // "" like missing, and a name of special characters only ("???")
-    // sanitizes to "" — a null-only coalesce produced the degenerate
-    // "<i>_.jpg" filename for both
+    // fall back to product_<i> only when the name is ABSENT (null): the
+    // reference's `.get("product_name", f"product_{i}")` defaults only on
+    // a missing key, and its sanitizer has no falsiness check — an
+    // all-special name ("???") sanitizes to "" and the reference emits
+    // the degenerate "<i>_.jpg" (pnp-cropperLambda.py:88-92). The oracle
+    // twins (productCropsSql / cropSpecSql) coalesce on NULL only; this
+    // must stay bit-identical to them.
     val sanitized = ProductNormalize.sanitizeFilename(col("product_name"))
-    val name = when(sanitized.isNull || length(sanitized) === 0,
-      concat(lit("product_"), col("i").cast("string"))).otherwise(sanitized)
+    val name = coalesce(sanitized, concat(lit("product_"), col("i").cast("string")))
     val dims = udf((b: Array[Byte]) => ImageOps.decodeDims(b))
     pages.join(broadcast(products), Seq("page_key"))
       .withColumn("_px", px)
@@ -113,11 +114,12 @@ object CropJob {
     */
   def writeCrops(crops: DataFrame, shrRoot: String): Unit = {
     import org.apache.spark.sql.Row
+    val hconf = ExecutorFs.capture(crops.sparkSession)
     crops.select("page_key", "crop_file", "crop")
       .foreachPartition { rows: Iterator[Row] =>
         // Hadoop FS, not java.nio: a scheme'd shr root must reach the
         // real filesystem, not a relative local path (see ExecutorFs)
-        ExecutorFs.writeFiles(rows,
+        ExecutorFs.writeFiles(rows, hconf,
           r => if (r.isNullAt(0) || r.isNullAt(1)) null
             else s"$shrRoot/PnP/${r.getString(0)}/${r.getString(1)}",
           _.getAs[Array[Byte]](2))

@@ -1,8 +1,45 @@
 package graft.pipeline
 
+import java.io.{ObjectInputStream, ObjectOutputStream}
+
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.Row
+import org.apache.spark.sql.{Row, SparkSession}
+
+/** The driver's effective Hadoop configuration, made serializable so
+  * executor-side sinks resolve filesystems with the SAME settings the
+  * driver's reads use. `Configuration` itself is not `Serializable`; this
+  * wrapper round-trips it through its own `write`/`readFields` (the same
+  * trick Spark's internal `SerializableConfiguration` uses — that class is
+  * `private[spark]` at the Scala level, so the engine carries its own
+  * 15-line twin rather than reflecting into Spark internals).
+  *
+  * Why capturing matters: a bare executor-side `new Configuration()` loads
+  * ONLY the classpath site files, silently dropping everything the driver
+  * set programmatically or via `spark.hadoop.*` — object-store credentials
+  * (fs.s3a.access.key), endpoint overrides, and `fs.defaultFS`. With
+  * defaultFS set only in the Spark conf, a scheme-less sink root would
+  * resolve to the executor-LOCAL filesystem: rows land on local disk while
+  * the job reports success — the silent-loss hazard this class exists to
+  * close. Credentialed s3a/abfs writes would fail loudly instead, but
+  * loud-vs-silent is not a property to gamble on.
+  */
+final class SerializableHadoopConf(@transient private var conf: Configuration)
+    extends Serializable {
+
+  def value: Configuration = conf
+
+  private def writeObject(out: ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    conf.write(out)
+  }
+
+  private def readObject(in: ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    conf = new Configuration(false)
+    conf.readFields(in)
+  }
+}
 
 /** Executor-side file sink shared by the four binary writers (raw PDFs,
   * page JPEGs, silver JSON, crop JPEGs): one file per row, written through
@@ -17,15 +54,22 @@ import org.apache.spark.sql.Row
   * `FileSystem` route resolves `file:`, `hdfs://`, `s3a://` uniformly, and
   * `FileSystem.create` creates parent directories itself.
   *
-  * Executor-side configuration: tasks cannot reach the driver's
-  * SparkSession, so the filesystem resolves from a bare `Configuration`,
-  * which loads the cluster's site files (core-site.xml etc.) from the
-  * executor classpath — the standard executor-side FS access pattern; on
-  * local[*] it resolves to the local filesystem exactly like java.nio did.
-  * The FileSystem handle is resolved once per partition (it is the
-  * per-scheme cached instance, not per-row work).
+  * Executor-side configuration: callers `capture` the session's effective
+  * Hadoop conf ON THE DRIVER (it overlays `spark.hadoop.*` and programmatic
+  * settings onto the site files) and the serialized copy rides into the
+  * `foreachPartition` closure — see [[SerializableHadoopConf]] for why a
+  * bare executor-side `new Configuration()` is a silent-loss hazard. The
+  * FileSystem handle is resolved once per partition (it is the per-scheme
+  * cached instance, not per-row work).
   */
 private[pipeline] object ExecutorFs {
+
+  /** Driver-side: snapshot the session's effective Hadoop configuration
+    * (site files + `spark.hadoop.*` + programmatic overrides) for shipment
+    * into executor closures.
+    */
+  def capture(spark: SparkSession): SerializableHadoopConf =
+    new SerializableHadoopConf(spark.sessionState.newHadoopConf())
 
   /** Write `bytesOf(row)` at `pathOf(row)` for every row of one partition.
     * `pathOf` returning null means a key column the path interpolates was
@@ -33,9 +77,8 @@ private[pipeline] object ExecutorFs {
     * loudly rather than writing a file literally named "null" that no
     * downstream glob will ever match.
     */
-  def writeFiles(rows: Iterator[Row], pathOf: Row => String,
-      bytesOf: Row => Array[Byte]): Unit = {
-    val conf = new Configuration()
+  def writeFiles(rows: Iterator[Row], hconf: SerializableHadoopConf,
+      pathOf: Row => String, bytesOf: Row => Array[Byte]): Unit = {
     var fs: FileSystem = null
     rows.foreach { r =>
       val raw = pathOf(r)
@@ -44,7 +87,7 @@ private[pipeline] object ExecutorFs {
           "(province/date/page/file) was null; such rows must be filtered " +
           "or quarantined before the sink")
       val p = new Path(raw)
-      if (fs == null) fs = p.getFileSystem(conf)
+      if (fs == null) fs = p.getFileSystem(hconf.value)
       val out = fs.create(p, true)
       try out.write(bytesOf(r)) finally out.close()
     }

@@ -857,8 +857,15 @@ object ExportJob {
     * silently rewrite affected shards byte-identically ONCE with no
     * signal. A mismatched (or future) version instead reads as an empty
     * manifest — the same known one-time full re-fingerprint, but visible
-    * in the header. Headerless manifests predate the field and were
-    * written with THIS encoding, so they parse as current.
+    * in the header. Headerless manifests are treated the same way
+    * (unknown version → empty map): the header postdates the encoding
+    * change, so a headerless manifest may hold EITHER encoding's
+    * fingerprints — zones written before the length-prefix change carry
+    * v1 values that would parse as current and diff against a stale
+    * basis, a silent one-time byte-identical rewrite of every touched
+    * shard, the exact invisible event this field exists to surface.
+    * Legacy zones therefore take the documented visible re-fingerprint
+    * path once, and every manifest written since carries the header.
     */
   private val ManifestVersion = "graft_fp_v2"
 
@@ -869,7 +876,7 @@ object ExportJob {
         val lines = body.linesIterator.filter(_.nonEmpty).toSeq
         val (header, rows) = lines.partition(_.startsWith("#"))
         val ver = header.headOption.map(_.stripPrefix("#").trim)
-        if (ver.exists(_ != ManifestVersion)) Map.empty
+        if (!ver.contains(ManifestVersion)) Map.empty
         else rows.map { line =>
           val Array(k, fp, n) = line.split("\t")
           k.toLong -> (fp.toLong, n.toLong)

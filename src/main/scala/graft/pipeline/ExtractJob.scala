@@ -83,11 +83,12 @@ object ExtractJob {
     */
   def writeSilver(extracted: DataFrame, silverRoot: String): Unit = {
     import org.apache.spark.sql.Row
+    val hconf = ExecutorFs.capture(extracted.sparkSession)
     extracted.select("page_key", "raw_json")
       .foreachPartition { rows: Iterator[Row] =>
         // Hadoop FS, not java.nio: a scheme'd silver root must reach the
         // real filesystem, not a relative local path (see ExecutorFs)
-        ExecutorFs.writeFiles(rows,
+        ExecutorFs.writeFiles(rows, hconf,
           r => if (r.isNullAt(0)) null else s"$silverRoot/PnP/${r.getString(0)}.json",
           _.getString(1).getBytes("UTF-8"))
       }

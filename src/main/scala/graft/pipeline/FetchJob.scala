@@ -63,11 +63,15 @@ object FetchJob {
     * the plan's (province, date_slug) derivation produced null, and the
     * old interpolation wrote the PDF to a file literally named "null".
     */
-  def writeRaw(fetched: DataFrame, rawRootParent: String): Unit =
+  def writeRaw(fetched: DataFrame, rawRootParent: String): Unit = {
+    // driver-side conf snapshot: executors must resolve the root with the
+    // session's spark.hadoop.* / fs.defaultFS, not bare classpath defaults
+    val hconf = ExecutorFs.capture(fetched.sparkSession)
     fetched.select("target_key", "content")
       .foreachPartition { rows: Iterator[Row] =>
-        ExecutorFs.writeFiles(rows,
+        ExecutorFs.writeFiles(rows, hconf,
           r => if (r.isNullAt(0)) null else s"$rawRootParent/${r.getString(0)}",
           _.getAs[Array[Byte]](1))
       }
+  }
 }

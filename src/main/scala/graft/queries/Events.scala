@@ -187,11 +187,17 @@ object Events {
     // (CAST_INVALID_INPUT) while DuckDB ROUNDS it to 91 — a job-crash on
     // one side and a silently different row on the other. The regex pins
     // one semantics everywhere: non-integral values are null (filtered).
+    // try_cast (not cast) behind the regex: the regex admits integral
+    // strings BEYOND Long range ("99999999999999999999"), where ANSI cast
+    // still aborts with CAST_OVERFLOW — try_cast degrades them to null,
+    // and the oracle's TRY_CAST(... AS BIGINT) nulls the same values, so
+    // "non-integral or unrepresentable ⇒ null, never abort" holds end to
+    // end on both engines.
     val raw = get_json_object(col("props"), "$.k")
     Tables(spark, dir).events
       .select(
         col("event_id"),
-        when(raw.rlike("^-?[0-9]+$"), raw.cast("long")).as("k"))
+        when(raw.rlike("^-?[0-9]+$"), raw.try_cast("long")).as("k"))
       .filter(col("k") >= 90)
       .orderBy("event_id")
   }
@@ -200,7 +206,7 @@ object Events {
     """SELECT event_id, k FROM (
       |  SELECT event_id,
       |    CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]+$')
-      |         THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+      |         THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
       |  FROM events)
       |WHERE k >= 90
       |ORDER BY event_id""".stripMargin

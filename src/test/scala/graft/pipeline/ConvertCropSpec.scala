@@ -99,7 +99,7 @@ class ConvertCropSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"))
   }
 
-  test("empty or all-special product names fall back to product_<i>, like null ones") {
+  test("only ABSENT (null) product names fall back to product_<i>; all-special names keep the reference's i_.jpg") {
     import spark.implicits._
     val raw = scratch("emptyname-raw")
     val interim = scratch("emptyname-interim")
@@ -107,8 +107,12 @@ class ConvertCropSpec extends SparkTestBase {
     ConvertJob.run(spark, raw, interim)
     val pages = CropJob.pagesWithKey(CropJob.readImages(spark, interim))
     val key = pages.select("page_key").head().getString(0)
-    // "" and "???" both sanitize to nothing: the null-only coalesce used
-    // to emit the degenerate "<i>_.jpg" for them
+    // the reference's `.get("product_name", f"product_{i}")` defaults only
+    // on a MISSING key, and its sanitizer has no falsiness check — "" and
+    // "???" both sanitize to "" and the reference emits the degenerate
+    // "<i>_.jpg" (pnp-cropperLambda.py:88-92); the oracle twins
+    // (productCropsSql / cropSpecSql) coalesce on NULL only, and this
+    // pipeline must stay bit-identical to both
     val products = Seq(
       (key, 0, "", Seq(10.0, 10.0, 60.0, 60.0)),
       (key, 1, "???", Seq(10.0, 10.0, 60.0, 60.0)),
@@ -117,7 +121,7 @@ class ConvertCropSpec extends SparkTestBase {
     val files = CropJob.crops(pages, products)
       .select("i", "crop_file").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(files === Map(0L -> "0_product_0.jpg", 1L -> "1_product_1.jpg",
+    assert(files === Map(0L -> "0_.jpg", 1L -> "1_.jpg",
       2L -> "2_product_2.jpg"), s"wrong fallback names: $files")
   }
 

@@ -105,9 +105,19 @@ class PlanSpec extends SparkTestBase {
       "within-cell pairing lost its equi-join shape")
   }
 
-  test("relational joins broadcast the dimension side") {
-    // q5: region/nation/supplier dims against orders/lineitem facts
-    assert(plan("q5_local_supplier_volume").contains("BroadcastHashJoin"))
+  test("relational joins broadcast the constant dimension side") {
+    // q5: the constant dims (nation 25 rows / region 5 rows) keep explicit
+    // hints so at least one BroadcastHashJoin is pinned at any scale; the
+    // SF-scaling sides (customer/supplier) carry NO hint — AQE broadcasts
+    // them at fixture scale but is free to shuffle at 100 TB
+    val p = plan("q5_local_supplier_volume")
+    assert(p.contains("BroadcastHashJoin"))
+    val qe = Relational.localSupplierVolume(spark, sf).queryExecution
+    val hints = qe.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.size == 2,
+      s"q5 must hint exactly the two constant dims (nation/region), found ${hints.size}")
   }
 
   test("filters reach the parquet scan (pushdown)") {
