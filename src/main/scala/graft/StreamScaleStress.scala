@@ -190,11 +190,21 @@ object StreamScaleStress {
     val detail = scala.collection.mutable.ArrayBuffer.empty[String]
     var warmed = false
 
+    // the event-zone-only queries: a targeted SPARK_GRAFT_ONLY run over
+    // just these must not demand the ScaleStress documents corpora (doc
+    // zones replicate through a separate, slower generator with its own
+    // prerequisite — requiring it for a session/attribution replay made
+    // the focused study needlessly heavy)
+    val eventOnly = Set("st2_hourly", "st3_sessions", "st5_attribution",
+      "st10_range_join", "st10b_keyed_range_join")
+
     scales.foreach { k =>
       val dir = s"target/scale/streams/x$k"
       generateEvents(spark, baseDir, dir, k)
-      generateDocs(spark, s"target/scale/x$k", dir)
-      generateDocsTs(spark, s"target/scale/x$k", dir)
+      if (!only.exists(_.subsetOf(eventOnly))) {
+        generateDocs(spark, s"target/scale/x$k", dir)
+        generateDocsTs(spark, s"target/scale/x$k", dir)
+      }
       val evZone = s"$dir/events.parquet"
       val docZone = s"$dir/documents.parquet"
 

@@ -137,29 +137,42 @@ object DataLayout {
     * not as one global rewrite — same amortization contract as the
     * z-order pass above.
     */
+  // list through the Hadoop FileSystem (like rowGroupStats), not
+  // java.io.File: a scheme-qualified or non-local zoneDir (file:, hdfs:,
+  // s3a:) is readable by spark.read but invisible to File, which would
+  // silently size the rewrite from bytes=0 -> one giant output partition
+  private def parquetFiles(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    // a nonexistent path must fall through to the caller's friendly
+    // require (the mistyped-path case), not surface as a raw Hadoop
+    // FileNotFoundException from listFiles
+    if (!fs.exists(p)) return Seq.empty
+    val it = fs.listFiles(p, true)
+    val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) out += f
+    }
+    out.result()
+  }
+
+  /** Total parquet bytes under `dir` (recursive), via the dir's own Hadoop
+    * filesystem — the sizing input callers need to pick a `targetBytes`
+    * relative to the zone (e.g. Layout's quarter-of-zone fixture target)
+    * without reaching for `java.io.File`, which on a scheme-qualified or
+    * non-local zone sees nothing and silently sizes the rewrite from 0.
+    * A missing dir returns 0 (the caller's emptiness handling applies).
+    */
+  def parquetBytes(spark: org.apache.spark.sql.SparkSession, dir: String): Long =
+    parquetFiles(spark, dir).map(_.getLen).sum
+
   def compact(spark: org.apache.spark.sql.SparkSession, zoneDir: String,
       outDir: String, targetBytes: Long,
       partitionCols: Seq[String] = Nil,
       maxRecordsPerFile: Long = 0L): CompactionReport = {
-    // list through the Hadoop FileSystem (like rowGroupStats), not
-    // java.io.File: a scheme-qualified or non-local zoneDir (file:, hdfs:,
-    // s3a:) is readable by spark.read but invisible to File, which would
-    // silently size the rewrite from bytes=0 -> one giant output partition
-    def parquetFiles(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] = {
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      // a nonexistent path must fall through to the friendly require below
-      // (the mistyped-path case), not surface as a raw Hadoop
-      // FileNotFoundException from listFiles
-      if (!fs.exists(p)) return Seq.empty
-      val it = fs.listFiles(p, true)
-      val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
-      while (it.hasNext) {
-        val f = it.next()
-        if (f.getPath.getName.endsWith(".parquet")) out += f
-      }
-      out.result()
-    }
-    val before = parquetFiles(new org.apache.hadoop.fs.Path(zoneDir))
+    val before = parquetFiles(spark, zoneDir)
     require(before.nonEmpty,
       s"compact target $zoneDir does not exist or holds no parquet files")
     val bytes = before.map(_.getLen).sum
@@ -174,6 +187,6 @@ object DataLayout {
     (if (partitionCols.isEmpty) w2 else w2.partitionBy(partitionCols: _*))
       .parquet(outDir)
     CompactionReport(before.size, bytes,
-      parquetFiles(new org.apache.hadoop.fs.Path(outDir)).size)
+      parquetFiles(spark, outDir).size)
   }
 }

@@ -35,9 +35,15 @@ object Layout {
   def buildZorderLayout(spark: SparkSession, dir: String, outDir: String): Unit = {
     val ev = Tables(spark, dir).events
       .withColumn("ts_s", unix_timestamp(col("ts")).cast("double"))
-    val Seq(uLo, uHi, tLo, tHi) = ev
+    val statsRow = ev
       .agg(min("user_id"), max("user_id"), min("ts_s"), max("ts_s"))
-      .first().toSeq.map(_.toString.toDouble)
+      .first()
+    // an empty (or all-null-keyed) table has null min/max — fail as the
+    // contract error it is, not as an NPE deep in the toString below
+    require(!statsRow.anyNull,
+      s"zorder layout over $dir/events: empty table or null user_id/ts " +
+        "(rank bounds undefined) - nothing to lay out")
+    val Seq(uLo, uHi, tLo, tHi) = statsRow.toSeq.map(_.toString.toDouble)
     val n = math.max(4, (ev.count() / 250000L).toInt)
     DataLayout.zorderWrite(
       ev.drop("ts_s"),
@@ -90,9 +96,12 @@ object Layout {
     graft.core.FsUtil.deleteRecursively(out)
     Tables(spark, dir).events.repartition(64)
       .write.mode("overwrite").parquet(frag)
+    // size the target through the zone's own Hadoop FS (DataLayout's
+    // listing), not java.io.File: a scheme-qualified or defaultFS-remote
+    // frag dir is invisible to File — listFiles() returns null (NPE here)
+    // or, worse, sizes the rewrite from a stale same-named local dir
     val report = DataLayout.compact(spark, frag, out,
-      targetBytes = new java.io.File(frag).listFiles()
-        .filter(_.getName.endsWith(".parquet")).map(_.length).sum / 4)
+      targetBytes = math.max(1L, DataLayout.parquetBytes(spark, frag) / 4))
     require(report.filesAfter < report.filesBefore,
       s"compaction did not reduce file count: $report")
     spark.read.parquet(out)

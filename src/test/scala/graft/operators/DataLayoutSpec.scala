@@ -116,6 +116,23 @@ class DataLayoutSpec extends SparkTestBase {
     assert(a === b)
   }
 
+  test("parquetBytes sizes through the dir's own filesystem: scheme-qualified paths and missing dirs") {
+    val frag = scratch("pqbytes-frag")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .repartition(4).write.mode("overwrite").parquet(frag)
+    def pq(d: java.io.File): Seq[java.io.File] =
+      if (d.isDirectory) d.listFiles().toSeq.flatMap(pq)
+      else if (d.getName.endsWith(".parquet")) Seq(d) else Nil
+    val localSum = pq(new java.io.File(frag)).map(_.length).sum
+    assert(localSum > 0)
+    // bare and scheme-qualified forms agree with the local listing — the
+    // java.io.File sizing this replaces saw 0 bytes (null listFiles) for
+    // any path its local view couldn't resolve
+    assert(DataLayout.parquetBytes(spark, frag) === localSum)
+    assert(DataLayout.parquetBytes(spark, s"file:$frag") === localSum)
+    assert(DataLayout.parquetBytes(spark, s"$frag/never-written") === 0L)
+  }
+
   test("compact on a nonexistent path fails with the friendly diagnostic, not a raw FS error") {
     // fs.listFiles throws FileNotFoundException before the require used to
     // be reached, so a mistyped zone path surfaced as an unrelated-looking
