@@ -389,6 +389,40 @@ class ExportJobSpec extends SparkTestBase {
       "an unchanged shard rewrote under the empty manifest basis")
   }
 
+  test("a headerless manifest reads as unknown version: legacy zones re-fingerprint visibly") {
+    // zones written before the version header may hold v1-ENCODED
+    // fingerprints; parsing them as current would diff against a stale
+    // basis and silently rewrite every touched shard ONCE with no signal.
+    // Headerless must therefore read as empty (unknown version) and take
+    // the documented VISIBLE path: one full re-fingerprint re-export.
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val corpus = scratch("headerless-corpus")
+    docs.write.mode("overwrite").parquet(s"$corpus/documents.parquet")
+    val out = scratch("headerless-export")
+    ExportJob.writeTrainingShardsIncremental(spark, corpus, out)
+    val mf = new File(out, "_graft_manifest.tsv").toPath
+    val lines = java.nio.file.Files.readAllLines(mf)
+    assert(lines.get(0).startsWith("#graft_fp_"), "manifest must carry a version header")
+    // strip the header, keep the (possibly v1-encoded) fingerprint rows
+    // (drop the local FS's checksum sidecar too — the edit simulates a
+    // zone WRITTEN headerless by the old code, not a corrupted file)
+    java.nio.file.Files.write(mf,
+      String.join("\n", lines.subList(1, lines.size)).getBytes("UTF-8"))
+    java.nio.file.Files.deleteIfExists(
+      new File(out, "._graft_manifest.tsv.crc").toPath)
+    Thread.sleep(1100)
+    val t0 = shardMtimes(out)
+    ExportJob.writeTrainingShardsIncremental(spark, corpus, out)
+    val t1 = shardMtimes(out)
+    for ((d, m) <- t0)
+      assert(t1(d) > m, s"$d kept its mtime: headerless rows were trusted as current")
+    // the re-export restored the header, so the NEXT run is idempotent again
+    assert(java.nio.file.Files.readAllLines(mf).get(0).startsWith("#graft_fp_"))
+    Thread.sleep(1100)
+    ExportJob.writeTrainingShardsIncremental(spark, corpus, out)
+    assert(shardMtimes(out) === t1, "re-fingerprinted zone must be idempotent again")
+  }
+
   test("a later delete self-heals a phantom manifest entry left by a crash") {
     val docs = spark.read.parquet(s"$Sf/documents.parquet")
     val corpus = scratch("phantom-corpus")

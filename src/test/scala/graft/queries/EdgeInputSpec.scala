@@ -48,6 +48,28 @@ class EdgeInputSpec extends SparkTestBase {
     assert(Dedup.decontaminate(spark, dir).count() === 0L, "d8 twin disagrees")
   }
 
+  test("e4: non-integral and beyond-Long props degrade to null on both engines, never abort") {
+    // ANSI Spark: a bare cast aborts on "90.5" (CAST_INVALID_INPUT) and on
+    // integral strings past Long range (CAST_OVERFLOW) — the regex guard
+    // plus try_cast pins "non-integral or unrepresentable => null" so one
+    // poison prop cannot crash the job; the DuckDB twin's regexp_matches +
+    // TRY_CAST nulls the identical set
+    val dir = scratch("edge-e4")
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    Seq(
+      (1L, ts, 1L, "view", 1.0, """{"k": "95"}"""),      // integral, kept
+      (2L, ts, 1L, "view", 1.0, """{"k": "90.5"}"""),    // non-integral -> null
+      (3L, ts, 1L, "view", 1.0, """{"k": "99999999999999999999"}"""), // beyond Long -> null
+      (4L, ts, 1L, "view", 1.0, """{"k": "89"}"""),      // integral, below filter
+      (5L, ts, 1L, "view", 1.0, """{"j": 1}"""),         // key absent -> null
+      (6L, ts, 1L, "view", 1.0, null))                   // null props -> null
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Events.propsExtract(spark, dir).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 95L)),
+      s"expected only event 1 to survive, got ${got.mkString(", ")}")
+  }
+
   test("d11: a zero-norm vector neither flags others nor gets flagged on a NaN witness") {
     val dir = scratch("edge-d11")
     def vec(seed: Int): Seq[Float] =
