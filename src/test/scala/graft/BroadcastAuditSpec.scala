@@ -1,8 +1,6 @@
 package graft
 
-import java.nio.file.{Files, Path, Paths}
-
-import scala.jdk.CollectionConverters._
+import java.nio.file.{Files, Paths}
 
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -15,30 +13,22 @@ import org.scalatest.funsuite.AnyFunSuite
   * immediately caught a site the r14 ENUMERATION itself had missed,
   * Relational.scala:381).
   *
-  * The pin is the per-file count of `broadcast(` occurrences on
-  * non-comment lines — the same counting rule the table's header quotes.
-  * Adding/removing a site fails here with instructions, making the audit
-  * table and the source impossible to drift apart silently. Renames and
-  * file moves show up as a changed file list, which is also audit-worthy.
+  * The pin is the per-file count of word-boundary `broadcast(` calls on
+  * code lines under [[AuditScan]]'s counting rule (shared with
+  * DriverCollectAuditSpec and quoted by the tables' headers — block
+  * comments tracked, `rebroadcast(`-style identifiers excluded by the
+  * `\b`, accepted limits documented there). Adding/removing a site fails
+  * here with instructions, making the audit table and the source
+  * impossible to drift apart silently. Renames and file moves show up as
+  * a changed file list, which is also audit-worthy.
   */
 class BroadcastAuditSpec extends AnyFunSuite {
 
   private val SrcRoot = "src/main/scala"
 
-  /** SCALING.md's audit-table counting rule: occurrences of `broadcast(`
-    * outside pure comment lines (line comments, scaladoc continuation
-    * stars, block-comment openers). Trailing same-line comments are
-    * counted — a site and its comment share a line rarely enough that
-    * the conservative rule wins.
-    */
-  private def countSites(p: Path): Int =
-    Files.readAllLines(p).asScala.map { line =>
-      val s = line.trim
-      if (s.startsWith("//") || s.startsWith("*") || s.startsWith("/*")) 0
-      else "broadcast\\(".r.findAllIn(line).size
-    }.sum
+  private val Pattern = "\\bbroadcast\\(".r
 
-  // The audited state: per-file non-comment `broadcast(` counts at the
+  // The audited state: per-file code-line `broadcast(` counts at the
   // last audit (SCALING.md r14 table + r15 addendum). A mismatch means a
   // site was added, removed, or moved WITHOUT updating the audit table.
   private val Audited = Map(
@@ -61,17 +51,7 @@ class BroadcastAuditSpec extends AnyFunSuite {
     val root = Paths.get(SrcRoot)
     assert(Files.isDirectory(root),
       s"expected to run from the repo root; $SrcRoot not found under ${sys.props("user.dir")}")
-    val found = Files.walk(root).iterator().asScala
-      .filter(p => p.toString.endsWith(".scala"))
-      .map(p => root.relativize(p).toString -> countSites(p))
-      .filter(_._2 > 0)
-      .toMap
-    val drift = (found.keySet ++ Audited.keySet).toSeq.sorted.flatMap { f =>
-      (found.getOrElse(f, 0), Audited.getOrElse(f, 0)) match {
-        case (a, b) if a == b => None
-        case (a, b) => Some(s"$f: $a site(s) in source vs $b audited")
-      }
-    }
+    val drift = AuditScan.drift(AuditScan.scan(root, Pattern), Audited)
     assert(drift.isEmpty,
       "broadcast( sites drifted from the SCALING.md audit:\n  " +
         drift.mkString("\n  ") +

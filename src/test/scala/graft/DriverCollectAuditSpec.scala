@@ -1,8 +1,8 @@
 package graft
 
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{Files, Paths}
 
-import scala.jdk.CollectionConverters._
+import scala.util.matching.Regex
 
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -15,29 +15,32 @@ import org.scalatest.funsuite.AnyFunSuite
   * driver materialization cannot land without a recorded boundedness
   * rationale (the r14 q5 lesson: prose-scoped sweeps miss sites;
   * enumerations with a count pin do not).
+  *
+  * r16 (advice + mandate 4): the pattern set now also covers
+  * `.head(`, `collectAsMap` and `.take(` — the equivalent
+  * materialization APIs a new site could have reached for without
+  * tripping the r15 set. `.take(` deliberately also matches
+  * Scala-collection takes (a text audit can't see receiver types);
+  * today's only such site is Bench.scala's slowest-20 list, pinned
+  * below so even a collection-take drifts loudly rather than silently.
+  * Counting rule shared with BroadcastAuditSpec via [[AuditScan]].
   */
 class DriverCollectAuditSpec extends AnyFunSuite {
 
   private val SrcRoot = "src/main/scala"
 
-  private val Patterns =
-    Seq(".collect()", ".first()", ".toLocalIterator", "collectAsList")
+  private val Patterns = Seq(
+    ".collect()", ".first()", ".toLocalIterator", "collectAsList",
+    ".head(", "collectAsMap", ".take(")
 
-  /** SCALING.md's counting rule: pattern occurrences outside pure comment
-    * lines (line comments, scaladoc continuation stars, block-comment
-    * openers).
-    */
-  private def countSites(p: Path): Int =
-    Files.readAllLines(p).asScala.map { line =>
-      val s = line.trim
-      if (s.startsWith("//") || s.startsWith("*") || s.startsWith("/*")) 0
-      else Patterns.map(pat => line.sliding(pat.length).count(_ == pat)).sum
-    }.sum
+  private val Pattern: Regex =
+    Patterns.map(Regex.quote).mkString("|").r
 
   // The audited state: per-file counts at the last audit (SCALING.md r15
-  // table). A mismatch means a site was added, removed, or moved WITHOUT
-  // updating the audit table.
+  // table + r16 addendum). A mismatch means a site was added, removed,
+  // or moved WITHOUT updating the audit table.
   private val Audited = Map(
+    "graft/Bench.scala" -> 1,
     "graft/ScaleStress.scala" -> 1,
     "graft/StreamScaleStress.scala" -> 2,
     "graft/pipeline/CleanJob.scala" -> 1,
@@ -54,17 +57,7 @@ class DriverCollectAuditSpec extends AnyFunSuite {
     val root = Paths.get(SrcRoot)
     assert(Files.isDirectory(root),
       s"expected to run from the repo root; $SrcRoot not found under ${sys.props("user.dir")}")
-    val found = Files.walk(root).iterator().asScala
-      .filter(p => p.toString.endsWith(".scala"))
-      .map(p => root.relativize(p).toString -> countSites(p))
-      .filter(_._2 > 0)
-      .toMap
-    val drift = (found.keySet ++ Audited.keySet).toSeq.sorted.flatMap { f =>
-      (found.getOrElse(f, 0), Audited.getOrElse(f, 0)) match {
-        case (a, b) if a == b => None
-        case (a, b) => Some(s"$f: $a site(s) in source vs $b audited")
-      }
-    }
+    val drift = AuditScan.drift(AuditScan.scan(root, Pattern), Audited)
     assert(drift.isEmpty,
       "driver-materialization sites drifted from the SCALING.md audit:\n  " +
         drift.mkString("\n  ") +
