@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
+import graft.core.{BoundedMemo, Tables}
 import graft.functions.{TextHash, VectorLsh, VectorOps}
 import graft.functions.TextHash.{hash60, hash60Sql, P}
 
@@ -219,9 +219,26 @@ object Dedup {
     * materialization instead of re-scanning and re-hashing the corpus per
     * query. At scale this is one fewer full-corpus token explode per
     * consumer; the cached frame itself is two longs per document.
+    *
+    * r16 memo hygiene (r15 verdict item 2): all three memos here are
+    * [[BoundedMemo]]s — LRU-capped at [[MemoCapacity]] corpora, purged of
+    * stopped sessions' keys on every touch, evicted frames unpersisted —
+    * so a long-lived multi-tenant session can no longer accumulate
+    * lineage-pinning entries without bound. Same best-effort race
+    * semantics as before (see [[clustersFor]]).
     */
-  private val sigMemo =
-    new scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]
+  /** Cap on distinct (session, corpus dir) keys held per memo: a
+    * harness touches one or two corpora, a service a handful — beyond
+    * that, the LRU entry's consumers have moved on and a recompute on
+    * re-visit is the right trade against pinned lineage.
+    */
+  private val MemoCapacity = 8
+
+  private def newFrameMemo: BoundedMemo[(SparkSession, String), DataFrame] =
+    new BoundedMemo(MemoCapacity,
+      isDead = kv => kv._1.sparkContext.isStopped,
+      onEvict = df => df.unpersist(false))
+  private val sigMemo = newFrameMemo
   private def sigsFor(spark: SparkSession, dir: String): DataFrame =
     sigMemo.getOrElseUpdate((spark, dir),
       simhashSigs(Tables(spark, dir).documents).cache())
@@ -230,20 +247,18 @@ object Dedup {
     * d9's clustering (and t14 through it) reuses d4's pair generation
     * instead of re-running the chunk self-join.
     */
-  private val pairMemo =
-    new scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]
+  private val pairMemo = newFrameMemo
 
   /** Drop the signature/pair memos (benchmark hook: ScaleStress times every
     * query COLD so a scaling curve measures end-to-end cost, not whichever
     * query happened to run first and warm the memo for the rest).
     */
   private[graft] def clearMemos(): Unit = {
-    sigMemo.values.foreach(df => df.unpersist(false))
-    pairMemo.values.foreach(df => df.unpersist(false))
-    sigMemo.clear()
+    sigMemo.clear()  // clear() releases via the memo's unpersist hook
     pairMemo.clear()
     clusterMemo.clear() // checkpoint-backed, nothing to unpersist
   }
+
   private def pairsFor(spark: SparkSession, dir: String): DataFrame =
     pairMemo.getOrElseUpdate((spark, dir), {
       val sims = sigsFor(spark, dir)
@@ -769,7 +784,8 @@ object Dedup {
     * is best-effort, which is sufficient for the sequential harnesses here.
     */
   private val clusterMemo =
-    new scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]
+    new BoundedMemo[(SparkSession, String), DataFrame](MemoCapacity,
+      isDead = kv => kv._1.sparkContext.isStopped)
   private[queries] def clustersFor(spark: SparkSession, dir: String): DataFrame =
     clusterMemo.getOrElseUpdate((spark, dir),
       connectedComponents(pairsFor(spark, dir).select("d1", "d2")))

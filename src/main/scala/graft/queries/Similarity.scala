@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
+import graft.core.{BoundedMemo, Tables}
 import graft.functions.{TopCells, VectorLsh, VectorOps}
 
 /** Approximate-nearest-neighbor search over the embedding column
@@ -305,8 +305,18 @@ object Similarity {
     * UUID, not the session object — values are plain doubles, so a
     * stopped session leaves nothing retained but a short string.
     */
-  private val quantMemo = new scala.collection.concurrent.TrieMap[
-    (String, String, Int, Int), Seq[Centroid]]
+  /** r16 memo hygiene (r15 verdict item 2): the three memos here are
+    * LRU-capped [[BoundedMemo]]s — keys are session-UUID strings (never
+    * the session object) and values driver-side metadata, so unlike
+    * Dedup's frame memos there is no lineage to unpersist and no live
+    * session to test for; the cap alone stops unbounded growth across
+    * (session, corpus, schedule) keys. Evicted = recomputed on re-visit.
+    * (Declared before the memos: object vals initialize in order.)
+    */
+  private val MemoCapacity = 8
+
+  private val quantMemo = new BoundedMemo[
+    (String, String, Int, Int), Seq[Centroid]](MemoCapacity)
 
   /** Drop the quantizer AND persisted-index memos (one benchmark hook,
     * mirroring Dedup.clearMemos — both memos exist for the same
@@ -650,8 +660,8 @@ object Similarity {
   private[queries] def indexDirFor(dir: String): String =
     "target/ivf_index/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
 
-  private val indexMemo = new scala.collection.concurrent.TrieMap[
-    (String, String, String, Int, Int), Seq[Centroid]]
+  private val indexMemo = new BoundedMemo[
+    (String, String, String, Int, Int), Seq[Centroid]](MemoCapacity)
 
   /** Build the index artifacts, once per (session, corpus, index dir,
     * schedule): the persisted artifact is immutable for a fixed corpus +
@@ -748,9 +758,9 @@ object Similarity {
     * different artifact — can never be served another quantizer's plan;
     * [[buildIvfIndex]] additionally evicts the dir's entries on rebuild.
     */
-  private val probeMemo = new scala.collection.concurrent.TrieMap[
+  private val probeMemo = new BoundedMemo[
     (String, String, String, Int, Int),
-    (Seq[(Long, Long, Seq[Double], Double)], Seq[Long])]
+    (Seq[(Long, Long, Seq[Double], Double)], Seq[Long])](MemoCapacity)
 
   private def centsSig(cents: Seq[Centroid]): Int =
     cents.map(c => (c.cid, c.cnorm)).hashCode()
