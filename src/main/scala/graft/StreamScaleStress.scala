@@ -40,6 +40,19 @@ import graft.streaming.{DocumentStreams, EventStreams, StreamMetrics}
 object StreamScaleStress {
 
   private val Slices = 10
+
+  /** Wall-time protocol (r15 verdict item 3): every committed `sec` is the
+    * MIN over this many full replays — SCALING.md's r15 footnote measured
+    * 8× same-code run-to-run jitter on st5's replay (88.9/10.5/39.9 s), so
+    * a single-run wall time must never be read across rounds as a
+    * regression. Min-of-three is the r8 batch table's protocol; the min
+    * estimates the machine-limited cost, the spread is box noise. State
+    * metrics and the twin compare come from the FIRST rep (the replay is
+    * deterministic — same slices, same batches); every rep's wall time is
+    * recorded in `sec_runs` and the protocol named per row.
+    */
+  private val Reps =
+    sys.env.get("SPARK_GRAFT_STREAM_REPS").map(_.toInt).getOrElse(3)
   private val UserOffset = 10000L   // base user_id < 1500
   private val EventOffset = 10000000L // base event_id < 100k
   private val DocOffset = 1000000L  // base doc_id < 5000 (matches ScaleStress)
@@ -194,7 +207,13 @@ object StreamScaleStress {
     // just these must not demand the ScaleStress documents corpora (doc
     // zones replicate through a separate, slower generator with its own
     // prerequisite — requiring it for a session/attribution replay made
-    // the focused study needlessly heavy)
+    // the focused study needlessly heavy).
+    // MAINTENANCE (r16 advice): this set is a hand-maintained duplicate of
+    // which run() sites read only evZone — each such site below carries an
+    // "eventOnly member" comment; when adding a query, keep the set and
+    // the comments in step (a doc-reading query wrongly listed here fails
+    // at run time on the missing docZone; an event-only query missing here
+    // merely regenerates the heavy doc corpora).
     val eventOnly = Set("st2_hourly", "st3_sessions", "st5_attribution",
       "st10_range_join", "st10b_keyed_range_join")
 
@@ -230,28 +249,44 @@ object StreamScaleStress {
       def run(name: String, stream: => DataFrame, mode: OutputMode,
           collapse: DataFrame => DataFrame, twin: => Option[DataFrame]): Unit = {
         if (!only.forall(_.contains(name))) return
-        val m = StreamMetrics.attach(spark)
-        val t0 = System.nanoTime()
-        val updates = EventStreams.replayToTable(stream, s"sss_${name}_x$k", mode)
-        val result = collapse(updates)
-        val rows = result.count()
-        val sec = (System.nanoTime() - t0) / 1e9
-        m.detach()
-        val ok = twin.map(t => matches(result, t))
-        val bs = m.batchesFor(s"sss_${name}_x$k")
+        var rows = 0L
+        var ok: Option[Boolean] = None
+        var bs: Seq[StreamMetrics.Batch] = Nil
+        val secs = (0 until Reps).map { r =>
+          val qn = s"sss_${name}_x${k}_r$r"
+          val m = StreamMetrics.attach(spark)
+          val t0 = System.nanoTime()
+          val updates = EventStreams.replayToTable(stream, qn, mode)
+          val result = collapse(updates)
+          rows = result.count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          m.detach()
+          if (r == 0) {
+            // deterministic replay: state metrics + twin compare once
+            ok = twin.map(t => matches(result, t))
+            bs = m.batchesFor(qn)
+            detail ++= m.jsonLines
+          }
+          // free the drained memory sink before the next rep (at x10 a
+          // join stream's table is the dominant driver-heap tenant)
+          spark.catalog.dropTempView(qn)
+          sec
+        }
         val stateMax = if (bs.isEmpty) 0L else bs.map(_.stateRowsTotal).max
         val bytesMax = if (bs.isEmpty) 0L else bs.map(_.stateBytes).max
         val removed = bs.map(_.stateRowsRemoved).sum
         val line =
-          s"""{"scale":$k,"query":"$name","sec":${f2(sec)},"rows":$rows,""" +
+          s"""{"scale":$k,"query":"$name","sec":${f2(secs.min)},""" +
+            s""""protocol":"min-of-$Reps",""" +
+            s""""sec_runs":[${secs.map(f2).mkString(",")}],"rows":$rows,""" +
             s""""match":${ok.map(_.toString).getOrElse("null")},"batches":${bs.size},""" +
             s""""state_rows_max":$stateMax,""" +
             s""""state_mb_max":${f2(bytesMax / 1e6)},"state_rows_removed":$removed}"""
         println(line)
         summary += line
-        detail ++= m.jsonLines
       }
 
+      // eventOnly member (reads evZone only)
       run("st2_hourly",
         EventStreams.hourlyRollup(EventStreams.readEvents(
           spark, evZone, glob = "*.parquet", maxFilesPerTrigger = Some(1))),
@@ -259,6 +294,7 @@ object StreamScaleStress {
         df => df,
         Some(Events.hourlyRollup(spark, dir)))
 
+      // eventOnly member (reads evZone only)
       run("st3_sessions", {
           import spark.implicits._
           EventStreams.userSessions(
@@ -270,6 +306,7 @@ object StreamScaleStress {
         EventStreaming.collapseSessions,
         Some(Events.userSessions(spark, dir)))
 
+      // eventOnly member (reads evZone only)
       run("st5_attribution", {
           import spark.implicits._
           EventStreams.attribution(
@@ -287,6 +324,7 @@ object StreamScaleStress {
       // Spark's symmetric hash join, keyed by the covering bucket; the 1h
       // delay covers the slice-boundary disorder, and the drained pairs
       // must equal the batch bucket join at every scale.
+      // eventOnly member (reads evZone only)
       run("st10_range_join",
         EventStreams.rangeJoin(
           EventStreams.readEvents(spark, evZone, glob = "*.parquet",
@@ -304,6 +342,7 @@ object StreamScaleStress {
       // must grow EXACTLY linearly and state shards over (user, bucket)
       // instead of piling into shared time buckets. Twin: the same keyed
       // inequality join stated as one batch equi-join + filter.
+      // eventOnly member (reads evZone only)
       run("st10b_keyed_range_join",
         EventStreams.keyedRangeJoin(
           EventStreams.readEvents(spark, evZone, glob = "*.parquet",
@@ -427,71 +466,88 @@ object StreamScaleStress {
             .filter(pmod(col("doc_id"), lit(20)).isin(5, 7)),
             sampleZone, System.currentTimeMillis())
         }
-        val m1 = StreamMetrics.attach(spark)
-        val t0 = System.nanoTime()
-        val q1 = DocumentStreams.cdcVerdicts(
-          Sampling.nextSnapshotOf(
-            DocumentStreams.readDocuments(spark, docZone,
-              glob = "*.parquet", maxFilesPerTrigger = Some(1))
-              .select("doc_id", "text")),
-          old).toDF()
-          .writeStream.queryName(s"sss_st12c_p1_x$k").outputMode("append")
-          .format("memory")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q1.awaitTermination()
-        m1.detach()
-        val preBatches = m1.batchesFor(s"sss_st12c_p1_x$k")
+        var rows = 0L
+        var ok = false
+        var preBatches: Seq[StreamMetrics.Batch] = Nil
+        var postBatches: Seq[StreamMetrics.Batch] = Nil
+        var cleanRows = 0L
+        val secs = (0 until Reps).map { r =>
+          val p1 = s"sss_st12c_p1_x${k}_r$r"
+          val p2 = s"sss_st12c_p2_x${k}_r$r"
+          val m1 = StreamMetrics.attach(spark)
+          val t0 = System.nanoTime()
+          val q1 = DocumentStreams.cdcVerdicts(
+            Sampling.nextSnapshotOf(
+              DocumentStreams.readDocuments(spark, docZone,
+                glob = "*.parquet", maxFilesPerTrigger = Some(1))
+                .select("doc_id", "text")),
+            old).toDF()
+            .writeStream.queryName(p1).outputMode("append")
+            .format("memory")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q1.awaitTermination()
+          m1.detach()
+          // the compacted clean zone: phase-1 upserts applied, then a 25%
+          // deletion wave (zone maintenance the arrival ledger cannot see)
+          val upserts = Sampling.nextSnapshotOf(old)
+          val clean = upserts.filter(pmod(col("doc_id"), lit(4)) =!= 1)
+            .localCheckpoint()
+          val m2 = StreamMetrics.attach(spark)
+          val verdicts = DocumentStreams.reseedCdc(q1,
+            spark.readStream.schema(
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("doc_id",
+                  org.apache.spark.sql.types.LongType),
+                org.apache.spark.sql.types.StructField("text",
+                  org.apache.spark.sql.types.StringType))))
+              .parquet(sampleDir),
+            clean).toDF()
+          val q2 = verdicts
+            .writeStream.queryName(p2).outputMode("append")
+            .format("memory")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q2.awaitTermination()
+          val result = spark.table(p2)
+          rows = result.count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          m2.detach()
+          if (r == 0) {
+            preBatches = m1.batchesFor(p1)
+            postBatches = m2.batchesFor(p2)
+            // twin: batch diff of the sample against the compacted zone
+            // (additions only — the sample is upsert-shaped, and arrival
+            // CDC never sees absences)
+            val sample = spark.read.parquet(sampleZone)
+            val twin = graft.operators.CorpusDiff.diff(clean, sample)
+              .filter(col("status") =!= "removed")
+            ok = matches(result, twin)
+            cleanRows = clean.count()
+            detail ++= m1.jsonLines
+            detail ++= m2.jsonLines
+          }
+          spark.catalog.dropTempView(p1)
+          spark.catalog.dropTempView(p2)
+          sec
+        }
         val preState =
           if (preBatches.isEmpty) 0L else preBatches.map(_.stateRowsTotal).max
-        // the compacted clean zone: phase-1 upserts applied, then a 25%
-        // deletion wave (zone maintenance the arrival ledger cannot see)
-        val upserts = Sampling.nextSnapshotOf(old)
-        val clean = upserts.filter(pmod(col("doc_id"), lit(4)) =!= 1)
-          .localCheckpoint()
-        val m2 = StreamMetrics.attach(spark)
-        val verdicts = DocumentStreams.reseedCdc(q1,
-          spark.readStream.schema(
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("doc_id",
-                org.apache.spark.sql.types.LongType),
-              org.apache.spark.sql.types.StructField("text",
-                org.apache.spark.sql.types.StringType))))
-            .parquet(sampleDir),
-          clean).toDF()
-        val q2 = verdicts
-          .writeStream.queryName(s"sss_st12c_p2_x$k").outputMode("append")
-          .format("memory")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q2.awaitTermination()
-        val result = spark.table(s"sss_st12c_p2_x$k")
-        val rows = result.count()
-        val sec = (System.nanoTime() - t0) / 1e9
-        m2.detach()
-        val postBatches = m2.batchesFor(s"sss_st12c_p2_x$k")
         val postState =
           if (postBatches.isEmpty) 0L else postBatches.map(_.stateRowsTotal).max
-        // twin: batch diff of the sample against the compacted zone
-        // (additions only — the sample is upsert-shaped, and arrival CDC
-        // never sees absences)
-        val sample = spark.read.parquet(sampleZone)
-        val twin = graft.operators.CorpusDiff.diff(clean, sample)
-          .filter(col("status") =!= "removed")
-        val ok = matches(result, twin)
         val line =
-          s"""{"scale":$k,"query":"st12c_cdc_reseed","sec":${f2(sec)},""" +
+          s"""{"scale":$k,"query":"st12c_cdc_reseed","sec":${f2(secs.min)},""" +
+            s""""protocol":"min-of-$Reps",""" +
+            s""""sec_runs":[${secs.map(f2).mkString(",")}],""" +
             s""""rows":$rows,"match":$ok,""" +
             s""""batches":${preBatches.size + postBatches.size},""" +
             s""""state_rows_max":$postState,"state_mb_max":${f2(
               (if (postBatches.isEmpty) 0L
                else postBatches.map(_.stateBytes).max) / 1e6)},""" +
             s""""state_rows_removed":0,"pre_reseed_state_rows":$preState,""" +
-            s""""clean_zone_rows":${clean.count()}}"""
+            s""""clean_zone_rows":$cleanRows}"""
         println(line)
         summary += line
-        detail ++= m1.jsonLines
-        detail ++= m2.jsonLines
       }
 
       // st14: streaming drift monitor. The ledger is (dim, value) counts —
@@ -584,43 +640,54 @@ object StreamScaleStress {
       // not O(data). rows must scale exactly linearly (13 clean rows per
       // replica pair of catalogues).
       if (only.forall(_.contains("st4_dag"))) {
-        val root = s"$dir/dag"
-        FsUtil.deleteRecursively(root)
-        val zones = graft.pipeline.Pipeline.Zones(root)
-        val fixRoot = s"$root/fixtures/PnP"
-        val srcFix = "/root/repo/fixtures/silver/PnP"
-        val keys = Seq(
-          "Gauteng/13_February_-_15_February_2026",
-          "Eastern_Cape/20_February_-_22_February_2026")
-        (0 until k).foreach { r =>
-          keys.foreach { key =>
-            val Array(prov, dr) = key.split("/")
-            val provR = if (r == 0) prov else s"${prov}_r$r"
-            val pdf = Paths.get(s"${zones.raw}/PnP/$provR/$dr.pdf")
-            Files.createDirectories(pdf.getParent)
-            Files.write(pdf, graft.pipeline.FixtureBinaries.minimalPdf(2))
-            (1 to 2).foreach { pg =>
-              val dst = Paths.get(s"$fixRoot/$provR/$dr/page_$pg.json")
-              Files.createDirectories(dst.getParent)
-              Files.copy(Paths.get(s"$srcFix/$prov/$dr/page_$pg.json"), dst)
+        var rows = 0L
+        var bsSize = 0
+        val secs = (0 until Reps).map { rep =>
+          // cold-start per rep: fresh zones + fixtures, so every rep times
+          // the same from-nothing DAG (checkpoints are inside root)
+          val root = s"$dir/dag"
+          FsUtil.deleteRecursively(root)
+          val zones = graft.pipeline.Pipeline.Zones(root)
+          val fixRoot = s"$root/fixtures/PnP"
+          val srcFix = "/root/repo/fixtures/silver/PnP"
+          val keys = Seq(
+            "Gauteng/13_February_-_15_February_2026",
+            "Eastern_Cape/20_February_-_22_February_2026")
+          (0 until k).foreach { r =>
+            keys.foreach { key =>
+              val Array(prov, dr) = key.split("/")
+              val provR = if (r == 0) prov else s"${prov}_r$r"
+              val pdf = Paths.get(s"${zones.raw}/PnP/$provR/$dr.pdf")
+              Files.createDirectories(pdf.getParent)
+              Files.write(pdf, graft.pipeline.FixtureBinaries.minimalPdf(2))
+              (1 to 2).foreach { pg =>
+                val dst = Paths.get(s"$fixRoot/$provR/$dr/page_$pg.json")
+                Files.createDirectories(dst.getParent)
+                Files.copy(Paths.get(s"$srcFix/$prov/$dr/page_$pg.json"), dst)
+              }
             }
           }
+          val m = StreamMetrics.attach(spark)
+          val t0 = System.nanoTime()
+          graft.streaming.PipelineStreams.runDag(spark, zones,
+            new graft.pipeline.FixtureExtractor(fixRoot))
+          rows = spark.read.parquet(zones.clean).count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          m.detach()
+          if (rep == 0) {
+            bsSize = m.batches.size
+            detail ++= m.jsonLines
+          }
+          sec
         }
-        val m = StreamMetrics.attach(spark)
-        val t0 = System.nanoTime()
-        graft.streaming.PipelineStreams.runDag(spark, zones,
-          new graft.pipeline.FixtureExtractor(fixRoot))
-        val rows = spark.read.parquet(zones.clean).count()
-        val sec = (System.nanoTime() - t0) / 1e9
-        m.detach()
-        val bs = m.batches
         val line =
-          s"""{"scale":$k,"query":"st4_dag","sec":${f2(sec)},"rows":$rows,""" +
-            s""""match":null,"batches":${bs.size},"state_rows_max":0,""" +
+          s"""{"scale":$k,"query":"st4_dag","sec":${f2(secs.min)},""" +
+            s""""protocol":"min-of-$Reps",""" +
+            s""""sec_runs":[${secs.map(f2).mkString(",")}],"rows":$rows,""" +
+            s""""match":null,"batches":$bsSize,"state_rows_max":0,""" +
             s""""state_mb_max":0,"state_rows_removed":0}"""
         println(line)
         summary += line
-        detail ++= m.jsonLines
       }
     }
 
