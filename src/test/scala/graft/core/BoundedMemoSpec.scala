@@ -95,4 +95,35 @@ class BoundedMemoSpec extends AnyFunSuite {
     m.put(1, "a"); m.put(2, "b")
     assert(m.keys.toSet == Set(1, 2))
   }
+
+  test("concurrent hammering never corrupts the map or exceeds capacity") {
+    // the real consumers race Verify/Bench query threads on shared memos;
+    // this pins that the lock discipline (compute outside, map ops inside)
+    // survives contention: every caller gets SOME value computed for ITS
+    // key, size never exceeds capacity, and no op throws
+    val m = new BoundedMemo[Int, String](4)
+    val computes = new java.util.concurrent.atomic.AtomicInteger
+    val errors = new java.util.concurrent.atomic.AtomicInteger
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val tasks = (0 until 800).map { i => () =>
+      try {
+        val k = i % 16
+        val v = m.getOrElseUpdate(k, { computes.incrementAndGet(); s"v$k" })
+        if (v != s"v$k") errors.incrementAndGet()
+        if (i % 7 == 0) m.remove(i % 16): Unit
+        if (i % 11 == 0) m.keys: Unit
+        if (m.size > 4) errors.incrementAndGet()
+      } catch { case _: Throwable => errors.incrementAndGet() }
+    }
+    import scala.jdk.CollectionConverters._
+    pool.invokeAll(tasks.map(t =>
+      new java.util.concurrent.Callable[Unit] { def call(): Unit = t() }).asJava)
+    pool.shutdown()
+    assert(errors.get() == 0, s"${errors.get()} racing callers saw a wrong value, a size breach, or a throw")
+    // NB: 16 keys thrash a capacity-4 LRU by design — this test is about
+    // correctness under contention, not hit rate (the single-threaded
+    // "computes once" test pins caching); just confirm work happened
+    assert(computes.get() >= 16)
+    assert(m.size <= 4)
+  }
 }
