@@ -77,7 +77,14 @@ object ScaleStress {
     "e2_user_sessions", "e5_incremental_rollup", "n8_hard_negatives",
     "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
     "q5_local_supplier_volume", "q9_product_profit",
-    "n9_hybrid_rrf", "t23_seed_vocab", "t24_leakage_split", "e7_funnel")
+    "n9_hybrid_rrf", "t23_seed_vocab", "t24_leakage_split", "e7_funnel",
+    // r16 PQ family: codebook size is corpus-INDEPENDENT (standard PQ
+    // practice — K codewords per subspace is a vocabulary, not an index
+    // partition count), so both run the SparkEntry registration verbatim;
+    // training cost is linear per Lloyd round, the codes table linear
+    "n10_pq_codes", "n11_pq_adc_topk",
+    // r16 profiling family: single-scan reports, verbatim registrations
+    "pr1_column_profile", "pr2_skew_profile")
 
   /** SemDeDup's K schedule. Total cost = centroid assignment (n·K dot
     * products — the coarse quantizer is brute-force nearest-centroid) plus

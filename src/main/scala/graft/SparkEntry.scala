@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.GraftSession
-import graft.queries.{BinaryPipeline, Dedup, Entity, Events, EventStreaming, Layout, Multimodal, ProductPipeline, Relational, Sampling, Scrape, SetOps, Similarity, Sketches, Strings, Temporal, TextAnalysis, Windows}
+import graft.queries.{BinaryPipeline, Dedup, Entity, Events, EventStreaming, Layout, Multimodal, ProductPipeline, Profiling, Relational, Sampling, Scrape, SetOps, Similarity, Sketches, Strings, Temporal, TextAnalysis, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -19,6 +19,7 @@ object SparkEntry {
       Events.queries ++ Strings.queries ++ Dedup.queries ++
       Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
       ProductPipeline.queries ++ BinaryPipeline.queries ++ Scrape.queries ++
+      Profiling.queries ++
       EventStreaming.queries ++ Sketches.queries ++ Temporal.queries ++
       Sampling.queries ++ Entity.queries ++ Layout.queries
 
@@ -29,6 +30,7 @@ object SparkEntry {
       Events.oracles ++ Strings.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++
       ProductPipeline.oracles ++ BinaryPipeline.oracles ++ Scrape.oracles ++
+      Profiling.oracles ++
       EventStreaming.oracles ++ Sketches.oracles ++ Temporal.oracles ++
       Sampling.oracles ++ Entity.oracles ++ Layout.oracles
 }

@@ -1,0 +1,217 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TopKAgg
+
+/** Data-profiling operators — the quality gate every corpus ingest runs
+  * BEFORE heavier work (the Deequ/data-profiler class of tooling):
+  * per-column statistics in one scan (pr1) and grouping-key skew
+  * diagnostics (pr2), the measurement that decides whether a downstream
+  * join/aggregate needs salting (Sketches.saltedRollup is the remedy this
+  * report dispatches to).
+  */
+object Profiling {
+
+  /** pr1: COLUMN PROFILE — null ratio, exact distinct count, and typed
+    * stats (min/max/mean/std for the numeric column; lengths for text)
+    * for every column of `documents`, long-form (col_name, metric
+    * columns).
+    *
+    * Scale shape: ONE scan feeding one global aggregate. Mean/std use
+    * exact power sums accumulated in DECIMAL(38,0) (BIGINT would overflow
+    * ANSI-loudly on sum(len²) around 1e9 long documents; decimal sums are
+    * exact in both engines — DuckDB's BIGINT sum is already HUGEINT) and
+    * divided back in a fixed double-op order — never stddev_samp, whose
+    * streaming M2 merge order is parallelism-dependent, so Spark and
+    * DuckDB would disagree in the last ulps; the power-sum spelling is
+    * bit-stable at any parallelism because integer addition commutes
+    * exactly. The multi-column exact DISTINCT is the one deliberately
+    * expensive piece: Catalyst plans it as an Expand (one input row per
+    * distinct aggregate), the honest price of exactness; the 100 TB dial
+    * is approx_count_distinct (HLL) per column — same single-scan shape,
+    * no Expand — which this report keeps exact so the DuckDB oracle can
+    * agree to the digit.
+    */
+  def columnProfile(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val dec = "decimal(38,0)"
+    val agg = d.agg(
+      count(lit(1)).as("n"),
+      // null counts
+      sum(when(col("doc_id").isNull, 1L).otherwise(0L)).as("nn_doc_id"),
+      sum(when(col("text").isNull, 1L).otherwise(0L)).as("nn_text"),
+      sum(when(col("lang").isNull, 1L).otherwise(0L)).as("nn_lang"),
+      sum(when(col("source").isNull, 1L).otherwise(0L)).as("nn_source"),
+      sum(when(col("n_chars").isNull, 1L).otherwise(0L)).as("nn_n_chars"),
+      // exact distincts
+      countDistinct(col("doc_id")).as("nd_doc_id"),
+      countDistinct(col("text")).as("nd_text"),
+      countDistinct(col("lang")).as("nd_lang"),
+      countDistinct(col("source")).as("nd_source"),
+      countDistinct(col("n_chars")).as("nd_n_chars"),
+      // numeric stats over n_chars: exact decimal power sums
+      min(col("n_chars")).as("min_n_chars"),
+      max(col("n_chars")).as("max_n_chars"),
+      sum(col("n_chars").cast(dec)).as("s1"),
+      sum((col("n_chars") * col("n_chars")).cast(dec)).as("s2"),
+      count(col("n_chars")).as("cnt_nc"),
+      // text lengths: exact sum + max
+      sum(length(col("text")).cast(dec)).as("slen"),
+      max(length(col("text")).cast("long")).as("max_len"),
+      count(col("text")).as("cnt_txt"))
+    // fixed-order double ops, identical in the oracle: mean = s1/n;
+    // var_samp = (s2 - s1·mean)/(n-1) — one subtraction, no M2 merge
+    val prof = agg.select(
+      col("*"),
+      (col("s1").cast("double") / col("cnt_nc")).as("mean_nc"),
+      sqrt((col("s2").cast("double") - col("s1").cast("double") *
+        (col("s1").cast("double") / col("cnt_nc"))) /
+        (col("cnt_nc") - 1)).as("std_nc"),
+      (col("slen").cast("double") / col("cnt_txt")).as("avg_len"))
+    val nulls = (c: String) =>
+      s"round(CAST(nn_$c AS DOUBLE) / n, 6), CAST(nd_$c AS DOUBLE)"
+    prof.select(expr(
+      s"""stack(5,
+         |  'doc_id',  ${nulls("doc_id")},  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+         |  'text',    ${nulls("text")},    CAST(NULL AS DOUBLE), CAST(max_len AS DOUBLE), round(avg_len, 6), CAST(NULL AS DOUBLE),
+         |  'lang',    ${nulls("lang")},    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+         |  'source',  ${nulls("source")},  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+         |  'n_chars', ${nulls("n_chars")}, CAST(min_n_chars AS DOUBLE), CAST(max_n_chars AS DOUBLE), round(mean_nc, 6), round(std_nc, 6)
+         |) AS (col_name, null_ratio, n_distinct, min_val, max_val, mean_val, std_val)"""
+        .stripMargin))
+      .orderBy("col_name")
+  }
+
+  val columnProfileSql: String = {
+    def row(name: String, mins: String, maxs: String, means: String,
+        stds: String) =
+      s"""SELECT '$name' AS col_name,
+         |  round(CAST(nn_$name AS DOUBLE) / n, 6) AS null_ratio,
+         |  CAST(nd_$name AS DOUBLE) AS n_distinct,
+         |  $mins AS min_val, $maxs AS max_val,
+         |  $means AS mean_val, $stds AS std_val FROM prof""".stripMargin
+    val nul = "CAST(NULL AS DOUBLE)"
+    s"""WITH agg AS (
+       |  SELECT count(*) AS n,
+       |    sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS nn_doc_id,
+       |    sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS nn_text,
+       |    sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS nn_lang,
+       |    sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS nn_source,
+       |    sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS nn_n_chars,
+       |    count(DISTINCT doc_id) AS nd_doc_id,
+       |    count(DISTINCT text) AS nd_text,
+       |    count(DISTINCT lang) AS nd_lang,
+       |    count(DISTINCT source) AS nd_source,
+       |    count(DISTINCT n_chars) AS nd_n_chars,
+       |    min(n_chars) AS min_n_chars,
+       |    max(n_chars) AS max_n_chars,
+       |    sum(n_chars) AS s1,
+       |    sum(n_chars * n_chars) AS s2,
+       |    count(n_chars) AS cnt_nc,
+       |    sum(length(text)) AS slen,
+       |    max(length(text)) AS max_len,
+       |    count(text) AS cnt_txt
+       |  FROM documents),
+       |prof AS (
+       |  SELECT *,
+       |    CAST(s1 AS DOUBLE) / cnt_nc AS mean_nc,
+       |    sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) *
+       |      (CAST(s1 AS DOUBLE) / cnt_nc)) / (cnt_nc - 1)) AS std_nc,
+       |    CAST(slen AS DOUBLE) / cnt_txt AS avg_len
+       |  FROM agg)
+       |${row("doc_id", nul, nul, nul, nul)}
+       |UNION ALL
+       |${row("text", nul, "CAST(max_len AS DOUBLE)", "round(avg_len, 6)", nul)}
+       |UNION ALL
+       |${row("lang", nul, nul, nul, nul)}
+       |UNION ALL
+       |${row("source", nul, nul, nul, nul)}
+       |UNION ALL
+       |${row("n_chars", "CAST(min_n_chars AS DOUBLE)",
+            "CAST(max_n_chars AS DOUBLE)", "round(mean_nc, 6)",
+            "round(std_nc, 6)")}
+       |ORDER BY col_name""".stripMargin
+  }
+
+  /** pr2: GROUPING-KEY SKEW PROFILE — for each candidate shuffle key of
+    * `events`, the per-key count distribution a partitioner would see:
+    * row/key totals, the hottest key's share, the top-10 keys' combined
+    * share, and the max/avg skew ratio. This is the measurement that
+    * decides salting (a large skew_ratio is exactly the shape that stalls
+    * a shuffle stage on one reducer; Sketches.saltedRollup is the remedy,
+    * AQE skew-join the runtime backstop; z4's Misra–Gries heavy hitters
+    * the streaming estimate of the same quantity).
+    *
+    * Scale shape, per key: ONE shuffle (the groupBy map-side-combines to
+    * per-partition key counts), then a single-row aggregate over the
+    * |keys|-sized count table in which the top-10 runs through the native
+    * graft_topk heap (≤ 10 pairs per input partition cross the exchange —
+    * no |keys| sort anywhere, unlike the oracle's window spelling). All
+    * shares derive from exact integer counts — the top-10 SUM is
+    * tie-order-independent because tied keys contribute the same count —
+    * so cross-engine parity is exact before the final rounding.
+    */
+  def skewProfile(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val shim = org.apache.spark.sql.graft.ColumnShim
+    def profile(key: String): DataFrame = {
+      val counts = ev.filter(col(key).isNotNull)
+        .groupBy(col(key).cast("string").as("k"))
+        .agg(count(lit(1)).as("cnt"))
+      // counts are exact integers far below 2^53, so the double scores
+      // ARE the counts; the heap id is a deterministic key hash (ids only
+      // break ties, and tied entries carry equal counts either way)
+      val tk = shim.column(TopKAgg(10,
+        shim.expression(col("cnt").cast("double")),
+        shim.expression(xxhash64(col("k")))).toAggregateExpression())
+      counts.agg(
+          sum("cnt").as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          max("cnt").as("max_cnt"),
+          tk.as("top"))
+        .select(
+          lit(key).as("key_col"),
+          col("n_rows"),
+          col("n_keys"),
+          col("max_cnt"),
+          round(col("max_cnt").cast("double") / col("n_rows"), 6).as("top1_share"),
+          round(expr("aggregate(top, CAST(0.0 AS DOUBLE), (a, x) -> a + x.score)") /
+            col("n_rows").cast("double"), 6).as("top10_share"),
+          round(col("max_cnt").cast("double") /
+            (col("n_rows").cast("double") / col("n_keys")), 6).as("skew_ratio"))
+    }
+    profile("user_id").unionAll(profile("event_type")).orderBy("key_col")
+  }
+
+  val skewProfileSql: String = {
+    def one(key: String) =
+      s"""SELECT '$key' AS key_col, n_rows, n_keys, max_cnt,
+         |  round(CAST(max_cnt AS DOUBLE) / n_rows, 6) AS top1_share,
+         |  round(top10 / CAST(n_rows AS DOUBLE), 6) AS top10_share,
+         |  round(CAST(max_cnt AS DOUBLE) /
+         |    (CAST(n_rows AS DOUBLE) / n_keys), 6) AS skew_ratio
+         |FROM (
+         |  SELECT CAST(sum(cnt) AS BIGINT) AS n_rows, count(*) AS n_keys,
+         |    max(cnt) AS max_cnt,
+         |    sum(CASE WHEN rnk <= 10 THEN CAST(cnt AS DOUBLE) ELSE 0.0 END) AS top10
+         |  FROM (
+         |    SELECT cnt, row_number() OVER (ORDER BY cnt DESC) AS rnk
+         |    FROM (SELECT CAST($key AS VARCHAR) AS k, count(*) AS cnt
+         |          FROM events WHERE $key IS NOT NULL GROUP BY 1)))""".stripMargin
+    s"""${one("user_id")}
+       |UNION ALL
+       |${one("event_type")}
+       |ORDER BY key_col""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pr1_column_profile" -> (columnProfile _),
+    "pr2_skew_profile" -> (skewProfile _))
+
+  val oracles: Map[String, String] = Map(
+    "pr1_column_profile" -> columnProfileSql,
+    "pr2_skew_profile" -> skewProfileSql)
+}

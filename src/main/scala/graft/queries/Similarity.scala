@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{BoundedMemo, Tables}
-import graft.functions.{TopCells, VectorLsh, VectorOps}
+import graft.functions.{PqNearest, TopCells, TopKAgg, VectorLsh, VectorOps}
 
 /** Approximate-nearest-neighbor search over the embedding column
   * (training-data-pipeline extension; `Array[Float]` embeddings as a
@@ -326,6 +326,7 @@ object Similarity {
     quantMemo.clear()
     indexMemo.clear()
     probeMemo.clear()
+    pqMemo.clear()
   }
 
   /** Session identity for memo keys WITHOUT retaining the session object:
@@ -914,8 +915,301 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ----------------------------------------------------------- n10/n11
+
+  /** Product-quantization schedule (Jégou et al., TPAMI 2011): [[Dim]]=64
+    * splits into [[PqM]]=4 subspaces of [[PqSubDim]]=16 dims, each with a
+    * [[PqK]]=16-codeword codebook refined by [[PqIters]] per-subspace
+    * Lloyd rounds — a 256-byte float vector compresses to FOUR code bytes
+    * (64×), vs SQ8's 4×. At 100 TB of vectors the codes table is ~1.6 TB:
+    * the whole corpus's ADC scan reads codes only, never raw vectors.
+    */
+  private[queries] val PqM = 4
+  private[queries] val PqSubDim: Int = Dim / PqM
+  private[queries] val PqK = 16
+  private val PqIters = 2
+
+  /** Driver-side PQ codebooks: shared ascending codeword ids (the seed
+    * vec_ids) and [m][code][i] sub-centroids — M·K·subDim doubles (4·16·16
+    * = 1,024 here), metadata-scale like [[Centroid]] snapshots.
+    */
+  private[queries] final case class PqBook(
+      cids: Array[Long], cbs: Array[Array[Array[Double]]])
+
+  /** The corpus PQ operates on: n5's degenerate-vector guard (zero or
+    * NaN amax vectors carry no direction and would feed NaN scores into
+    * the assignment kernel), applied identically in every PQ oracle CTE.
+    */
+  private[queries] def pqCorpus(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).embeddings
+      .select(col("vec_id"), asDouble("embedding").as("v"))
+      .withColumn("amax", expr("array_max(transform(v, x -> abs(x)))"))
+      .filter(col("amax") > 0 && !isnan(col("amax")))
+      .drop("amax")
+
+  /** (vec_id, m, sv) sub-vector explosion — M narrow rows per vector, a
+    * projection over the scan (no shuffle). Two selects for the same
+    * ExtractGenerator reason as [[lloydRoundLiteral]].
+    */
+  private[queries] def pqSub(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+        explode(expr(s"sequence(0L, ${PqM - 1}L)")).as("m"), col("v"))
+      .select(col("vec_id"), col("m"),
+        expr(s"slice(v, CAST(m * $PqSubDim + 1 AS INT), $PqSubDim)").as("sv"))
+
+  /** Seed codebooks: sub-slices of the vec_id < [[PqK]] vectors — one
+    * K·Dim-double collect, the [[seedCentroids]] class of driver
+    * materialization (bounded by the CONSTANT PqK, never the corpus).
+    */
+  private[queries] def pqSeeds(e: DataFrame): PqBook = {
+    val rows = e.filter(col("vec_id") < PqK).select("vec_id", "v")
+      .collect().sortBy(_.getLong(0))
+    require(rows.nonEmpty, s"no PQ seed vectors (vec_id < $PqK) in the corpus")
+    val cids = rows.map(_.getLong(0))
+    val cbs = Array.tabulate(PqM) { m =>
+      rows.map { r =>
+        val v = r.getSeq[Double](1).toArray
+        java.util.Arrays.copyOfRange(v, m * PqSubDim, (m + 1) * PqSubDim)
+      }
+    }
+    PqBook(cids, cbs)
+  }
+
+  /** One per-subspace Lloyd round, all M subspaces in ONE distributed
+    * aggregate: assign every (vector, subspace) to its nearest codeword
+    * inline (PqNearest — zero shuffles, like [[cellExpr]]), fixed-point
+    * BIGINT sums per (m, code, pos) — M·K·subDim rows after map-side
+    * combine — collected and divided back with the identical double ops
+    * the SQL twin runs. A codeword that lost every member keeps its
+    * previous sub-centroid.
+    */
+  private[queries] def pqRound(sub: DataFrame, book: PqBook): PqBook = {
+    // TWO selects (the lloydRoundLiteral ExtractGenerator hazard): `code`
+    // must project BELOW the posexplode or the K·subDim kernel re-runs
+    // once per exploded element
+    val sums = sub
+      .select(col("m"), col("sv"),
+        PqNearest.codeCol(book.cids, book.cbs, col("m"), col("sv")).as("code"))
+      .select(col("m"), col("code"), posexplode(col("sv")))
+      .groupBy("m", "code", "pos")
+      .agg(
+        sum(expr(s"CAST(round(col * $QuantScale) AS BIGINT)")).as("sx"),
+        count(lit(1)).as("cnt"))
+      .collect()
+    val byKey = sums.groupBy(r => (r.getLong(0), r.getLong(1)))
+    val cbs = Array.tabulate(PqM) { m =>
+      book.cids.indices.toArray.map { ci =>
+        byKey.get((m.toLong, book.cids(ci))) match {
+          case Some(rs) =>
+            rs.sortBy(_.getInt(2))
+              .map(r => r.getLong(3).toDouble / (r.getLong(4) * QuantScale.toDouble))
+          case None => book.cbs(m)(ci)
+        }
+      }
+    }
+    PqBook(book.cids, cbs)
+  }
+
+  private val pqMemo = new BoundedMemo[(String, String, Int, Int, Int), PqBook](MemoCapacity)
+
+  /** The refined codebooks, memoized per (session, corpus) like
+    * [[refinedCentroidsFor]] — n10 and n11 train on the same corpus and a
+    * Verify/Bench run invokes them back to back.
+    */
+  private[queries] def pqBookFor(spark: SparkSession, dir: String, e: DataFrame): PqBook =
+    pqMemo.getOrElseUpdate((sessionKey(spark), dir, PqM, PqK, PqIters), {
+      val sub = pqSub(e)
+      (1 to PqIters).foldLeft(pqSeeds(e))((b, _) => pqRound(sub, b))
+    })
+
+  /** The codebooks as a (m, cid, cv) frame — M·K rows of driver metadata,
+    * broadcast wherever a plan needs codewords next to data.
+    */
+  private def pqBookDf(spark: SparkSession, book: PqBook): DataFrame = {
+    import spark.implicits._
+    val rows = for {
+      m <- 0 until PqM
+      ci <- book.cids.indices
+    } yield (m.toLong, book.cids(ci), book.cbs(m)(ci).toSeq)
+    rows.toDF("m", "cid", "cv")
+  }
+
+  /** n10: PQ ENCODE — every vector's [[PqM]] codeword assignments plus the
+    * per-subspace reconstruction MSE (pins the codebook VALUES, not just
+    * the code ids: a drifted centroid moves sub_mse even when assignments
+    * survive). Scale shape: one corpus scan, assignment inline in the
+    * projection (PqNearest), MSE via a broadcast join with the M·K-row
+    * codebook frame — no shuffle except the output sort.
+    */
+  def pqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val e = widen(pqCorpus(spark, dir))
+    val book = pqBookFor(spark, dir, e)
+    val codes = pqSub(e)
+      .withColumn("code", PqNearest.codeCol(book.cids, book.cbs, col("m"), col("sv")))
+    val cb = pqBookDf(spark, book)
+    // constant-size dim side (M·K rows): hint, not AQE, per the audit rule
+    codes.join(broadcast(cb),
+        codes("m") === cb("m") && codes("code") === cb("cid"))
+      .select(codes("vec_id"), codes("m"), col("code"),
+        round(expr(
+          """aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)),
+            |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin) /
+          lit(PqSubDim.toDouble), 8).as("sub_mse"))
+      .orderBy("vec_id", "m")
+  }
+
+  /** Shared oracle CTE chain `e → nz → sub → pcent0..pcentL → codes` — the
+    * SQL twin of [[pqBookFor]] + encode: seeds are the vec_id < PqK
+    * sub-slices, each Lloyd round re-assigns via the same round-4
+    * (2·dot − ‖cv‖²) score and rebuilds means from fixed-point BIGINT sums
+    * (exact under any aggregation order), empty codewords keeping the
+    * prior sub-centroid.
+    */
+  private def pqAssignCteSql(name: String, centCte: String): String =
+    s"""$name AS (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT s.vec_id, s.m, c.cid AS code,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+       |        round(2 * list_dot_product(s.sv, c.cv) - c.csq, 4) DESC,
+       |        c.cid) AS arn
+       |    FROM sub s JOIN $centCte c ON c.m = s.m)
+       |  WHERE arn = 1)""".stripMargin
+
+  private def pqLloydCtesSql(r: Int): String =
+    s"""${pqAssignCteSql(s"passign$r", s"pcent${r - 1}")},
+       |psums$r AS (
+       |  SELECT a.m, a.code, t.i AS pos,
+       |    sum(CAST(round(s.sv[t.i] * $QuantScale) AS BIGINT)) AS sx,
+       |    count(*) AS cnt
+       |  FROM passign$r a
+       |    JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m
+       |    CROSS JOIN generate_series(1, $PqSubDim) t(i)
+       |  GROUP BY 1, 2, 3),
+       |pmeans$r AS (
+       |  SELECT m, code,
+       |    list(CAST(sx AS DOUBLE) / (cnt * $QuantScale.0) ORDER BY pos) AS ncv
+       |  FROM psums$r GROUP BY 1, 2),
+       |pcent$r AS (
+       |  SELECT m, cid, cv, list_sum(list_transform(cv, x -> x * x)) AS csq
+       |  FROM (SELECT p.m, p.cid, coalesce(mn.ncv, p.cv) AS cv
+       |        FROM pcent${r - 1} p
+       |          LEFT JOIN pmeans$r mn ON mn.m = p.m AND mn.code = p.cid))""".stripMargin
+
+  private def pqCteSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |nz AS (
+       |  SELECT vec_id, v FROM (
+       |    SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax
+       |    FROM e)
+       |  WHERE amax > 0 AND NOT isnan(amax)),
+       |sub AS (
+       |  SELECT vec_id, t.m,
+       |    list_slice(v, CAST(t.m * $PqSubDim + 1 AS INT),
+       |      CAST((t.m + 1) * $PqSubDim AS INT)) AS sv
+       |  FROM nz, generate_series(0, ${PqM - 1}) t(m)),
+       |pcent0 AS (
+       |  SELECT m, vec_id AS cid, sv AS cv,
+       |    list_sum(list_transform(sv, x -> x * x)) AS csq
+       |  FROM sub WHERE vec_id < $PqK),
+       |${(1 to PqIters).map(pqLloydCtesSql).mkString(",\n")},
+       |${pqAssignCteSql("codes", s"pcent$PqIters")}""".stripMargin
+
+  val pqCodesSql: String =
+    s"""$pqCteSql
+       |SELECT c.vec_id, c.m, c.code,
+       |  round(list_sum(list_transform(generate_series(1, $PqSubDim),
+       |    i -> (s.sv[i] - ct.cv[i]) * (s.sv[i] - ct.cv[i]))) / $PqSubDim, 8)
+       |    AS sub_mse
+       |FROM codes c
+       |  JOIN sub s ON s.vec_id = c.vec_id AND s.m = c.m
+       |  JOIN pcent$PqIters ct ON ct.m = c.m AND ct.cid = c.code
+       |ORDER BY c.vec_id, c.m""".stripMargin
+
+  /** n11: ADC TOP-K — asymmetric-distance retrieval over the PQ codes
+    * (the query stays un-quantized; Jégou et al. §IV). Per query, a
+    * lookup table of fixed-point squared L2 distances to every codeword
+    * (|Q|·M·K entries) is built ONCE, and each corpus vector scores as
+    * FOUR integer table lookups over its code bytes — exact under any
+    * order, so ranking needs no float tolerance. Scale shape: the corpus
+    * side reads ONLY the codes projection (64× smaller than raw vectors);
+    * the LUT rides a broadcast (|Q|-bounded by the same vec_id <
+    * NumQueries contract as n1's query set); and ranking goes through the
+    * native graft_topk heap aggregate, so the only exchange carries ≤
+    * TopK pairs per (query, input partition) — a row_number window here
+    * would shuffle ALL n·|Q| candidate rows instead. Scores rank by the
+    * exact fixed-point sum (negated — the heap orders score DESC), ids
+    * break ties ascending, identical to the oracle's (afp, neighbor_id).
+    */
+  def pqAdcTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = widen(pqCorpus(spark, dir))
+    val book = pqBookFor(spark, dir, e)
+    val codes = e.select(
+      col("vec_id") +: (0 until PqM).map { m =>
+        PqNearest.codeCol(book.cids, book.cbs, lit(m.toLong),
+          expr(s"slice(v, ${m * PqSubDim + 1}, $PqSubDim)")).as(s"c$m")
+      }: _*)
+    val cb = pqBookDf(spark, book)
+    val q = pqSub(pqCorpus(spark, dir).filter(col("vec_id") < NumQueries))
+      .withColumnRenamed("vec_id", "query_id")
+      .withColumnRenamed("sv", "qsv")
+    // |Q|·M rows join M·K codebook rows: both constant/contract-bounded
+    val lut = q.join(broadcast(cb), Seq("m"))
+      .select(col("query_id"), col("m"), col("cid"),
+        expr(s"""CAST(round(aggregate(zip_with(qsv, cv,
+          |  (a, b) -> (a - b) * (a - b)),
+          |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) * $QuantScale) AS BIGINT)"""
+          .stripMargin).as("fp"))
+    val perM = lut.groupBy("query_id", "m")
+      .agg(map_from_entries(collect_list(struct(col("cid"), col("fp")))).as("l"))
+    val lAggs = (0 until PqM).map(m =>
+      first(when(col("m") === m, col("l")), ignoreNulls = true).as(s"l$m"))
+    val lutW = perM.groupBy("query_id").agg(lAggs.head, lAggs.tail: _*)
+    val scored = codes.crossJoin(broadcast(lutW))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("afp",
+        (0 until PqM).map(m => expr(s"element_at(l$m, c$m)")).reduce(_ + _))
+    // afp ≤ M·round(maxSubDist·1e6) stays far below 2^53, so the negated
+    // double the heap ranks on is EXACT and -score round-trips back to afp
+    val shim = org.apache.spark.sql.graft.ColumnShim
+    val tk = shim.column(TopKAgg(TopK,
+      shim.expression((-col("afp")).cast("double")),
+      shim.expression(col("vec_id"))).toAggregateExpression())
+    scored.groupBy("query_id").agg(tk.as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("neighbor_id"),
+        round((-col("col.score")) / lit(QuantScale.toDouble), 4).as("adist"))
+      .orderBy("query_id", "rank")
+  }
+
+  val pqAdcTopKSql: String =
+    s"""$pqCteSql,
+       |lut AS (
+       |  SELECT q.vec_id AS query_id, c.m, c.cid,
+       |    CAST(round(list_sum(list_transform(generate_series(1, $PqSubDim),
+       |      i -> (q.sv[i] - c.cv[i]) * (q.sv[i] - c.cv[i]))) * $QuantScale)
+       |      AS BIGINT) AS fp
+       |  FROM sub q JOIN pcent$PqIters c ON c.m = q.m
+       |  WHERE q.vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT l.query_id, x.vec_id AS neighbor_id, CAST(sum(l.fp) AS BIGINT) AS afp
+       |  FROM codes x
+       |    JOIN lut l ON l.m = x.m AND l.cid = x.code AND l.query_id <> x.vec_id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, rank, neighbor_id,
+       |  round(CAST(afp AS DOUBLE) / $QuantScale.0, 4) AS adist
+       |FROM (SELECT *, CAST(row_number() OVER (
+       |        PARTITION BY query_id ORDER BY afp, neighbor_id) AS BIGINT) AS rank
+       |      FROM scored)
+       |WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n9_hybrid_rrf" -> (hybridRrf _),
+    "n10_pq_codes" -> (pqCodes _),
+    "n11_pq_adc_topk" -> (pqAdcTopK _),
     "n7_ivf_index_topk" -> (ivfIndexTopK _),
     "n8_hard_negatives" -> (hardNegativesTopK _),
     "n5_quantize" -> (quantize _),
@@ -927,6 +1221,8 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "n9_hybrid_rrf" -> hybridRrfSql,
+    "n10_pq_codes" -> pqCodesSql,
+    "n11_pq_adc_topk" -> pqAdcTopKSql,
     // the persisted index must reproduce the from-scratch IVF exactly
     "n7_ivf_index_topk" -> ivfTopKSql,
     "n8_hard_negatives" -> hardNegativesTopKSql,
