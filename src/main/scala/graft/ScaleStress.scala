@@ -82,7 +82,7 @@ object ScaleStress {
     // practice — K codewords per subspace is a vocabulary, not an index
     // partition count), so both run the SparkEntry registration verbatim;
     // training cost is linear per Lloyd round, the codes table linear
-    "n10_pq_codes", "n11_pq_adc_topk",
+    "n10_pq_codes", "n11_pq_adc_topk", "n12_ivfpq_topk",
     // r16 profiling family: single-scan reports, verbatim registrations
     "pr1_column_profile", "pr2_skew_profile")
 
@@ -125,6 +125,11 @@ object ScaleStress {
         // nprobe pinned at the oracle entry's 2: the curve isolates
         // corpus-side cost — |Q| and per-query probed fraction both fixed
         (s, d) => graft.queries.Similarity.ivfTopK(s, d, nprobe = 2,
+          numCells = d11Cells(k))
+      case "n12_ivfpq_topk" =>
+        // coarse cells on the same √n schedule; PQ codebooks stay
+        // constant-size (a vocabulary, not a partition count)
+        (s, d) => graft.queries.Similarity.ivfPqTopK(s, d,
           numCells = d11Cells(k))
       case "t22_cluster_cap" =>
         // the cap rides the same √n cell schedule: per-cell window width
@@ -737,7 +742,7 @@ object ScaleStress {
     // back-fills whatever this one skipped)
     val selected = Queries.filter(q => only.forall(_.contains(q)))
     val needsEvents = selected.exists(q =>
-      q.startsWith("j") || q.startsWith("e"))
+      q.startsWith("j") || q.startsWith("e") || q == "pr2_skew_profile")
     val needsTpch = selected.exists(_.startsWith("q"))
     scales.foreach { k =>
       val dir = s"target/scale/x$k"

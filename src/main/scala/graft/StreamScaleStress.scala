@@ -144,6 +144,36 @@ object StreamScaleStress {
     * happen DURING the replay (visible as state_rows_removed > 0 and a
     * state_rows_max plateau well under the distinct-doc count).
     */
+  /** Slice the ScaleStress embeddings corpus into [[Slices]] id-range
+    * files under outDir/embeddings.parquet/ (st16's streamed zone); same
+    * base-id slicing rule as [[generateDocs]] — vec_ids repeat per replica
+    * modulo the ScaleStress offset, so every slice carries one id-range of
+    * EVERY replica. Idempotent per (k).
+    */
+  private def generateEmbeddings(spark: SparkSession, scaleDir: String,
+      outDir: String): Unit = {
+    val done = new File(s"$outDir/_EMB_GENERATED")
+    if (done.exists()) return
+    require(new File(s"$scaleDir/embeddings.parquet").exists(),
+      s"$scaleDir/embeddings.parquet missing - run graft.ScaleStress first " +
+        "(it generates the replicated embeddings corpora)")
+    val emb = spark.read.parquet(s"$scaleDir/embeddings.parquet")
+      .select("vec_id", "embedding", "label")
+    val span = emb.agg(max(col("vec_id") % DocOffset)).first().getLong(0) + 1
+    val per = math.max(1L, (span + Slices - 1) / Slices)
+    val dir = s"$outDir/embeddings.parquet"
+    FsUtil.deleteRecursively(dir)
+    Files.createDirectories(Paths.get(dir))
+    val t0 = System.currentTimeMillis() - Slices * 60000L
+    (0 until Slices).foreach { i =>
+      writeOne(
+        emb.filter(col("vec_id") % DocOffset >= i * per &&
+          col("vec_id") % DocOffset < (i + 1) * per),
+        f"$dir/slice_$i%02d.parquet", t0 + i * 60000L)
+    }
+    Files.write(done.toPath, Array.emptyByteArray)
+  }
+
   private def generateDocsTs(spark: SparkSession, scaleDir: String,
       outDir: String): Unit = {
     val done = new File(s"$outDir/_DOCSTS_GENERATED")
@@ -215,7 +245,11 @@ object StreamScaleStress {
     // at run time on the missing docZone; an event-only query missing here
     // merely regenerates the heavy doc corpora).
     val eventOnly = Set("st2_hourly", "st3_sessions", "st5_attribution",
-      "st10_range_join", "st10b_keyed_range_join")
+      "st10_range_join", "st10b_keyed_range_join",
+      // embeddings-zone member: reads embZone only (its own generator,
+      // gated below on selection, carries the ScaleStress prerequisite) —
+      // listed here so a focused run skips the heavy doc corpora
+      "st16_vector_ingest")
 
     scales.foreach { k =>
       val dir = s"target/scale/streams/x$k"
@@ -224,8 +258,11 @@ object StreamScaleStress {
         generateDocs(spark, s"target/scale/x$k", dir)
         generateDocsTs(spark, s"target/scale/x$k", dir)
       }
+      if (only.forall(_.contains("st16_vector_ingest")))
+        generateEmbeddings(spark, s"target/scale/x$k", dir)
       val evZone = s"$dir/events.parquet"
       val docZone = s"$dir/documents.parquet"
+      val embZone = s"$dir/embeddings.parquet"
 
       // Untimed streaming warm-up, once per harness run: replay ONE slice
       // through the st2 plan so session codegen + state-store + file-source
@@ -596,6 +633,32 @@ object StreamScaleStress {
         EventStreaming.collapseHeavyHitters,
         Some(graft.queries.Sketches.heavyHittersOf(
           spark.read.parquet(docZone), graft.queries.Sketches.HhK)))
+
+      // eventOnly-set member by the embeddings-zone note above (reads
+      // embZone only). st16: the per-cell census state is O(cells) — the
+      // √n schedule means state grows as √k while the stream grows as k;
+      // the twin is the batch census under the SAME scaled quantizer.
+      val st16Cells = ScaleStress.d11Cells(k)
+      run("st16_vector_ingest", {
+          val assigned = graft.queries.Similarity.assignCellsToStream(
+            spark, s"target/scale/x$k",
+            DocumentStreams.readEmbeddings(spark, embZone,
+              glob = "*.parquet", maxFilesPerTrigger = Some(1)),
+            numCells = st16Cells)
+          assigned.groupBy("cell").agg(
+            count(lit(1)).as("n_vectors"), min("vec_id").as("first_vec_id"))
+        },
+        OutputMode.Update(),
+        EventStreaming.collapseVectorIngest,
+        Some {
+          graft.queries.Similarity.assignCellsToStream(
+            spark, s"target/scale/x$k",
+            spark.read.parquet(embZone).select("vec_id", "embedding"),
+            numCells = st16Cells)
+            .groupBy("cell").agg(
+              count(lit(1)).as("n_vectors"), min("vec_id").as("first_vec_id"))
+            .orderBy("cell")
+        })
 
       // bounded-state twin: same digest dedup, state evicted past the
       // watermark horizon. event_ts advances one hour per doc-id slice, so

@@ -3,7 +3,7 @@ package graft.queries
 import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{asc, broadcast, col, desc, max, max_by, min, struct, sum}
+import org.apache.spark.sql.functions.{asc, broadcast, col, count, desc, lit, max, max_by, min, struct, sum}
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.{DocumentStreams, EventStreams}
@@ -385,7 +385,40 @@ object EventStreaming {
       .orderBy("hour_ts", "event_type")
   }
 
+  /** Collapse update-mode per-cell census rows to the final counts:
+    * per-cell vector counts only grow and first_vec_id only shrinks as
+    * the stream drains, so max/min over the update versions is the final
+    * state — the st6 monotone-collapse discipline.
+    */
+  def collapseVectorIngest(updates: DataFrame): DataFrame =
+    updates
+      .groupBy("cell")
+      .agg(max("n_vectors").as("n_vectors"),
+        min("first_vec_id").as("first_vec_id"))
+      .orderBy("cell")
+
+  /** st16: STREAMING VECTOR INGEST — the ANN index-maintenance path as a
+    * stream. The coarse quantizer trains batch-side (the same memoized
+    * centroids n4/d11/n12 serve from); each arriving embedding assigns its
+    * cell in a stateless inline projection and folds into a per-cell
+    * stateful census (inverted-list sizes — the quantity an IVF index
+    * maintainer watches for cell imbalance and rebuild triggers). Replayed
+    * over the embeddings zone it must land on exactly the batch census
+    * under the shared quantizer CTE (Similarity.vectorCellCensusSql).
+    * State is O(cells) — the provisioning dimension is the quantizer size,
+    * never the stream length.
+    */
+  def streamVectorIngest(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = Similarity.assignCellsToStream(spark, dir,
+      graft.streaming.DocumentStreams.readEmbeddings(spark, dir))
+    val census = assigned.groupBy("cell").agg(
+      count(lit(1)).as("n_vectors"), min("vec_id").as("first_vec_id"))
+    collapseVectorIngest(EventStreams.replayOnce(
+      census, s"st16_mem_${runSeq.incrementAndGet()}", OutputMode.Update()))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st16_stream_vector_ingest" -> (streamVectorIngest _),
     "st14_stream_drift" -> (streamDrift _),
     "st13_stream_enrich" -> (streamEnrich _),
     "st12_stream_cdc" -> (streamCdc _),
@@ -402,6 +435,7 @@ object EventStreaming {
     "st15_stream_temperature_mix" -> (streamTemperatureMix _))
 
   val oracles: Map[String, String] = Map(
+    "st16_stream_vector_ingest" -> Similarity.vectorCellCensusSql,
     "st14_stream_drift" -> Sampling.driftReportSql,
     "st13_stream_enrich" -> streamEnrichSql,
     "st12_stream_cdc" -> Sampling.corpusDiffUpsertsSql,

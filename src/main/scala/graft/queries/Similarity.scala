@@ -327,6 +327,7 @@ object Similarity {
     indexMemo.clear()
     probeMemo.clear()
     pqMemo.clear()
+    pqIndexMemo.clear()
   }
 
   /** Session identity for memo keys WITHOUT retaining the session object:
@@ -1095,11 +1096,12 @@ object Similarity {
        |        FROM pcent${r - 1} p
        |          LEFT JOIN pmeans$r mn ON mn.m = p.m AND mn.code = p.cid))""".stripMargin
 
-  private def pqCteSql: String =
-    s"""WITH e AS (
-       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings),
-       |nz AS (
+  /** The PQ CTE chain AFTER `e` (nz → sub → pcent0..L → codes) — n10/n11
+    * prefix it with their own `e`; n12 appends it to the IVF chain
+    * (cellsCteSqlFor), whose `e` is the identical expression.
+    */
+  private def pqBodyCtes: String =
+    s"""nz AS (
        |  SELECT vec_id, v FROM (
        |    SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax
        |    FROM e)
@@ -1115,6 +1117,12 @@ object Similarity {
        |  FROM sub WHERE vec_id < $PqK),
        |${(1 to PqIters).map(pqLloydCtesSql).mkString(",\n")},
        |${pqAssignCteSql("codes", s"pcent$PqIters")}""".stripMargin
+
+  private def pqCteSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |$pqBodyCtes""".stripMargin
 
   val pqCodesSql: String =
     s"""$pqCteSql
@@ -1142,14 +1150,22 @@ object Similarity {
     * exact fixed-point sum (negated — the heap orders score DESC), ids
     * break ties ascending, identical to the oracle's (afp, neighbor_id).
     */
-  def pqAdcTopK(spark: SparkSession, dir: String): DataFrame = {
-    val e = widen(pqCorpus(spark, dir))
-    val book = pqBookFor(spark, dir, e)
-    val codes = e.select(
-      col("vec_id") +: (0 until PqM).map { m =>
-        PqNearest.codeCol(book.cids, book.cbs, lit(m.toLong),
-          expr(s"slice(v, ${m * PqSubDim + 1}, $PqSubDim)")).as(s"c$m")
-      }: _*)
+  /** The M per-subspace code columns c0..cM-1 for a (vec_id, v, ...) frame
+    * — one PqNearest virtual call per subspace, all riding the scan's
+    * projection (shared by n11's flat scan and n12's per-cell layout).
+    */
+  private def pqCodeCols(book: PqBook): Seq[org.apache.spark.sql.Column] =
+    (0 until PqM).map { m =>
+      PqNearest.codeCol(book.cids, book.cbs, lit(m.toLong),
+        expr(s"slice(v, ${m * PqSubDim + 1}, $PqSubDim)")).as(s"c$m")
+    }
+
+  /** Per-query ADC lookup tables, wide: (query_id, l0..lM-1), each l a
+    * cid→fixed-point-distance map over one subspace's codewords. |Q|·M·K
+    * entries by the vec_id < NumQueries contract — broadcast wherever the
+    * codes scan needs them (shared by n11 and n12).
+    */
+  private def pqLutW(spark: SparkSession, dir: String, book: PqBook): DataFrame = {
     val cb = pqBookDf(spark, book)
     val q = pqSub(pqCorpus(spark, dir).filter(col("vec_id") < NumQueries))
       .withColumnRenamed("vec_id", "query_id")
@@ -1165,11 +1181,21 @@ object Similarity {
       .agg(map_from_entries(collect_list(struct(col("cid"), col("fp")))).as("l"))
     val lAggs = (0 until PqM).map(m =>
       first(when(col("m") === m, col("l")), ignoreNulls = true).as(s"l$m"))
-    val lutW = perM.groupBy("query_id").agg(lAggs.head, lAggs.tail: _*)
+    perM.groupBy("query_id").agg(lAggs.head, lAggs.tail: _*)
+  }
+
+  /** The summed fixed-point ADC distance over the M code columns. */
+  private def adcAfp: org.apache.spark.sql.Column =
+    (0 until PqM).map(m => expr(s"element_at(l$m, c$m)")).reduce(_ + _)
+
+  def pqAdcTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = widen(pqCorpus(spark, dir))
+    val book = pqBookFor(spark, dir, e)
+    val codes = e.select(col("vec_id") +: pqCodeCols(book): _*)
+    val lutW = pqLutW(spark, dir, book)
     val scored = codes.crossJoin(broadcast(lutW))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("afp",
-        (0 until PqM).map(m => expr(s"element_at(l$m, c$m)")).reduce(_ + _))
+      .withColumn("afp", adcAfp)
     // afp ≤ M·round(maxSubDist·1e6) stays far below 2^53, so the negated
     // double the heap ranks on is EXACT and -score round-trips back to afp
     val shim = org.apache.spark.sql.graft.ColumnShim
@@ -1206,10 +1232,264 @@ object Similarity {
        |WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
 
+  /** n12: IVF+PQ — the FAISS-style production index layout (Jégou et al.
+    * §V: coarse Voronoi cells × fine product codes). The coarse quantizer
+    * is THE SAME memoized Lloyd clustering n4/d11/t22 share (one
+    * clustering, four consumers); the fine quantizer is n10's codebook.
+    * Each corpus vector reduces to (cell, M code ids) in ONE scan
+    * projection — two inline kernels (TopCells, PqNearest), no join
+    * between the quantizers' outputs — and a probe touches only the
+    * nprobe cells' candidates, scored by n11's ADC lookups.
+    *
+    * Scale shape: at 100 TB the candidates frame is the n7 move applied
+    * to codes — Hive-partition the (cell, codes) table by cell and the
+    * probe's cell filter becomes partition pruning over a corpus stored
+    * at ~4 bytes/vector (vs 256 B raw): nprobe/K of 1.6 TB instead of
+    * nprobe/K of 100 TB. Here the candidate set after the probe join is
+    * nprobe·|Q|/K of the corpus, ranked by the same window-free
+    * exact-integer order as n11 via the candidate-bounded window n4 uses
+    * (candidates are cell-pruned, not the whole corpus, so the window's
+    * exchange carries the pruned set — the n4-audited shape).
+    */
+  def ivfPqTopK(spark: SparkSession, dir: String,
+      numCells: Int = NumCells): DataFrame = {
+    VectorOps.register(spark)
+    // coarse quantizer: IDENTICAL construction to semanticCellsFull so
+    // the memoized centroids are shared, not retrained; numCells follows
+    // the same √n scale schedule as n4/d11 (ScaleStress passes d11Cells)
+    val eAll = widen(Tables(spark, dir).embeddings
+      .select(col("vec_id"), asDouble("embedding").as("v"))
+      .withColumn("norm", sqrt(expr("graft_dot(v, v)"))))
+    val cents = refinedCentroidsFor(spark, dir, eAll, numCells, LloydIters)
+    val e = widen(pqCorpus(spark, dir))
+    val book = pqBookFor(spark, dir, e)
+    // one projection: cell + M codes off the same scan
+    val cands = e
+      .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
+      .withColumn("cell", cellExpr(cents, col("v"), col("norm")))
+      .select(col("vec_id") +: col("cell") +: pqCodeCols(book): _*)
+    val q = pqCorpus(spark, dir).filter(col("vec_id") < NumQueries)
+      .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
+      .select(col("vec_id").as("query_id"), col("v").as("v1"), col("norm").as("n1"))
+    val probe = q.select(col("query_id"),
+      explode(TopCells.cellsCol(
+        cents.map(c => (c.cid, c.cv, c.cnorm)), NumProbe,
+        col("v1"), col("n1"))).as("cell"))
+    val lutW = pqLutW(spark, dir, book)
+    val scored = cands.join(broadcast(probe), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(lutW), Seq("query_id"))
+      .withColumn("afp", adcAfp)
+    val w = Window.partitionBy("query_id").orderBy(asc("afp"), asc("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cell"),
+        round(col("afp").cast("double") / lit(QuantScale.toDouble), 4).as("adist"))
+      .orderBy("query_id", "rank")
+  }
+
+  val ivfPqTopKSql: String =
+    s"""${cellsCteSqlFor(NumCells)},
+       |$pqBodyCtes,
+       |q12 AS (
+       |  SELECT vec_id AS query_id, v,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS n1
+       |  FROM nz WHERE vec_id < $NumQueries),
+       |probe12 AS (
+       |  SELECT query_id, cid AS cell FROM (
+       |    SELECT q.query_id, c.cid,
+       |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |        round(list_dot_product(q.v, c.cv) / (q.n1 * c.cnorm), 4) DESC,
+       |        c.cid) AS prn
+       |    FROM q12 q CROSS JOIN cent$LloydIters c)
+       |  WHERE prn <= $NumProbe),
+       |lut12 AS (
+       |  SELECT q.vec_id AS query_id, c.m, c.cid,
+       |    CAST(round(list_sum(list_transform(generate_series(1, $PqSubDim),
+       |      i -> (q.sv[i] - c.cv[i]) * (q.sv[i] - c.cv[i]))) * $QuantScale)
+       |      AS BIGINT) AS fp
+       |  FROM sub q JOIN pcent$PqIters c ON c.m = q.m
+       |  WHERE q.vec_id < $NumQueries),
+       |scored12 AS (
+       |  SELECT l.query_id, x.vec_id AS neighbor_id, a.cell,
+       |    CAST(sum(l.fp) AS BIGINT) AS afp
+       |  FROM codes x
+       |    JOIN assign a ON a.vec_id = x.vec_id
+       |    JOIN probe12 p ON p.cell = a.cell
+       |    JOIN lut12 l ON l.query_id = p.query_id AND l.m = x.m
+       |      AND l.cid = x.code AND l.query_id <> x.vec_id
+       |  GROUP BY 1, 2, 3)
+       |SELECT query_id, rank, neighbor_id, cell,
+       |  round(CAST(afp AS DOUBLE) / $QuantScale.0, 4) AS adist
+       |FROM (SELECT *, CAST(row_number() OVER (
+       |        PARTITION BY query_id ORDER BY afp, neighbor_id) AS BIGINT) AS rank
+       |      FROM scored12)
+       |WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+
+  // ----------------------------------------------------------- n13
+
+  private[queries] def pqIndexDirFor(dir: String): String =
+    "target/ivfpq_index/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  private val pqIndexMemo = new BoundedMemo[
+    (String, String, String, Int), (Seq[Centroid], PqBook)](MemoCapacity)
+
+  /** Build the persisted IVF+PQ index, once per (session, corpus, index
+    * dir, schedule) — n7's "build once, probe many" applied to n12's
+    * layout. Three artifacts:
+    *
+    *  - `centroids.parquet` — the coarse quantizer, metadata-scale;
+    *  - `codebooks.parquet` — the M·K PQ sub-centroids, metadata-scale;
+    *  - `codes/` — (vec_id, c0..cM-1) Hive-PARTITIONED BY CELL: the whole
+    *    corpus at ~4 longs/vector, so probe-time cell selection is
+    *    PARTITION PRUNING over a table two orders of magnitude smaller
+    *    than n7's raw-vector cells/ — at 100 TB raw this is the ~1.6 TB
+    *    artifact an ANN serving tier actually holds.
+    *
+    * Doubles round-trip parquet exactly and codes are integers, so the
+    * disk probe reproduces n12's from-scratch answer bit-for-bit — n13
+    * shares n12's oracle, pinning index and computation together.
+    */
+  def buildIvfPqIndex(spark: SparkSession, dir: String, indexDir: String,
+      numCells: Int = NumCells): (Seq[Centroid], PqBook) = {
+    val key = (sessionKey(spark), dir, indexDir, numCells)
+    def artifactIntact: Boolean =
+      Seq("centroids.parquet", "codebooks.parquet", "codes").forall(a =>
+        java.nio.file.Files.exists(java.nio.file.Paths.get(indexDir, a)))
+    pqIndexMemo.get(key) match {
+      case Some(v) if artifactIntact => v
+      case _ =>
+        // the artifact is about to reflect THIS schedule (the n7 rebuild
+        // rule): sibling entries for the same dir would pair stale
+        // metadata with the new codes/
+        pqIndexMemo.keys
+          .filter(k => k._3 == indexDir && k != key)
+          .foreach(pqIndexMemo.remove)
+        val v = buildIvfPqIndexCold(spark, dir, indexDir, numCells)
+        pqIndexMemo.put(key, v)
+        v
+    }
+  }
+
+  private def buildIvfPqIndexCold(spark: SparkSession, dir: String,
+      indexDir: String, numCells: Int): (Seq[Centroid], PqBook) = {
+    VectorOps.register(spark)
+    import spark.implicits._
+    val eAll = widen(Tables(spark, dir).embeddings
+      .select(col("vec_id"), asDouble("embedding").as("v"))
+      .withColumn("norm", sqrt(expr("graft_dot(v, v)"))))
+    val cents = refinedCentroidsFor(spark, dir, eAll, numCells, LloydIters)
+    cents.map(c => (c.cid, c.cv.toSeq, c.cnorm)).toDF("cid", "cv", "cnorm")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$indexDir/centroids.parquet")
+    val e = widen(pqCorpus(spark, dir))
+    val book = pqBookFor(spark, dir, e)
+    pqBookDf(spark, book).coalesce(1).write.mode("overwrite")
+      .parquet(s"$indexDir/codebooks.parquet")
+    e.withColumn("norm", sqrt(expr("graft_dot(v, v)")))
+      .withColumn("cell", cellExpr(cents, col("v"), col("norm")))
+      .select(col("vec_id") +: col("cell") +: pqCodeCols(book): _*)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/codes")
+    (cents, book)
+  }
+
+  /** Probe the persisted IVF+PQ index: quantizers come back FROM THE
+    * INDEX (two metadata-scale collects, the n7 centroid-read class),
+    * probe cells collect to ≤ |Q|·nprobe driver rows serving both the
+    * partition-pruning predicate and the broadcast probe relation, and
+    * the scoring job reads ONLY the probed cells' code partitions — the
+    * raw corpus is never opened.
+    */
+  def probeIvfPqIndex(spark: SparkSession, dir: String, indexDir: String,
+      nprobe: Int): DataFrame = {
+    VectorOps.register(spark)
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$indexDir/centroids.parquet")
+      .collect().toSeq
+      .map(r => Centroid(r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_.cid)
+    val bookRows = spark.read.parquet(s"$indexDir/codebooks.parquet")
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    val cids = bookRows.filter(_._1 == 0L).map(_._2).sorted.toArray
+    val book = PqBook(cids, Array.tabulate(PqM) { m =>
+      bookRows.filter(_._1 == m.toLong).sortBy(_._2).map(_._3).toArray
+    })
+    val probeRows = pqCorpus(spark, dir).filter(col("vec_id") < NumQueries)
+      .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
+      .select(col("vec_id").as("query_id"),
+        explode(TopCells.cellsCol(
+          cents.map(c => (c.cid, c.cv, c.cnorm)), nprobe,
+          col("v"), col("norm"))).as("cell"))
+      .collect()
+    val probe = probeRows.toSeq.map(r => (r.getLong(0), r.getLong(1)))
+      .toDF("query_id", "cell")
+    val probedCells = probeRows.map(_.getLong(1)).distinct.toSeq
+    val lutW = pqLutW(spark, dir, book)
+    val corpus = spark.read.parquet(s"$indexDir/codes")
+      .withColumn("cell", col("cell").cast("long"))
+      .filter(col("cell").isin(probedCells: _*))
+    val scored = corpus.join(broadcast(probe), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(lutW), Seq("query_id"))
+      .withColumn("afp", adcAfp)
+    val w = Window.partitionBy("query_id").orderBy(asc("afp"), asc("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cell"),
+        round(col("afp").cast("double") / lit(QuantScale.toDouble), 4).as("adist"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** n13: the IVF+PQ index PERSISTED — build once, probe from disk; must
+    * reproduce n12's from-scratch result exactly (shared oracle).
+    */
+  def ivfPqIndexTopK(spark: SparkSession, dir: String): DataFrame = {
+    val idx = pqIndexDirFor(dir)
+    buildIvfPqIndex(spark, dir, idx)
+    probeIvfPqIndex(spark, dir, idx, NumProbe)
+  }
+
+  /** Streaming cell assignment (st16's projection stage): the coarse
+    * quantizer trains BATCH-side from the corpus dir (memoized — the same
+    * centroids n4/d11/n12 share: index built offline, maintained online),
+    * then rides the unbounded vector stream as a static inline projection
+    * — per arriving vector one TopCells kernel call, no state, no join.
+    */
+  def assignCellsToStream(spark: SparkSession, dir: String,
+      vecs: DataFrame, numCells: Int = NumCells): DataFrame = {
+    VectorOps.register(spark)
+    val eAll = widen(Tables(spark, dir).embeddings
+      .select(col("vec_id"), asDouble("embedding").as("v"))
+      .withColumn("norm", sqrt(expr("graft_dot(v, v)"))))
+    val cents = refinedCentroidsFor(spark, dir, eAll, numCells, LloydIters)
+    vecs.select(col("vec_id"), asDouble("embedding").as("v"))
+      .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
+      .withColumn("cell", cellExpr(cents, col("v"), col("norm")))
+      .select("vec_id", "cell")
+  }
+
+  /** st16's shared batch oracle: the per-cell census of the corpus under
+    * the SAME quantizer CTE chain as n4/d11 — inverted-list sizes plus the
+    * first vector id per cell.
+    */
+  val vectorCellCensusSql: String =
+    s"""$cellsCteSql
+       |SELECT cell, count(*) AS n_vectors, min(vec_id) AS first_vec_id
+       |FROM assign GROUP BY cell ORDER BY cell""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n9_hybrid_rrf" -> (hybridRrf _),
     "n10_pq_codes" -> (pqCodes _),
     "n11_pq_adc_topk" -> (pqAdcTopK _),
+    "n12_ivfpq_topk" -> ((s: SparkSession, d: String) => ivfPqTopK(s, d)),
+    "n13_ivfpq_index_topk" -> (ivfPqIndexTopK _),
     "n7_ivf_index_topk" -> (ivfIndexTopK _),
     "n8_hard_negatives" -> (hardNegativesTopK _),
     "n5_quantize" -> (quantize _),
@@ -1223,6 +1503,9 @@ object Similarity {
     "n9_hybrid_rrf" -> hybridRrfSql,
     "n10_pq_codes" -> pqCodesSql,
     "n11_pq_adc_topk" -> pqAdcTopKSql,
+    "n12_ivfpq_topk" -> ivfPqTopKSql,
+    // the persisted index must reproduce the from-scratch IVF+PQ exactly
+    "n13_ivfpq_index_topk" -> ivfPqTopKSql,
     // the persisted index must reproduce the from-scratch IVF exactly
     "n7_ivf_index_topk" -> ivfTopKSql,
     "n8_hard_negatives" -> hardNegativesTopKSql,

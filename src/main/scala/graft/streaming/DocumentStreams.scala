@@ -44,6 +44,24 @@ object DocumentStreams {
     r.parquet(dir)
   }
 
+  /** embeddings.parquet read schema (TESTDATA.md). */
+  private val embSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** Replay an embeddings parquet zone as a stream (st16's vector-ingest
+    * input; same knobs as [[readDocuments]]).
+    */
+  def readEmbeddings(spark: SparkSession, dir: String,
+      glob: String = "embeddings.parquet",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(embSchema)
+      .option("pathGlobFilter", glob)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.parquet(dir)
+  }
+
   /** [[docSchema]] plus an `event_ts` ingest-time column — the shape the
     * bounded dedup variant consumes (global dedup needs no clock).
     */

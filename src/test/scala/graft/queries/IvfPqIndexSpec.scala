@@ -1,0 +1,66 @@
+package graft.queries
+
+import java.io.File
+import java.nio.file.{Files, Paths}
+
+import graft.SparkTestBase
+
+/** Contracts for the persisted IVF+PQ index (n13), mirroring IvfIndexSpec:
+  * the disk probe must reproduce n12's from-scratch result exactly, run
+  * standalone against the artifacts, and actually PRUNE the codes/
+  * partitions — proven behaviorally with a poisoned unprobed cell.
+  */
+class IvfPqIndexSpec extends SparkTestBase {
+
+  private val SfDir = "/root/testdata/sf0.001"
+
+  private def norm(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSeq
+
+  test("probe over the persisted index equals from-scratch IVF+PQ, twice") {
+    val idx = scratch("ivfpq_idx_eq")
+    Similarity.buildIvfPqIndex(spark, SfDir, idx)
+    val want = norm(Similarity.ivfPqTopK(spark, SfDir))
+    assert(norm(Similarity.probeIvfPqIndex(spark, SfDir, idx, nprobe = 2)) == want)
+    assert(norm(Similarity.probeIvfPqIndex(spark, SfDir, idx, nprobe = 2)) == want)
+  }
+
+  test("the probed-cells predicate partition-prunes the codes table") {
+    val idx = scratch("ivfpq_idx_plan")
+    Similarity.buildIvfPqIndex(spark, SfDir, idx)
+    val plan = Similarity.probeIvfPqIndex(spark, SfDir, idx, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), plan)
+    assert(plan.contains("cell#"), "the cell predicate must be a partition filter")
+  }
+
+  test("pruning is real: a poisoned unprobed codes partition never fails a probe") {
+    val idx = scratch("ivfpq_idx_poison")
+    Similarity.buildIvfPqIndex(spark, SfDir, idx)
+    val poison = Paths.get(s"$idx/codes/cell=999/garbage.parquet")
+    Files.createDirectories(poison.getParent)
+    Files.write(poison, "this is not a parquet file".getBytes("UTF-8"))
+    intercept[Throwable] {
+      spark.read.parquet(s"$idx/codes").count()
+    }
+    val got = Similarity.probeIvfPqIndex(spark, SfDir, idx, nprobe = 2)
+    assert(norm(got) == norm(Similarity.ivfPqTopK(spark, SfDir)))
+  }
+
+  test("index layout: hive-partitioned codes, metadata-scale quantizer tables") {
+    val idx = scratch("ivfpq_idx_layout")
+    Similarity.buildIvfPqIndex(spark, SfDir, idx)
+    val cellDirs = new File(s"$idx/codes").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty, "codes must be written as cell=N partitions")
+    val cents = spark.read.parquet(s"$idx/centroids.parquet")
+    assert(cents.count() == 8 && cents.columns.sorted.toSeq == Seq("cid", "cnorm", "cv"))
+    val books = spark.read.parquet(s"$idx/codebooks.parquet")
+    assert(books.count() == Similarity.PqM.toLong * Similarity.PqK)
+    assert(books.columns.sorted.toSeq == Seq("cid", "cv", "m"))
+    // the codes table carries ONLY ids and code bytes — never raw vectors
+    val codes = spark.read.parquet(s"$idx/codes")
+    assert(codes.columns.sorted.toSeq ==
+      ("cell" +: "vec_id" +: (0 until Similarity.PqM).map(m => s"c$m")).sorted)
+  }
+}
