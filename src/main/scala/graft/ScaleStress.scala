@@ -318,6 +318,37 @@ object ScaleStress {
         return
       }
 
+    // Persisted IVF+PQ experiment (SPARK_GRAFT_N13=k1,k2,...): n13's claim
+    // splits like n7's — the BUILD pays the corpus once (quantizer training
+    // + the codes write), and the PROBE pays the probed cells of a table
+    // ~64x smaller than n7's raw-vector cells/. Same √n cell schedule; the
+    // probe curve should flatten as K grows while the per-probe bytes stay
+    // ~nprobe·|Q|/K of FOUR LONGS per vector.
+    sys.env.get("SPARK_GRAFT_N13").map(_.split(",").map(_.trim.toInt).toSeq)
+      .foreach { ks =>
+        ks.foreach { k =>
+          val dir = s"target/scale/x$k"
+          generate(spark, baseDir, dir, k)
+          val idx = s"target/scale/ivfpq_index_x$k"
+          graft.core.FsUtil.deleteRecursively(idx)
+          // cold build: no warm quantizer/codebook memo may subsidize it
+          graft.queries.Similarity.clearQuantMemo()
+          spark.catalog.clearCache(); System.gc()
+          val b0 = System.nanoTime()
+          graft.queries.Similarity.buildIvfPqIndex(spark, dir, idx,
+            numCells = d11Cells(k))
+          val buildSec = (System.nanoTime() - b0) / 1e9
+          spark.catalog.clearCache(); System.gc()
+          val p0 = System.nanoTime()
+          val rows = materialize(
+            graft.queries.Similarity.probeIvfPqIndex(spark, dir, idx, nprobe = 2))
+          val probeSec = (System.nanoTime() - p0) / 1e9
+          println(s"""{"scale":$k,"variant":"n13","cells":${d11Cells(k)},"build_sec":${f2(buildSec)},"probe_sec":${f2(probeSec)},"rows":$rows}""")
+        }
+        spark.stop()
+        return
+      }
+
     // Entity-resolution scale experiment (SPARK_GRAFT_J4=k1,k2,...): j4's
     // scale claim is that cost tracks DISTINCT values, not rows. Replicate
     // part k-fold with offset ids and UNCHANGED names — the natural shape

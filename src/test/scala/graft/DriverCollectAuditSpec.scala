@@ -42,7 +42,7 @@ class DriverCollectAuditSpec extends AnyFunSuite {
   private val Audited = Map(
     "graft/Bench.scala" -> 1,
     "graft/ScaleStress.scala" -> 1,
-    "graft/StreamScaleStress.scala" -> 2,
+    "graft/StreamScaleStress.scala" -> 3,
     "graft/pipeline/CleanJob.scala" -> 1,
     "graft/pipeline/ExportJob.scala" -> 2,
     "graft/queries/Dedup.scala" -> 2,

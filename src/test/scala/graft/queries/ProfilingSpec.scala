@@ -60,5 +60,8 @@ class ProfilingSpec extends SparkTestBase {
 
       assert(plan.contains("graft_topk"), "top-10 must run the native heap aggregate")
       assert(!plan.contains("Window"), "no |keys|-sort window in the skew pass")
+      val scans = "Scan parquet".r.findAllIn(plan).size
+      assert(scans === 1,
+        s"all candidate keys must profile off ONE scan, saw $scans")
   }
 }
