@@ -51,8 +51,12 @@ object StreamScaleStress {
     * deterministic — same slices, same batches); every rep's wall time is
     * recorded in `sec_runs` and the protocol named per row.
     */
-  private val Reps =
-    sys.env.get("SPARK_GRAFT_STREAM_REPS").map(_.toInt).getOrElse(3)
+  private val Reps = {
+    val r = sys.env.get("SPARK_GRAFT_STREAM_REPS").map(_.toInt).getOrElse(3)
+    require(r > 0, s"SPARK_GRAFT_STREAM_REPS must be positive, got $r " +
+      "(zero reps would generate the corpora and then die at secs.min)")
+    r
+  }
   private val UserOffset = 10000L   // base user_id < 1500
   private val EventOffset = 10000000L // base event_id < 100k
   private val DocOffset = 1000000L  // base doc_id < 5000 (matches ScaleStress)
@@ -566,6 +570,11 @@ object StreamScaleStress {
           }
           spark.catalog.dropTempView(p1)
           spark.catalog.dropTempView(p2)
+          // the rep's checkpointed clean zone is BlockManager-resident —
+          // release it before the next rep, for the same reason the
+          // memory-sink tables are dropped (Reps copies of an x100 zone
+          // would sit in block storage and pressure later, min-taken reps)
+          clean.unpersist()
           sec
         }
         val preState =

@@ -78,7 +78,16 @@ final class BoundedMemo[K, V](capacity: Int,
   }
 
   def put(k: K, v: V): Unit =
-    release(synchronized { m.put(k, v); evictLocked() })
+    release(synchronized {
+      // a displaced prior value is a release event like any eviction —
+      // without this, put-over-put silently dropped the old value past
+      // the onEvict hook (e.g. an unpersist hook would leak the frame)
+      // reference identity, not ==: re-putting the SAME object must not
+      // release the value that is still live in the map
+      val prior = Option(m.put(k, v))
+        .filterNot(_.asInstanceOf[AnyRef] eq v.asInstanceOf[AnyRef]).toSeq
+      prior ++ evictLocked()
+    })
 
   def putIfAbsent(k: K, v: V): Option[V] = {
     val (prior, evicted) = synchronized {

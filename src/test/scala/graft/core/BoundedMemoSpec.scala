@@ -96,6 +96,20 @@ class BoundedMemoSpec extends AnyFunSuite {
     assert(m.keys.toSet == Set(1, 2))
   }
 
+  test("put over an existing key releases the DISPLACED value, never the live one") {
+    val released = scala.collection.mutable.ArrayBuffer.empty[String]
+    val m = new BoundedMemo[Int, String](4, onEvict = v => released += v)
+    val a = new String("a") // distinct object identities on purpose
+    val a2 = new String("a")
+    m.put(1, a)
+    m.put(1, a2) // displaces `a` — must route it through onEvict
+    assert(released.toSeq == Seq("a"))
+    assert(m.get(1).exists(_ eq a2))
+    m.put(1, a2) // re-putting the SAME object must NOT release it
+    assert(released.toSeq == Seq("a"))
+    assert(m.get(1).exists(_ eq a2))
+  }
+
   test("concurrent hammering never corrupts the map or exceeds capacity") {
     // the real consumers race Verify/Bench query threads on shared memos;
     // this pins that the lock discipline (compute outside, map ops inside)
