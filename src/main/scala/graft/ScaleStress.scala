@@ -84,7 +84,8 @@ object ScaleStress {
     // training cost is linear per Lloyd round, the codes table linear
     "n10_pq_codes", "n11_pq_adc_topk", "n12_ivfpq_topk",
     // r16 profiling family: single-scan reports, verbatim registrations
-    "pr1_column_profile", "pr2_skew_profile")
+    "pr1_column_profile", "pr2_skew_profile", "pr3_constraint_report",
+    "pr4_fk_integrity")
 
   /** SemDeDup's K schedule. Total cost = centroid assignment (n·K dot
     * products — the coarse quantizer is brute-force nearest-centroid) plus
@@ -774,7 +775,8 @@ object ScaleStress {
     val selected = Queries.filter(q => only.forall(_.contains(q)))
     val needsEvents = selected.exists(q =>
       q.startsWith("j") || q.startsWith("e") || q == "pr2_skew_profile")
-    val needsTpch = selected.exists(_.startsWith("q"))
+    val needsTpch = selected.exists(q =>
+      q.startsWith("q") || q == "pr4_fk_integrity")
     scales.foreach { k =>
       val dir = s"target/scale/x$k"
       val t0 = System.nanoTime()

@@ -213,11 +213,108 @@ object Profiling {
        |ORDER BY key_col""".stripMargin
   }
 
+  /** pr3: CONSTRAINT VALIDATION — the ingest gate run before promoting a
+    * documents zone, through the generic graft.operators.DataChecks
+    * operator (one scan, one row per declared constraint). The declared
+    * set exercises every check kind AND a deliberately failing policy
+    * gate: `english_majority` (the "corpus must be ≥50% English" mix
+    * policy) reports `passed = false` on this fixture — a validation
+    * report that can only say yes is not a gate, and the oracle hash pins
+    * the failure row as hard as the passes.
+    */
+  def constraintReport(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DataChecks._
+    report(Tables(spark, dir).documents, Seq(
+      RowCheck("not_null_doc_id", "doc_id IS NOT NULL"),
+      UniqueCheck("unique_doc_id", "doc_id"),
+      // null-safe equality: a row where BOTH are null is consistent
+      RowCheck("n_chars_consistent", "n_chars <=> length(text)"),
+      RowCheck("known_lang", "lang IN ('de', 'en', 'es', 'fr', 'zh')"),
+      RowCheck("min_text_length", "length(text) >= 20", threshold = 0.9),
+      RowCheck("english_majority", "lang = 'en'", threshold = 0.5)))
+  }
+
+  val constraintReportSql: String = {
+    def row(name: String, sat: String, thr: Double) =
+      s"""SELECT '$name' AS check_name, CAST($sat AS BIGINT) AS satisfied,
+         |  n_total AS total,
+         |  round(CAST($sat AS DOUBLE) / n_total, 6) AS rate,
+         |  round(CAST($sat AS DOUBLE) / n_total, 6) >= CAST($thr AS DOUBLE)
+         |    AS passed
+         |FROM agg""".stripMargin
+    s"""WITH agg AS (
+       |  SELECT count(*) AS n_total,
+       |    sum(CASE WHEN doc_id IS NOT NULL THEN 1 ELSE 0 END) AS ok_nn,
+       |    count(doc_id) AS nn_id, count(DISTINCT doc_id) AS nd_id,
+       |    sum(CASE WHEN n_chars IS NOT DISTINCT FROM length(text)
+       |        THEN 1 ELSE 0 END) AS ok_nc,
+       |    sum(CASE WHEN lang IN ('de', 'en', 'es', 'fr', 'zh')
+       |        THEN 1 ELSE 0 END) AS ok_lang,
+       |    sum(CASE WHEN length(text) >= 20 THEN 1 ELSE 0 END) AS ok_len,
+       |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ok_en
+       |  FROM documents)
+       |${row("not_null_doc_id", "ok_nn", 1.0)}
+       |UNION ALL
+       |${row("unique_doc_id", "(n_total - (nn_id - nd_id))", 1.0)}
+       |UNION ALL
+       |${row("n_chars_consistent", "ok_nc", 1.0)}
+       |UNION ALL
+       |${row("known_lang", "ok_lang", 1.0)}
+       |UNION ALL
+       |${row("min_text_length", "ok_len", 0.9)}
+       |UNION ALL
+       |${row("english_majority", "ok_en", 0.5)}
+       |ORDER BY check_name""".stripMargin
+  }
+
+  /** pr4: REFERENTIAL-INTEGRITY report — orphan rates over the star
+    * schema's FK edges (child keys that resolve to no parent row: the
+    * broken-linkage diagnostic an ingest runs after every load), through
+    * the same generic DataChecks operator. Each edge is one pass over the
+    * child joined to the DISTINCT parent keys; SQL FK semantics — null
+    * child keys are not orphans (DataChecksSpec pins the convention).
+    */
+  def fkIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DataChecks._
+    val t = Tables(spark, dir)
+    report(t.lineitem, Seq(
+      FkCheck("fk_lineitem_order", "l_orderkey", t.orders, "o_orderkey"),
+      FkCheck("fk_lineitem_part", "l_partkey", t.part, "p_partkey"),
+      FkCheck("fk_lineitem_supplier", "l_suppkey", t.supplier, "s_suppkey")))
+  }
+
+  val fkIntegritySql: String = {
+    def edge(name: String, ck: String, parent: String, pk: String) =
+      s"""SELECT '$name' AS check_name,
+         |  CAST(n_total - orphans AS BIGINT) AS satisfied,
+         |  n_total AS total,
+         |  round(CAST(n_total - orphans AS DOUBLE) / n_total, 6) AS rate,
+         |  round(CAST(n_total - orphans AS DOUBLE) / n_total, 6)
+         |    >= CAST(1.0 AS DOUBLE) AS passed
+         |FROM (
+         |  SELECT count(*) AS n_total,
+         |    sum(CASE WHEN c.$ck IS NOT NULL AND p.k IS NULL
+         |        THEN 1 ELSE 0 END) AS orphans
+         |  FROM lineitem c
+         |    LEFT JOIN (SELECT DISTINCT $pk AS k FROM $parent) p
+         |      ON p.k = c.$ck)""".stripMargin
+    s"""${edge("fk_lineitem_order", "l_orderkey", "orders", "o_orderkey")}
+       |UNION ALL
+       |${edge("fk_lineitem_part", "l_partkey", "part", "p_partkey")}
+       |UNION ALL
+       |${edge("fk_lineitem_supplier", "l_suppkey", "supplier", "s_suppkey")}
+       |ORDER BY check_name""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pr1_column_profile" -> (columnProfile _),
-    "pr2_skew_profile" -> (skewProfile _))
+    "pr2_skew_profile" -> (skewProfile _),
+    "pr3_constraint_report" -> (constraintReport _),
+    "pr4_fk_integrity" -> (fkIntegrity _))
 
   val oracles: Map[String, String] = Map(
     "pr1_column_profile" -> columnProfileSql,
-    "pr2_skew_profile" -> skewProfileSql)
+    "pr2_skew_profile" -> skewProfileSql,
+    "pr3_constraint_report" -> constraintReportSql,
+    "pr4_fk_integrity" -> fkIntegritySql)
 }
