@@ -573,8 +573,14 @@ object StreamScaleStress {
           // the rep's checkpointed clean zone is BlockManager-resident —
           // release it before the next rep, for the same reason the
           // memory-sink tables are dropped (Reps copies of an x100 zone
-          // would sit in block storage and pressure later, min-taken reps)
-          clean.unpersist()
+          // would sit in block storage and pressure later, min-taken
+          // reps). NB Dataset.unpersist is a NO-OP here: localCheckpoint
+          // persists the internal RDD directly, outside the CacheManager
+          // that unpersist consults (verified on this Spark 4.1.2), so
+          // the release must target the LogicalRDD's own RDD
+          clean.queryExecution.analyzed.collectFirst {
+            case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+          }.foreach(_.unpersist(blocking = false))
           sec
         }
         val preState =

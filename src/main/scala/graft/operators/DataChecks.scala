@@ -70,14 +70,23 @@ object DataChecks {
       require(c.threshold >= 0.0 && c.threshold <= 1.0,
         s"check '${c.name}': threshold ${c.threshold} outside [0, 1]")
     }
-    // rate rounded once, then compared to the declared threshold — the
-    // identical double ops in the oracle, so pass/fail can never differ
-    // between engines on a borderline rate
-    def reportRow(name: String, sat: String, total: String, thr: Double) =
+    // the verdict is EXACT integer arithmetic, never the rounded display
+    // rate: `round(rate, 6) >= thr` silently passed up to 5e-7 of
+    // violations through HALF_UP (one orphan in 2M rows rounds to
+    // 1.000000 and beat a strict 1.0 gate), so passed compares
+    // satisfied·10^6 against round(thr·10^6)·total in BIGINTs — exact for
+    // any frame below ~9e12 rows, identical in the oracle. An EMPTY frame
+    // fails every check (total > 0 is part of the verdict): a gate with
+    // nothing to verify must not promote, and without the guard the
+    // integer compare would vacuously pass (0 ≥ 0); the display rate is
+    // NULL there (nullif keeps the division from ANSI-aborting)
+    def reportRow(name: String, sat: String, total: String, thr: Double) = {
+      val thrScaled = math.round(thr * 1000000L)
       s"""'$name', CAST($sat AS BIGINT), $total,
-         |  round(CAST($sat AS DOUBLE) / $total, 6),
-         |  round(CAST($sat AS DOUBLE) / $total, 6) >= CAST($thr AS DOUBLE)"""
+         |  round(CAST($sat AS DOUBLE) / nullif($total, 0), 6),
+         |  $total > 0 AND CAST($sat AS BIGINT) * 1000000L >= ${thrScaled}L * $total"""
         .stripMargin
+    }
     val scanChecks = checks.filter(!_.isInstanceOf[FkCheck])
     val scanLeg: Option[DataFrame] =
       if (scanChecks.isEmpty) None

@@ -66,13 +66,13 @@ object Profiling {
     // var_samp = (s2 - s1·mean)/(n-1) — one subtraction, no M2 merge
     val prof = agg.select(
       col("*"),
-      (col("s1").cast("double") / col("cnt_nc")).as("mean_nc"),
+      (col("s1").cast("double") / nullif(col("cnt_nc"), lit(0))).as("mean_nc"),
       sqrt((col("s2").cast("double") - col("s1").cast("double") *
-        (col("s1").cast("double") / col("cnt_nc"))) /
-        (col("cnt_nc") - 1)).as("std_nc"),
-      (col("slen").cast("double") / col("cnt_txt")).as("avg_len"))
+        (col("s1").cast("double") / nullif(col("cnt_nc"), lit(0)))) /
+        nullif(col("cnt_nc") - 1, lit(0))).as("std_nc"),
+      (col("slen").cast("double") / nullif(col("cnt_txt"), lit(0))).as("avg_len"))
     val nulls = (c: String) =>
-      s"round(CAST(nn_$c AS DOUBLE) / n, 6), CAST(nd_$c AS DOUBLE)"
+      s"round(CAST(nn_$c AS DOUBLE) / nullif(n, 0), 6), CAST(nd_$c AS DOUBLE)"
     prof.select(expr(
       s"""stack(5,
          |  'doc_id',  ${nulls("doc_id")},  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
@@ -89,7 +89,7 @@ object Profiling {
     def row(name: String, mins: String, maxs: String, means: String,
         stds: String) =
       s"""SELECT '$name' AS col_name,
-         |  round(CAST(nn_$name AS DOUBLE) / n, 6) AS null_ratio,
+         |  round(CAST(nn_$name AS DOUBLE) / nullif(n, 0), 6) AS null_ratio,
          |  CAST(nd_$name AS DOUBLE) AS n_distinct,
          |  $mins AS min_val, $maxs AS max_val,
          |  $means AS mean_val, $stds AS std_val FROM prof""".stripMargin
@@ -117,10 +117,11 @@ object Profiling {
        |  FROM documents),
        |prof AS (
        |  SELECT *,
-       |    CAST(s1 AS DOUBLE) / cnt_nc AS mean_nc,
+       |    CAST(s1 AS DOUBLE) / nullif(cnt_nc, 0) AS mean_nc,
        |    sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) *
-       |      (CAST(s1 AS DOUBLE) / cnt_nc)) / (cnt_nc - 1)) AS std_nc,
-       |    CAST(slen AS DOUBLE) / cnt_txt AS avg_len
+       |      (CAST(s1 AS DOUBLE) / nullif(cnt_nc, 0))) /
+       |      nullif(cnt_nc - 1, 0)) AS std_nc,
+       |    CAST(slen AS DOUBLE) / nullif(cnt_txt, 0) AS avg_len
        |  FROM agg)
        |${row("doc_id", nul, nul, nul, nul)}
        |UNION ALL
@@ -235,13 +236,18 @@ object Profiling {
   }
 
   val constraintReportSql: String = {
-    def row(name: String, sat: String, thr: Double) =
+    // the verdict mirrors DataChecks.reportRow's EXACT integer compare
+    // (never the rounded display rate), including the empty-frame-fails
+    // guard
+    def row(name: String, sat: String, thr: Double) = {
+      val thrScaled = math.round(thr * 1000000L)
       s"""SELECT '$name' AS check_name, CAST($sat AS BIGINT) AS satisfied,
          |  n_total AS total,
-         |  round(CAST($sat AS DOUBLE) / n_total, 6) AS rate,
-         |  round(CAST($sat AS DOUBLE) / n_total, 6) >= CAST($thr AS DOUBLE)
+         |  round(CAST($sat AS DOUBLE) / nullif(n_total, 0), 6) AS rate,
+         |  n_total > 0 AND CAST($sat AS BIGINT) * 1000000 >= $thrScaled * n_total
          |    AS passed
          |FROM agg""".stripMargin
+    }
     s"""WITH agg AS (
        |  SELECT count(*) AS n_total,
        |    sum(CASE WHEN doc_id IS NOT NULL THEN 1 ELSE 0 END) AS ok_nn,
@@ -288,9 +294,10 @@ object Profiling {
       s"""SELECT '$name' AS check_name,
          |  CAST(n_total - orphans AS BIGINT) AS satisfied,
          |  n_total AS total,
-         |  round(CAST(n_total - orphans AS DOUBLE) / n_total, 6) AS rate,
-         |  round(CAST(n_total - orphans AS DOUBLE) / n_total, 6)
-         |    >= CAST(1.0 AS DOUBLE) AS passed
+         |  round(CAST(n_total - orphans AS DOUBLE) / nullif(n_total, 0), 6) AS rate,
+         |  n_total > 0 AND
+         |    CAST(n_total - orphans AS BIGINT) * 1000000 >= 1000000 * n_total
+         |    AS passed
          |FROM (
          |  SELECT count(*) AS n_total,
          |    sum(CASE WHEN c.$ck IS NOT NULL AND p.k IS NULL

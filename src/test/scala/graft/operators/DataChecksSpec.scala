@@ -78,6 +78,29 @@ class DataChecksSpec extends SparkTestBase {
       Seq("check_name", "satisfied", "total", "rate", "passed"))
   }
 
+  test("one violation in 2M rows fails a strict 1.0 gate (no rounding escape)") {
+    // the display rate rounds to 1.000000 here — the verdict must compare
+    // exact integers, or a 5e-7 violation fraction silently passes
+    val big = spark.range(2000000L).toDF("id")
+    val out = report(big, Seq(RowCheck("all_positive", "id > 0"))).collect().head
+    assert(out.getLong(1) === 1999999L)
+    assert(out.getDouble(3) === 1.0, "display rate DOES round to 1.0 — that's the trap")
+    assert(out.getBoolean(4) === false, "the verdict must not take the rounding escape")
+  }
+
+  test("an empty frame fails every check — a gate with nothing to verify must not promote") {
+    val empty = spark.range(0).toDF("id").filter("id > 0")
+    val out = report(empty, Seq(
+      RowCheck("r", "id IS NOT NULL", threshold = 0.0),
+      UniqueCheck("u", "id"))).collect()
+    assert(out.length === 2)
+    out.foreach { r =>
+      assert(r.getLong(2) === 0L)
+      assert(!r.isNullAt(4) && r.getBoolean(4) === false,
+        "passed must be a definite false on an empty frame, never NULL")
+    }
+  }
+
   test("contracts fail loudly: bad names, bad thresholds, empty sets") {
     intercept[IllegalArgumentException] { report(frame, Nil) }
     intercept[IllegalArgumentException] {
