@@ -1150,6 +1150,12 @@ object Similarity {
     * would shuffle ALL n·|Q| candidate rows instead. Scores rank by the
     * exact fixed-point sum (negated — the heap orders score DESC), ids
     * break ties ascending, identical to the oracle's (afp, neighbor_id).
+    *
+    * Quality contract (PqSpec's clustered fixture): ADC retrieves from
+    * the RIGHT CLUSTER (blob agreement 1.0) but cannot rank faithfully
+    * WITHIN one — a cluster's members share near-identical codes — so a
+    * consumer needing exact-id top-k chains an ADC pool into an exact
+    * rescore, n6's two-stage pattern.
     */
   /** The M per-subspace code columns c0..cM-1 for a (vec_id, v, ...) frame
     * — one PqNearest virtual call per subspace, all riding the scan's
