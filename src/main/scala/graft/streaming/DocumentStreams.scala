@@ -31,6 +31,38 @@ object DocumentStreams {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
+  /** Resolve a (dir, glob) table selection for a file-stream source —
+    * shared by every zone reader here and [[EventStreams.readEvents]].
+    * A WILDCARD glob filters leaf file names under `dir` (the spec/
+    * harness shape: a flat dir of slice files). A non-wildcard glob
+    * names the TABLE, whose on-disk layout decides the route:
+    *  - a DIRECTORY (`dir/table.parquet/part-*.parquet`, what every
+    *    Spark writer produces) streams from the table path directly —
+    *    `pathGlobFilter` matches only leaf FILE names, so it silently
+    *    selected NOTHING on this layout and the stream read an empty
+    *    zone (caught by the r16 x10 gate: st16 returned 0 rows on the
+    *    replicated corpus);
+    *  - a single FILE (the driver fixtures' layout) keeps the
+    *    glob-under-dir route, because Spark's file-stream source
+    *    requires its path to be a directory ('basePath' contract).
+    * A missing table also takes the glob route, so the error surface
+    * (a loud empty-schema/basePath failure, never a silent empty
+    * stream) is the source's own.
+    */
+  private[streaming] def sourceFor(spark: SparkSession,
+      r: org.apache.spark.sql.streaming.DataStreamReader,
+      dir: String, glob: String): DataFrame =
+    if (glob.contains("*")) r.option("pathGlobFilter", glob).parquet(dir)
+    else {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$glob")
+      val isDir =
+        try p.getFileSystem(spark.sessionState.newHadoopConf())
+          .getFileStatus(p).isDirectory
+        catch { case _: java.io.FileNotFoundException => false }
+      if (isDir) r.parquet(p.toString)
+      else r.option("pathGlobFilter", glob).parquet(dir)
+    }
+
   /** Replay a documents parquet zone as a stream. Same knobs as
     * [[EventStreams.readEvents]]: the glob selects the table out of the
     * shared sf dir, `maxFilesPerTrigger` forces multi-batch replay in specs.
@@ -39,9 +71,8 @@ object DocumentStreams {
       glob: String = "documents.parquet",
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val r = spark.readStream.schema(docSchema)
-      .option("pathGlobFilter", glob)
     maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
-    r.parquet(dir)
+    sourceFor(spark, r, dir, glob)
   }
 
   /** embeddings.parquet read schema (TESTDATA.md). */
@@ -57,9 +88,8 @@ object DocumentStreams {
       glob: String = "embeddings.parquet",
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val r = spark.readStream.schema(embSchema)
-      .option("pathGlobFilter", glob)
     maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
-    r.parquet(dir)
+    sourceFor(spark, r, dir, glob)
   }
 
   /** [[docSchema]] plus an `event_ts` ingest-time column — the shape the
@@ -73,9 +103,8 @@ object DocumentStreams {
       glob: String = "documents.parquet",
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val r = spark.readStream.schema(docSchemaWithTs)
-      .option("pathGlobFilter", glob)
     maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
-    r.parquet(dir)
+    sourceFor(spark, r, dir, glob)
   }
 
   /** BOUNDED-STATE twin of [[dedupGroups]]: `dropDuplicatesWithinWatermark`

@@ -44,14 +44,20 @@ object EventStreams {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     // footer probe: same inference path as the batch twin, so the two
-    // readers can never disagree about what a fixture's ts encodes
-    val tsIsLong = spark.read.option("pathGlobFilter", glob).parquet(dir)
+    // readers can never disagree about what a fixture's ts encodes.
+    // Selection resolves like DocumentStreams.sourceFor — a non-wildcard
+    // glob names the table, and directory-layout zones stream from the
+    // table path (pathGlobFilter matched only leaf file names, so such
+    // zones silently streamed empty); batch reads take the direct path
+    // either way (no directory constraint there)
+    val tsIsLong = (if (glob.contains("*"))
+        spark.read.option("pathGlobFilter", glob).parquet(dir)
+      else spark.read.parquet(s"$dir/$glob"))
       .schema("ts").dataType == LongType
     val r = spark.readStream
       .schema(rawSchema(if (tsIsLong) LongType else TimestampType))
-      .option("pathGlobFilter", glob)
     maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
-    val df = r.parquet(dir)
+    val df = DocumentStreams.sourceFor(spark, r, dir, glob)
     if (tsIsLong) df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     else df
   }

@@ -61,4 +61,35 @@ class VectorIngestSpec extends SparkTestBase {
     assert(updates.count() > streamed.length,
       "replay must emit interim versions (multi-batch state was exercised)")
   }
+
+  test("directory-layout zones stream ALL rows (the silent-empty pathGlobFilter trap)") {
+    // every Spark writer produces dir/table.parquet/part-*.parquet; the
+    // old pathGlobFilter selection matched only leaf FILE names, so such
+    // a zone streamed ZERO rows with no error (caught by the r16 x10
+    // gate). The default-glob readers must consume both layouts.
+    val dir = scratch("dir_layout_zone")
+    val emb = spark.read.parquet(s"$SfDir/embeddings.parquet")
+    emb.repartition(3).write.parquet(s"$dir/embeddings.parquet") // directory
+    val n = emb.count()
+    val q = DocumentStreams.readEmbeddings(spark, dir)
+      .writeStream.queryName("dir_layout_t")
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.table("dir_layout_t").count() === n,
+      "a directory-layout table must stream every row, not silently none")
+
+    val docs = spark.read.parquet(s"$SfDir/documents.parquet")
+    docs.repartition(3).write.parquet(s"$dir/documents.parquet")
+    val q2 = DocumentStreams.readDocuments(spark, dir)
+      .writeStream.queryName("dir_layout_docs_t")
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    assert(spark.table("dir_layout_docs_t").count() === docs.count())
+  }
 }
