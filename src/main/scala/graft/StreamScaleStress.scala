@@ -163,7 +163,12 @@ object StreamScaleStress {
         "(it generates the replicated embeddings corpora)")
     val emb = spark.read.parquet(s"$scaleDir/embeddings.parquet")
       .select("vec_id", "embedding", "label")
-    val span = emb.agg(max(col("vec_id") % DocOffset)).first().getLong(0) + 1
+    val maxRow = emb.agg(max(col("vec_id") % DocOffset)).first()
+    // max over an empty corpus is NULL → getLong would NPE; fail loudly
+    require(!maxRow.isNullAt(0),
+      s"$scaleDir/embeddings.parquet exists but holds zero rows - " +
+        "regenerate it with graft.ScaleStress")
+    val span = maxRow.getLong(0) + 1
     val per = math.max(1L, (span + Slices - 1) / Slices)
     val dir = s"$outDir/embeddings.parquet"
     FsUtil.deleteRecursively(dir)

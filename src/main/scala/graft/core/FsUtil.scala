@@ -2,10 +2,23 @@ package graft.core
 
 import java.nio.file.{Files, Path, Paths}
 
-/** Local-filesystem helpers for fixture/test zones (driver-side only —
-  * never used inside a distributed operator).
+/** Driver-side filesystem helpers (never used inside a distributed
+  * operator): local-path cleanup for fixture/test zones, plus the
+  * scheme-aware existence probe index freshness checks route through.
   */
 object FsUtil {
+
+  /** Whether `path` exists, resolved through the Hadoop [[FileSystem]] of
+    * the path's OWN scheme — `file:`, `hdfs://`, `s3a://` alike. The
+    * java.nio spelling this replaces is scheme-blind: on a remote FS it
+    * reports every artifact missing, so a build-once/probe-many memo
+    * silently rebuilds its index on every probe — the exact hazard class
+    * the round-15 sweep killed in Layout.compactRoundtrip (SCALING.md).
+    */
+  def exists(spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
   def deleteRecursively(dir: String): Unit = {
     val root: Path = Paths.get(dir)
     if (Files.exists(root)) {

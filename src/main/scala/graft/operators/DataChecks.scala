@@ -4,10 +4,14 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Declared-constraint validation over any frame — the ingest GATE of a
-  * training-data pipeline (the Deequ/Great-Expectations class of tooling):
-  * every constraint evaluates in ONE scan, and the report — one row per
-  * constraint with its satisfaction rate and pass/fail against a declared
-  * threshold — is what a pipeline run blocks on before promoting a zone.
+  * training-data pipeline (the Deequ/Great-Expectations class of tooling).
+  * Every [[RowCheck]]/[[UniqueCheck]] folds into ONE scan of the child
+  * frame; each [[FkCheck]] additionally costs one pass over the child
+  * plus one over its parent's distinct keys (see the FK section below) —
+  * size a pipeline by scans-of-child + 2·|FK edges|, not "one scan". The
+  * report — one row per constraint with its satisfaction rate and
+  * pass/fail against a declared threshold — is what a pipeline run blocks
+  * on before promoting a zone.
   *
   * Check kinds:
   *  - [[RowCheck]]: a per-row SQL predicate; rate = satisfied / total
@@ -19,11 +23,13 @@ import org.apache.spark.sql.functions._
   *    Null rows are NOT uniqueness violations — nullability is a
   *    [[RowCheck]]'s business, and conflating the two double-counts.
   *
-  * Scale shape: all checks fold into ONE aggregate over ONE scan — row
-  * predicates are codegen'd sums, and only [[UniqueCheck]]s add Expand
+  * Scale shape: row/unique checks fold into ONE aggregate over ONE scan —
+  * row predicates are codegen'd sums, and only [[UniqueCheck]]s add Expand
   * legs (the exact-distinct price pr1 documents, with the same
-  * approx_count_distinct dial at the 100 TB end). The report is
-  * |checks| rows of metadata.
+  * approx_count_distinct dial at the 100 TB end). [[FkCheck]]s cannot ride
+  * that scan: each edge is its own child-pass against the parent's
+  * DISTINCT keys (left join + conditional count — see [[report]]). The
+  * report is |checks| rows of metadata.
   */
 object DataChecks {
 

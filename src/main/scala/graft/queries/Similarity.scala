@@ -683,11 +683,13 @@ object Similarity {
     val key = (sessionKey(spark), dir, indexDir, numCells, lloydIters)
     // a memo hit is honored only while BOTH artifacts survive on disk —
     // centroids alone would pair memoized centroids with missing (or, per
-    // the rebuild rule below, foreign) inverted lists
+    // the rebuild rule below, foreign) inverted lists. The probe resolves
+    // through the indexDir's OWN FileSystem scheme (FsUtil.exists): a
+    // scheme-blind java.nio check reports remote artifacts missing and
+    // turns build-once/probe-many into rebuild-every-probe.
     def artifactIntact: Boolean =
-      java.nio.file.Files.exists(
-        java.nio.file.Paths.get(indexDir, "centroids.parquet")) &&
-        java.nio.file.Files.exists(java.nio.file.Paths.get(indexDir, "cells"))
+      graft.core.FsUtil.exists(spark, s"$indexDir/centroids.parquet") &&
+        graft.core.FsUtil.exists(spark, s"$indexDir/cells")
     indexMemo.get(key) match {
       case Some(cents) if artifactIntact => cents
       case _ =>
@@ -938,15 +940,19 @@ object Similarity {
   private[queries] final case class PqBook(
       cids: Array[Long], cbs: Array[Array[Array[Double]]])
 
-  /** The corpus PQ operates on: n5's degenerate-vector guard (zero or
-    * NaN amax vectors carry no direction and would feed NaN scores into
-    * the assignment kernel), applied identically in every PQ oracle CTE.
+  /** The corpus PQ operates on: n5's degenerate-vector guard extended to
+    * FINITENESS — zero/NaN amax vectors carry no direction, and an ±Inf
+    * component (abs-max = +Inf) would feed non-finite squared distances
+    * into the assignment and ADC kernels just as NaN would. NaN and +Inf
+    * are excluded explicitly (amax is an abs-max, so those are the only
+    * non-finite values), applied identically in every PQ oracle CTE.
     */
   private[queries] def pqCorpus(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).embeddings
       .select(col("vec_id"), asDouble("embedding").as("v"))
       .withColumn("amax", expr("array_max(transform(v, x -> abs(x)))"))
-      .filter(col("amax") > 0 && !isnan(col("amax")))
+      .filter(col("amax") > 0 && !isnan(col("amax")) &&
+        col("amax") =!= lit(Double.PositiveInfinity))
       .drop("amax")
 
   /** (vec_id, m, sv) sub-vector explosion — M narrow rows per vector, a
@@ -1106,7 +1112,7 @@ object Similarity {
        |  SELECT vec_id, v FROM (
        |    SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax
        |    FROM e)
-       |  WHERE amax > 0 AND NOT isnan(amax)),
+       |  WHERE amax > 0 AND NOT isnan(amax) AND amax <> CAST('inf' AS DOUBLE)),
        |sub AS (
        |  SELECT vec_id, t.m,
        |    list_slice(v, CAST(t.m * $PqSubDim + 1 AS INT),
@@ -1370,9 +1376,10 @@ object Similarity {
   def buildIvfPqIndex(spark: SparkSession, dir: String, indexDir: String,
       numCells: Int = NumCells): (Seq[Centroid], PqBook) = {
     val key = (sessionKey(spark), dir, indexDir, numCells)
+    // scheme-aware like buildIvfIndex's probe — see the comment there
     def artifactIntact: Boolean =
       Seq("centroids.parquet", "codebooks.parquet", "codes").forall(a =>
-        java.nio.file.Files.exists(java.nio.file.Paths.get(indexDir, a)))
+        graft.core.FsUtil.exists(spark, s"$indexDir/$a"))
     pqIndexMemo.get(key) match {
       case Some(v) if artifactIntact => v
       case _ =>

@@ -52,6 +52,37 @@ class IvfIndexSpec extends SparkTestBase {
     assert(norm(got) == norm(Similarity.ivfTopK(spark, SfDir)))
   }
 
+  test("memo hit on scheme-qualified (file:) artifacts: repeat build never rewrites") {
+    // r16's freshness probe checked artifact existence via scheme-blind
+    // java.nio Files.exists — a scheme-qualified indexDir (file: here,
+    // any remote FS in production) looked missing, so every build request
+    // silently rebuilt the whole index, defeating build-once/probe-many.
+    // Fingerprint the artifacts through the path's OWN FileSystem and pin
+    // that a second build is a memo hit: the identical memoized instance
+    // back, zero bytes rewritten.
+    val idx = "file:" + scratch("ivf_idx_scheme")
+    val c1 = Similarity.buildIvfIndex(spark, SfDir, idx)
+    def fingerprint: Seq[(String, Long, Long)] = {
+      val p = new org.apache.hadoop.fs.Path(idx)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val it = fs.listFiles(p, true)
+      val b = Seq.newBuilder[(String, Long, Long)]
+      while (it.hasNext) {
+        val f = it.next()
+        b += ((f.getPath.toString, f.getLen, f.getModificationTime))
+      }
+      b.result().sortBy(_._1)
+    }
+    val f1 = fingerprint
+    assert(f1.nonEmpty, "build wrote no artifacts under the file: indexDir")
+    val c2 = Similarity.buildIvfIndex(spark, SfDir, idx)
+    assert(c2 eq c1, "second build must be a memo hit (same instance), not a rebuild")
+    assert(fingerprint == f1, "memo hit must not rewrite any artifact file")
+    // and the scheme-qualified index serves the canonical answer
+    assert(norm(Similarity.probeIvfIndex(spark, SfDir, idx, nprobe = 2)) ==
+      norm(Similarity.ivfTopK(spark, SfDir)))
+  }
+
   test("index layout: hive-partitioned cells plus a metadata-scale centroid table") {
     val idx = scratch("ivf_idx_layout")
     Similarity.buildIvfIndex(spark, SfDir, idx)
