@@ -83,6 +83,8 @@ object ScaleStress {
     // partition count), so both run the SparkEntry registration verbatim;
     // training cost is linear per Lloyd round, the codes table linear
     "n10_pq_codes", "n11_pq_adc_topk", "n12_ivfpq_topk",
+    // r17: the production recipe — n12's stage + |Q|·pool-bounded rescore
+    "n14_ivfpq_rescore_topk",
     // r16 profiling family: single-scan reports, verbatim registrations
     "pr1_column_profile", "pr2_skew_profile", "pr3_constraint_report",
     "pr4_fk_integrity")
@@ -131,6 +133,11 @@ object ScaleStress {
         // coarse cells on the same √n schedule; PQ codebooks stay
         // constant-size (a vocabulary, not a partition count)
         (s, d) => graft.queries.Similarity.ivfPqTopK(s, d,
+          numCells = d11Cells(k))
+      case "n14_ivfpq_rescore_topk" =>
+        // n12's schedule; the rescore pool stays CONSTANT — its cost is
+        // |Q|·pool raw fetches, independent of corpus growth
+        (s, d) => graft.queries.Similarity.ivfPqRescoreTopK(s, d,
           numCells = d11Cells(k))
       case "t22_cluster_cap" =>
         // the cap rides the same √n cell schedule: per-cell window width

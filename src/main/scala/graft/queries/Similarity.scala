@@ -1264,8 +1264,14 @@ object Similarity {
     * (candidates are cell-pruned, not the whole corpus, so the window's
     * exchange carries the pruned set — the n4-audited shape).
     */
-  def ivfPqTopK(spark: SparkSession, dir: String,
-      numCells: Int = NumCells): DataFrame = {
+  /** The shared n12/n14 stage-1: cell-pruned, ADC-scored candidates —
+    * (query_id, vec_id, cell, afp). One corpus projection assigns coarse
+    * cell + M fine codes (two inline kernels, no join between
+    * quantizers); the probe relation and per-query LUTs ride |Q|-bounded
+    * broadcasts; afp is the exact fixed-point ADC distance.
+    */
+  private def ivfPqScored(spark: SparkSession, dir: String,
+      numCells: Int): DataFrame = {
     VectorOps.register(spark)
     // coarse quantizer: IDENTICAL construction to semanticCellsFull so
     // the memoized centroids are shared, not retrained; numCells follows
@@ -1289,10 +1295,15 @@ object Similarity {
         cents.map(c => (c.cid, c.cv, c.cnorm)), NumProbe,
         col("v1"), col("n1"))).as("cell"))
     val lutW = pqLutW(spark, dir, book)
-    val scored = cands.join(broadcast(probe), Seq("cell"))
+    cands.join(broadcast(probe), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .join(broadcast(lutW), Seq("query_id"))
       .withColumn("afp", adcAfp)
+  }
+
+  def ivfPqTopK(spark: SparkSession, dir: String,
+      numCells: Int = NumCells): DataFrame = {
+    val scored = ivfPqScored(spark, dir, numCells)
     val w = Window.partitionBy("query_id").orderBy(asc("afp"), asc("vec_id"))
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -1339,6 +1350,136 @@ object Similarity {
        |FROM (SELECT *, CAST(row_number() OVER (
        |        PARTITION BY query_id ORDER BY afp, neighbor_id) AS BIGINT) AS rank
        |      FROM scored12)
+       |WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+
+  // ----------------------------------------------------------- n14
+
+  /** n14: IVF+PQ + EXACT RESCORE — the PRODUCTION retrieval recipe the
+    * PQ family's honest quality measurements dictate (PqSpec's clustered
+    * fixture: 4 code bytes retrieve the RIGHT CLUSTER with agreement 1.0
+    * but rank WITHIN it at ~0.27 exact-id recall — cluster members share
+    * near-identical codes). The fix is n6's two-stage pattern wired onto
+    * n12's cell-pruned candidates:
+    *
+    *  1. stage-1 POOL: the shared [[ivfPqScored]] stage keeps the
+    *     [[RescorePool]] best ADC candidates per query (exact-integer afp
+    *     order, the candidate-bounded window shape n4/n12 audit);
+    *  2. stage-2 RESCORE: the pool — ≤ |Q|·[[RescorePool]] rows by the
+    *     vec_id < NumQueries contract — broadcasts against ONE raw-vector
+    *     scan to fetch neighbor vectors, queries join as a second
+    *     |Q|-bounded broadcast, and exact rounded cosine re-ranks.
+    *
+    * Scale shape: the expensive side stays quantized — the corpus is
+    * scanned as codes (4 longs/vector, cell-pruned), and RAW vectors are
+    * touched only for the pooled ids (a broadcast-pruned point fetch; on
+    * a 100 TB corpus that scan reads |Q|·pool rows' worth of row groups,
+    * and a serving tier swaps in a key-value fetch behind the same join).
+    * PqSpec pins the payoff: exact-id recall on the clustered fixture
+    * goes from ~0.27 (pure ADC rank) to ~1.0 after rescore.
+    *
+    * Pool sizing: n6 rescores an SQ8 scan (8 bits/dim — quantized order
+    * already near-faithful) at pool = 4·k. At 4 BYTES/VECTOR the pool
+    * must instead cover the query's whole cluster, because within-cluster
+    * ADC order is quantization noise (PqSpec measures pool=4·k at 0.64
+    * recall on the blob fixture — the pool IS the recall dial, FAISS's
+    * IndexRefine k_factor). [[PqRescorePool]] = 64 ≈ the fixture's
+    * cluster occupancy; production picks pool ≈ expected occupancy of one
+    * probed cell (n/K, a measured quantity — pr2's census), and the
+    * rescore cost stays |Q|·pool raw-vector fetches either way.
+    */
+  val PqRescorePool = 64
+
+  def ivfPqRescoreTopK(spark: SparkSession, dir: String,
+      numCells: Int = NumCells, pool: Int = PqRescorePool): DataFrame = {
+    val scored = ivfPqScored(spark, dir, numCells)
+    val wPool = Window.partitionBy("query_id").orderBy(asc("afp"), asc("vec_id"))
+    val pooled = scored
+      .withColumn("crank", row_number().over(wPool))
+      .filter(col("crank") <= pool)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("afp").cast("double") / lit(QuantScale.toDouble), 4).as("adist"))
+    // raw vectors re-enter ONLY here, pruned by the pool broadcast; norm
+    // and cosine spellings are n6's exactly (graft_dot ≡ the oracle's
+    // sequential list_dot_product / list_sum order)
+    val nbr = pqCorpus(spark, dir)
+      .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
+    val fetched = nbr.join(broadcast(pooled), nbr("vec_id") === pooled("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("adist"),
+        col("v").as("nv"), col("norm").as("nn"))
+    val q = pqCorpus(spark, dir).filter(col("vec_id") < NumQueries)
+      .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
+    val rescored = fetched.join(broadcast(q), Seq("query_id"))
+      .withColumn("cos",
+        round(expr("graft_dot(qv, nv)") / (col("qn") * col("nn")), 4))
+    // ≤ |Q|·RescorePool rows reach this window — pool-bounded, not corpus
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    rescored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cos"), col("adist"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** n14's oracle: n12's CTE chain (coarse cells + PQ codes + ADC
+    * scores), pooled at [[RescorePool]] by the same exact-integer afp
+    * order, then exact-cosine re-ranked — the two-stage composition in
+    * SQL, sharing every sub-CTE with the n10–n12 oracles so the stages
+    * can never drift from the queries they compose.
+    */
+  val ivfPqRescoreTopKSql: String =
+    s"""${cellsCteSqlFor(NumCells)},
+       |$pqBodyCtes,
+       |q12 AS (
+       |  SELECT vec_id AS query_id, v,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS n1
+       |  FROM nz WHERE vec_id < $NumQueries),
+       |probe12 AS (
+       |  SELECT query_id, cid AS cell FROM (
+       |    SELECT q.query_id, c.cid,
+       |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |        round(list_dot_product(q.v, c.cv) / (q.n1 * c.cnorm), 4) DESC,
+       |        c.cid) AS prn
+       |    FROM q12 q CROSS JOIN cent$LloydIters c)
+       |  WHERE prn <= $NumProbe),
+       |lut12 AS (
+       |  SELECT q.vec_id AS query_id, c.m, c.cid,
+       |    CAST(round(list_sum(list_transform(generate_series(1, $PqSubDim),
+       |      i -> (q.sv[i] - c.cv[i]) * (q.sv[i] - c.cv[i]))) * $QuantScale)
+       |      AS BIGINT) AS fp
+       |  FROM sub q JOIN pcent$PqIters c ON c.m = q.m
+       |  WHERE q.vec_id < $NumQueries),
+       |scored12 AS (
+       |  SELECT l.query_id, x.vec_id AS neighbor_id,
+       |    CAST(sum(l.fp) AS BIGINT) AS afp
+       |  FROM codes x
+       |    JOIN assign a ON a.vec_id = x.vec_id
+       |    JOIN probe12 p ON p.cell = a.cell
+       |    JOIN lut12 l ON l.query_id = p.query_id AND l.m = x.m
+       |      AND l.cid = x.code AND l.query_id <> x.vec_id
+       |  GROUP BY 1, 2),
+       |pool14 AS (
+       |  SELECT query_id, neighbor_id,
+       |    round(CAST(afp AS DOUBLE) / $QuantScale.0, 4) AS adist
+       |  FROM (SELECT *, row_number() OVER (
+       |          PARTITION BY query_id ORDER BY afp, neighbor_id) AS crank
+       |        FROM scored12)
+       |  WHERE crank <= $PqRescorePool),
+       |nrm14 AS (
+       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+       |  FROM nz),
+       |r14 AS (
+       |  SELECT p.query_id, p.neighbor_id, p.adist,
+       |    round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS cos
+       |  FROM pool14 p
+       |    JOIN nrm14 q ON q.vec_id = p.query_id
+       |    JOIN nrm14 c ON c.vec_id = p.neighbor_id)
+       |SELECT query_id, rank, neighbor_id, cos, adist FROM (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM r14)
        |WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
 
@@ -1520,6 +1661,7 @@ object Similarity {
     "n11_pq_adc_topk" -> (pqAdcTopK _),
     "n12_ivfpq_topk" -> ((s: SparkSession, d: String) => ivfPqTopK(s, d)),
     "n13_ivfpq_index_topk" -> (ivfPqIndexTopK _),
+    "n14_ivfpq_rescore_topk" -> ((s: SparkSession, d: String) => ivfPqRescoreTopK(s, d)),
     "n7_ivf_index_topk" -> (ivfIndexTopK _),
     "n8_hard_negatives" -> (hardNegativesTopK _),
     "n5_quantize" -> (quantize _),
@@ -1536,6 +1678,7 @@ object Similarity {
     "n12_ivfpq_topk" -> ivfPqTopKSql,
     // the persisted index must reproduce the from-scratch IVF+PQ exactly
     "n13_ivfpq_index_topk" -> ivfPqTopKSql,
+    "n14_ivfpq_rescore_topk" -> ivfPqRescoreTopKSql,
     // the persisted index must reproduce the from-scratch IVF exactly
     "n7_ivf_index_topk" -> ivfTopKSql,
     "n8_hard_negatives" -> hardNegativesTopKSql,

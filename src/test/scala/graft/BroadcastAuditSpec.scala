@@ -43,7 +43,7 @@ class BroadcastAuditSpec extends AnyFunSuite {
     "graft/queries/EventStreaming.scala" -> 4,
     "graft/queries/Relational.scala" -> 9,
     "graft/queries/Sampling.scala" -> 1,
-    "graft/queries/Similarity.scala" -> 10,
+    "graft/queries/Similarity.scala" -> 12,
     "graft/queries/Sketches.scala" -> 2,
     "graft/queries/TextAnalysis.scala" -> 5)
 

@@ -177,5 +177,27 @@ class PqSpec extends SparkTestBase {
     // and the honest record of the limit: within-cluster ranking at 4
     // bytes/vector is NOT exact-id faithful — rescore for that
     assert(rAdc < 0.7, "if this starts passing, update the scaladoc story")
+
+    // n14 closes the measured gap: the same cell-pruned ADC stage, pooled
+    // at RescorePool and exact-cosine re-ranked, must recover (nearly)
+    // the whole true top-k — the production recipe, now pinned as a query
+    val rRescore = Similarity.recallAtK(exact,
+      Similarity.ivfPqRescoreTopK(spark, dir))
+    info(f"clustered: n14_ivfpq_rescore exact-id recall@5=$rRescore%.3f " +
+      f"(vs pure ADC $rAdc%.3f)")
+    assert(rRescore >= 0.9,
+      f"rescore must make cell-pruned ADC exact-id faithful: $rRescore%.3f < 0.9")
+  }
+
+  test("n14 plan: pool and queries broadcast; no shuffle join; windows are pool-bounded") {
+    val plan = Similarity.ivfPqRescoreTopK(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "stage-1 probe/LUT joins and the stage-2 pool/query fetches are all " +
+        "broadcasts — the corpus never shuffles for a join")
+    // two window stages exist (stage-1 pool cut, stage-2 re-rank) but both
+    // rank candidate-bounded inputs: cell-pruned candidates and the
+    // ≤ |Q|·RescorePool pool — never the raw corpus
+    assert("Window".r.findAllIn(plan).size >= 2, "two-stage ranking expected")
   }
 }
