@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.functions.TopKAgg
 
 /** Data-profiling operators — the quality gate every corpus ingest runs
   * BEFORE heavier work (the Deequ/data-profiler class of tooling):
@@ -137,61 +136,19 @@ object Profiling {
        |ORDER BY col_name""".stripMargin
   }
 
-  /** pr2: GROUPING-KEY SKEW PROFILE — for each candidate shuffle key of
-    * `events`, the per-key count distribution a partitioner would see:
-    * row/key totals, the hottest key's share, the top-10 keys' combined
-    * share, and the max/avg skew ratio. This is the measurement that
-    * decides salting (a large skew_ratio is exactly the shape that stalls
-    * a shuffle stage on one reducer; Sketches.saltedRollup is the remedy,
-    * AQE skew-join the runtime backstop; z4's Misra–Gries heavy hitters
-    * the streaming estimate of the same quantity).
-    *
-    * Scale shape: ALL candidate keys profile off ONE scan — each row
-    * stacks into one (key_col, value) pair per candidate, so k keys cost
-    * one pass over the table, not k (at 100 TB the scan IS the bill).
-    * Then one shuffle of map-side-combined (key_col, value) counts, and a
-    * per-key_col aggregate over the |keys|-sized count table in which the
-    * top-10 runs through the native graft_topk heap (≤ 10 pairs per input
-    * partition cross the exchange — no |keys| sort anywhere, unlike the
-    * oracle's window spelling). All shares derive from exact integer
-    * counts — the top-10 SUM is tie-order-independent because tied keys
-    * contribute the same count — so cross-engine parity is exact before
-    * the final rounding.
+  /** pr2: GROUPING-KEY SKEW PROFILE — the generic
+    * [[graft.operators.SkewProfile]] operator (any frame, any declared
+    * candidate keys — scale shape, exact-count parity and the
+    * heap/no-window plan documented there) bound to `events`' two
+    * candidate shuffle keys. This is the measurement that decides salting
+    * (a large skew_ratio is exactly the shape that stalls a shuffle stage
+    * on one reducer; Sketches.saltedRollup is the remedy, AQE skew-join
+    * the runtime backstop; z4's Misra–Gries heavy hitters the streaming
+    * estimate of the same quantity).
     */
-  def skewProfile(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables(spark, dir).events
-    val shim = org.apache.spark.sql.graft.ColumnShim
-    val keyed = ev.select(expr(
-      """stack(2,
-        |  'user_id', CAST(user_id AS STRING),
-        |  'event_type', CAST(event_type AS STRING)
-        |) AS (key_col, k)""".stripMargin))
-      .filter(col("k").isNotNull)
-    val counts = keyed.groupBy("key_col", "k").agg(count(lit(1)).as("cnt"))
-    // counts are exact integers far below 2^53, so the double scores
-    // ARE the counts; the heap id is a deterministic key hash (ids only
-    // break ties, and tied entries carry equal counts either way)
-    val tk = shim.column(TopKAgg(10,
-      shim.expression(col("cnt").cast("double")),
-      shim.expression(xxhash64(col("k")))).toAggregateExpression())
-    counts.groupBy("key_col")
-      .agg(
-        sum("cnt").as("n_rows"),
-        count(lit(1)).as("n_keys"),
-        max("cnt").as("max_cnt"),
-        tk.as("top"))
-      .select(
-        col("key_col"),
-        col("n_rows"),
-        col("n_keys"),
-        col("max_cnt"),
-        round(col("max_cnt").cast("double") / col("n_rows"), 6).as("top1_share"),
-        round(expr("aggregate(top, CAST(0.0 AS DOUBLE), (a, x) -> a + x.score)") /
-          col("n_rows").cast("double"), 6).as("top10_share"),
-        round(col("max_cnt").cast("double") /
-          (col("n_rows").cast("double") / col("n_keys")), 6).as("skew_ratio"))
-      .orderBy("key_col")
-  }
+  def skewProfile(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SkewProfile.report(
+      Tables(spark, dir).events, Seq("user_id", "event_type"))
 
   val skewProfileSql: String = {
     def one(key: String) =
