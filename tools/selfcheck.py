@@ -40,11 +40,18 @@ def canon(rows, cols):
 
 def connect_views(sf_dir):
     """One DuckDB connection with a view per fixture table (shared with
-    tools/oracletime.py so the table list cannot drift between them)."""
+    tools/oracletime.py so the table list cannot drift between them).
+    Handles both layouts: the sf fixtures' single-file tables and the
+    directory-of-parts tables every Spark writer produces (ScaleStress
+    corpora) - the r17 x10 gate needed glob views for the latter."""
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
+        if os.path.isdir(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{p}/*.parquet')")
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     return con
 
