@@ -15,9 +15,21 @@ object FsUtil {
     * silently rebuilds its index on every probe — the exact hazard class
     * the round-15 sweep killed in Layout.compactRoundtrip (SCALING.md).
     */
-  def exists(spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  def exists(spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
+    allExist(spark, Seq(path))
+
+  /** [[exists]] over several paths with ONE Hadoop conf construction —
+    * the index memos' intactness probes run on every (warm) build
+    * request, and newHadoopConf copies the whole session conf per call,
+    * so the multi-artifact checks batch it.
+    */
+  def allExist(spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String]): Boolean = {
+    val conf = spark.sessionState.newHadoopConf()
+    paths.forall { path =>
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(conf).exists(p)
+    }
   }
   def deleteRecursively(dir: String): Unit = {
     val root: Path = Paths.get(dir)

@@ -45,13 +45,16 @@ object SkewProfile {
         s"candidate key '$k' is not a column of the frame " +
           s"(columns: ${df.columns.mkString(", ")})")
       // key names are embedded in the generated stack() SQL: identifiers
-      // ride backtick quoting, literals ride single-quote doubling — a
+      // ride backtick quoting, literals ride backslash-doubling then
+      // single-quote doubling (the parser escape-processes literals by
+      // default, so a lone backslash would mangle the key_col value) — a
       // backtick in the name itself has no escape, so reject it
       require(!k.contains("`"),
         s"candidate key '$k' contains a backtick")
     }
     val stackArgs = keys
-      .map(k => s"'${k.replace("'", "''")}', CAST(`$k` AS STRING)")
+      .map(k => s"'${k.replace("\\", "\\\\").replace("'", "''")}', " +
+        s"CAST(`$k` AS STRING)")
       .mkString(",\n")
     val shim = org.apache.spark.sql.graft.ColumnShim
     val keyed = df.select(expr(

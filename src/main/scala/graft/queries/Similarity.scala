@@ -688,8 +688,8 @@ object Similarity {
     // scheme-blind java.nio check reports remote artifacts missing and
     // turns build-once/probe-many into rebuild-every-probe.
     def artifactIntact: Boolean =
-      graft.core.FsUtil.exists(spark, s"$indexDir/centroids.parquet") &&
-        graft.core.FsUtil.exists(spark, s"$indexDir/cells")
+      graft.core.FsUtil.allExist(spark,
+        Seq(s"$indexDir/centroids.parquet", s"$indexDir/cells"))
     indexMemo.get(key) match {
       case Some(cents) if artifactIntact => cents
       case _ =>
@@ -1245,25 +1245,6 @@ object Similarity {
        |WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
 
-  /** n12: IVF+PQ — the FAISS-style production index layout (Jégou et al.
-    * §V: coarse Voronoi cells × fine product codes). The coarse quantizer
-    * is THE SAME memoized Lloyd clustering n4/d11/t22 share (one
-    * clustering, four consumers); the fine quantizer is n10's codebook.
-    * Each corpus vector reduces to (cell, M code ids) in ONE scan
-    * projection — two inline kernels (TopCells, PqNearest), no join
-    * between the quantizers' outputs — and a probe touches only the
-    * nprobe cells' candidates, scored by n11's ADC lookups.
-    *
-    * Scale shape: at 100 TB the candidates frame is the n7 move applied
-    * to codes — Hive-partition the (cell, codes) table by cell and the
-    * probe's cell filter becomes partition pruning over a corpus stored
-    * at ~4 bytes/vector (vs 256 B raw): nprobe/K of 1.6 TB instead of
-    * nprobe/K of 100 TB. Here the candidate set after the probe join is
-    * nprobe·|Q|/K of the corpus, ranked by the same window-free
-    * exact-integer order as n11 via the candidate-bounded window n4 uses
-    * (candidates are cell-pruned, not the whole corpus, so the window's
-    * exchange carries the pruned set — the n4-audited shape).
-    */
   /** The shared n12/n14 stage-1: cell-pruned, ADC-scored candidates —
     * (query_id, vec_id, cell, afp). One corpus projection assigns coarse
     * cell + M fine codes (two inline kernels, no join between
@@ -1301,6 +1282,26 @@ object Similarity {
       .withColumn("afp", adcAfp)
   }
 
+  /** n12: IVF+PQ — the FAISS-style production index layout (Jégou et al.
+    * §V: coarse Voronoi cells × fine product codes). The coarse quantizer
+    * is THE SAME memoized Lloyd clustering n4/d11/t22 share (one
+    * clustering, four consumers); the fine quantizer is n10's codebook.
+    * Each corpus vector reduces to (cell, M code ids) in ONE scan
+    * projection — two inline kernels (TopCells, PqNearest), no join
+    * between the quantizers' outputs — and a probe touches only the
+    * nprobe cells' candidates, scored by n11's ADC lookups (the shared
+    * [[ivfPqScored]] stage).
+    *
+    * Scale shape: at 100 TB the candidates frame is the n7 move applied
+    * to codes — Hive-partition the (cell, codes) table by cell and the
+    * probe's cell filter becomes partition pruning over a corpus stored
+    * at ~4 bytes/vector (vs 256 B raw): nprobe/K of 1.6 TB instead of
+    * nprobe/K of 100 TB. Here the candidate set after the probe join is
+    * nprobe·|Q|/K of the corpus, ranked by the same window-free
+    * exact-integer order as n11 via the candidate-bounded window n4 uses
+    * (candidates are cell-pruned, not the whole corpus, so the window's
+    * exchange carries the pruned set — the n4-audited shape).
+    */
   def ivfPqTopK(spark: SparkSession, dir: String,
       numCells: Int = NumCells): DataFrame = {
     val scored = ivfPqScored(spark, dir, numCells)
@@ -1363,9 +1364,9 @@ object Similarity {
     * n12's cell-pruned candidates:
     *
     *  1. stage-1 POOL: the shared [[ivfPqScored]] stage keeps the
-    *     [[RescorePool]] best ADC candidates per query (exact-integer afp
+    *     [[PqRescorePool]] best ADC candidates per query (exact-integer afp
     *     order, the candidate-bounded window shape n4/n12 audit);
-    *  2. stage-2 RESCORE: the pool — ≤ |Q|·[[RescorePool]] rows by the
+    *  2. stage-2 RESCORE: the pool — ≤ |Q|·[[PqRescorePool]] rows by the
     *     vec_id < NumQueries contract — broadcasts against ONE raw-vector
     *     scan to fetch neighbor vectors, queries join as a second
     *     |Q|-bounded broadcast, and exact rounded cosine re-ranks.
@@ -1401,19 +1402,21 @@ object Similarity {
         round(col("afp").cast("double") / lit(QuantScale.toDouble), 4).as("adist"))
     // raw vectors re-enter ONLY here, pruned by the pool broadcast; norm
     // and cosine spellings are n6's exactly (graft_dot ≡ the oracle's
-    // sequential list_dot_product / list_sum order)
+    // sequential list_dot_product / list_sum order). Norms are computed
+    // ABOVE the join, on the ≤ |Q|·pool survivors — below it they would
+    // run O(n·Dim) work for rows the broadcast is about to drop
     val nbr = pqCorpus(spark, dir)
-      .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
     val fetched = nbr.join(broadcast(pooled), nbr("vec_id") === pooled("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("adist"),
-        col("v").as("nv"), col("norm").as("nn"))
+        col("v").as("nv"))
+      .withColumn("nn", sqrt(expr("graft_dot(nv, nv)")))
     val q = pqCorpus(spark, dir).filter(col("vec_id") < NumQueries)
       .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
     val rescored = fetched.join(broadcast(q), Seq("query_id"))
       .withColumn("cos",
         round(expr("graft_dot(qv, nv)") / (col("qn") * col("nn")), 4))
-    // ≤ |Q|·RescorePool rows reach this window — pool-bounded, not corpus
+    // ≤ |Q|·PqRescorePool rows reach this window — pool-bounded, not corpus
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
     rescored
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -1424,7 +1427,7 @@ object Similarity {
   }
 
   /** n14's oracle: n12's CTE chain (coarse cells + PQ codes + ADC
-    * scores), pooled at [[RescorePool]] by the same exact-integer afp
+    * scores), pooled at [[PqRescorePool]] by the same exact-integer afp
     * order, then exact-cosine re-ranked — the two-stage composition in
     * SQL, sharing every sub-CTE with the n10–n12 oracles so the stages
     * can never drift from the queries they compose.
@@ -1519,8 +1522,9 @@ object Similarity {
     val key = (sessionKey(spark), dir, indexDir, numCells)
     // scheme-aware like buildIvfIndex's probe — see the comment there
     def artifactIntact: Boolean =
-      Seq("centroids.parquet", "codebooks.parquet", "codes").forall(a =>
-        graft.core.FsUtil.exists(spark, s"$indexDir/$a"))
+      graft.core.FsUtil.allExist(spark,
+        Seq("centroids.parquet", "codebooks.parquet", "codes")
+          .map(a => s"$indexDir/$a"))
     pqIndexMemo.get(key) match {
       case Some(v) if artifactIntact => v
       case _ =>

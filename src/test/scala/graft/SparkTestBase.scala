@@ -36,4 +36,21 @@ abstract class SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     dir
   }
+
+  /** Recursive (path, length, mtime) fingerprint of every file under
+    * `dir`, listed through the path's OWN Hadoop FileSystem (so it works
+    * on scheme-qualified dirs) — the memo-hit proofs in the index specs
+    * assert this is bit-unchanged across a repeat build.
+    */
+  def fsFingerprint(dir: String): Seq[(String, Long, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val it = fs.listFiles(p, true)
+    val b = Seq.newBuilder[(String, Long, Long)]
+    while (it.hasNext) {
+      val f = it.next()
+      b += ((f.getPath.toString, f.getLen, f.getModificationTime))
+    }
+    b.result().sortBy(_._1)
+  }
 }

@@ -68,11 +68,19 @@ class SkewProfileSpec extends SparkTestBase {
     assert(got === want)
   }
 
-  test("a key name with a quote profiles safely (literal escaping)") {
+  test("key names with a quote or backslash profile safely (literal escaping)") {
     import spark.implicits._
     val df = Seq(("v1", 1), ("v1", 2)).toDF("o'key", "n")
     val r = SkewProfile.report(df, Seq("o'key")).collect()
     assert(r.length === 1 && r.head.getString(0) === "o'key")
     assert(r.head.getLong(1) === 2L && r.head.getLong(2) === 1L)
+    // the parser escape-processes string literals: an unescaped \b would
+    // mangle the key_col value, a trailing \ would swallow the quote
+    Seq("a\\b", "trail\\").foreach { name =>
+      val d2 = Seq(("x", 1)).toDF(name, "n")
+      val r2 = SkewProfile.report(d2, Seq(name)).collect()
+      assert(r2.length === 1 && r2.head.getString(0) === name,
+        s"key_col must round-trip '$name' exactly")
+    }
   }
 }

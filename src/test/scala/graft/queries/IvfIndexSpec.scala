@@ -62,22 +62,11 @@ class IvfIndexSpec extends SparkTestBase {
     // back, zero bytes rewritten.
     val idx = "file:" + scratch("ivf_idx_scheme")
     val c1 = Similarity.buildIvfIndex(spark, SfDir, idx)
-    def fingerprint: Seq[(String, Long, Long)] = {
-      val p = new org.apache.hadoop.fs.Path(idx)
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      val it = fs.listFiles(p, true)
-      val b = Seq.newBuilder[(String, Long, Long)]
-      while (it.hasNext) {
-        val f = it.next()
-        b += ((f.getPath.toString, f.getLen, f.getModificationTime))
-      }
-      b.result().sortBy(_._1)
-    }
-    val f1 = fingerprint
+    val f1 = fsFingerprint(idx)
     assert(f1.nonEmpty, "build wrote no artifacts under the file: indexDir")
     val c2 = Similarity.buildIvfIndex(spark, SfDir, idx)
     assert(c2 eq c1, "second build must be a memo hit (same instance), not a rebuild")
-    assert(fingerprint == f1, "memo hit must not rewrite any artifact file")
+    assert(fsFingerprint(idx) == f1, "memo hit must not rewrite any artifact file")
     // and the scheme-qualified index serves the canonical answer
     assert(norm(Similarity.probeIvfIndex(spark, SfDir, idx, nprobe = 2)) ==
       norm(Similarity.ivfTopK(spark, SfDir)))

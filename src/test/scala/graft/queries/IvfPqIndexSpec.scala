@@ -54,22 +54,11 @@ class IvfPqIndexSpec extends SparkTestBase {
     // silently rebuilding centroids + codebooks + codes on every request
     val idx = "file:" + scratch("ivfpq_idx_scheme")
     val v1 = Similarity.buildIvfPqIndex(spark, SfDir, idx)
-    def fingerprint: Seq[(String, Long, Long)] = {
-      val p = new org.apache.hadoop.fs.Path(idx)
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      val it = fs.listFiles(p, true)
-      val b = Seq.newBuilder[(String, Long, Long)]
-      while (it.hasNext) {
-        val f = it.next()
-        b += ((f.getPath.toString, f.getLen, f.getModificationTime))
-      }
-      b.result().sortBy(_._1)
-    }
-    val f1 = fingerprint
+    val f1 = fsFingerprint(idx)
     assert(f1.nonEmpty, "build wrote no artifacts under the file: indexDir")
     val v2 = Similarity.buildIvfPqIndex(spark, SfDir, idx)
     assert(v2 eq v1, "second build must be a memo hit (same instance), not a rebuild")
-    assert(fingerprint == f1, "memo hit must not rewrite any artifact file")
+    assert(fsFingerprint(idx) == f1, "memo hit must not rewrite any artifact file")
     assert(norm(Similarity.probeIvfPqIndex(spark, SfDir, idx, nprobe = 2)) ==
       norm(Similarity.ivfPqTopK(spark, SfDir)))
   }
