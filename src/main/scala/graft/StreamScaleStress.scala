@@ -127,7 +127,11 @@ object StreamScaleStress {
     // so every slice holds one id-range of EVERY replica — the span is the
     // base-id domain, not the row count (at x10 a count-based width put
     // the whole corpus in slice 0)
-    val span = docs.agg(max(col("doc_id") % DocOffset)).first().getLong(0) + 1
+    val maxRow = docs.agg(max(col("doc_id") % DocOffset)).first()
+    require(!maxRow.isNullAt(0),
+      s"$scaleDir/documents.parquet exists but holds zero rows - " +
+        "regenerate it with graft.ScaleStress")
+    val span = maxRow.getLong(0) + 1
     val per = math.max(1L, (span + Slices - 1) / Slices)
     val dir = s"$outDir/documents.parquet"
     FsUtil.deleteRecursively(dir)
@@ -190,7 +194,11 @@ object StreamScaleStress {
     val docs = spark.read.parquet(s"$scaleDir/documents.parquet")
       .select("doc_id", "text", "lang", "source", "n_chars")
     // base-id slicing as in generateDocs (see the span comment there)
-    val span = docs.agg(max(col("doc_id") % DocOffset)).first().getLong(0) + 1
+    val maxRow = docs.agg(max(col("doc_id") % DocOffset)).first()
+    require(!maxRow.isNullAt(0),
+      s"$scaleDir/documents.parquet exists but holds zero rows - " +
+        "regenerate it with graft.ScaleStress")
+    val span = maxRow.getLong(0) + 1
     val per = math.max(1L, (span + Slices - 1) / Slices)
     val dir = s"$outDir/documents.parquet_ts"
     FsUtil.deleteRecursively(dir)

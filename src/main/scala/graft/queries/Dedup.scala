@@ -127,7 +127,11 @@ object Dedup {
     */
   def incrementalVerdictsQuery(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
-    val maxId = docs.agg(max("doc_id")).first().getLong(0)
+    // max over an empty corpus is NULL -> getLong would NPE; fail loudly
+    val maxRow = docs.agg(max("doc_id")).first()
+    require(!maxRow.isNullAt(0),
+      "incrementalVerdicts over an empty documents corpus")
+    val maxId = maxRow.getLong(0)
     val (c1, c2) = (maxId / 3, 2 * maxId / 3)
     val batches = Seq(
       docs.filter(col("doc_id") <= c1),

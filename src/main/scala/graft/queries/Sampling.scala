@@ -627,7 +627,11 @@ object Sampling {
         size(split(col("text"), " ")).cast("long").as("n_tok"))
     val bySource = docs.groupBy("source").agg(sum("n_tok").as("tok_s"))
       .withColumn("w", expr("CAST(floor(sqrt(tok_s)) AS BIGINT)"))
-    val totalW = bySource.agg(sum("w")).first().getLong(0)
+    // sum over an empty corpus is NULL -> getLong would NPE; fail loudly
+    val totalRow = bySource.agg(sum("w")).first()
+    require(!totalRow.isNullAt(0),
+      "temperatureRates over an empty documents corpus")
+    val totalW = totalRow.getLong(0)
     // STAGED division — identical result (floor division is associative
     // for positive integers: floor(a/(b·c)) = floor(floor(a/b)/c)) but the
     // denominator product totalW·tok_s is never formed: at the advertised
