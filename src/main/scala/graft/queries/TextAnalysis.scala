@@ -627,6 +627,8 @@ object TextAnalysis {
       .withColumn("dl", size(col("t")).cast("long"))
     val stats = docs.agg(
       count(lit(1)).as("n_docs"), avg("dl").as("avgdl")).first()
+    // count over empty is 0 but avg is NULL -> getDouble would NPE
+    require(stats.getLong(0) > 0, "bm25 over an empty documents corpus")
     val (nDocs, avgdl) = (stats.getLong(0), stats.getDouble(1))
     val tf = docs
       .select(col("doc_id"), col("dl"), explode(col("t")).as("token"))
