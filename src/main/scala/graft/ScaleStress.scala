@@ -357,6 +357,41 @@ object ScaleStress {
         return
       }
 
+    // Serving-composition A/B (SPARK_GRAFT_N15=k1,k2,...): n15's claim is
+    // that the exact-rescore stage costs the SAME flat |Q|·pool premium
+    // over the PERSISTED-index probe that n14 measures over the in-session
+    // stage — fixed per-query machinery, corpus-independent. Same session,
+    // same artifact: time the bare n13 probe, then n15 (probe + rescore);
+    // premium = the difference at each scale.
+    sys.env.get("SPARK_GRAFT_N15").map(_.split(",").map(_.trim.toInt).toSeq)
+      .foreach { ks =>
+        ks.foreach { k =>
+          val dir = s"target/scale/x$k"
+          generate(spark, baseDir, dir, k)
+          val idx = s"target/scale/ivfpq_index_x$k"
+          graft.core.FsUtil.deleteRecursively(idx)
+          graft.queries.Similarity.clearQuantMemo()
+          spark.catalog.clearCache(); System.gc()
+          graft.queries.Similarity.buildIvfPqIndex(spark, dir, idx,
+            numCells = d11Cells(k))
+          def timed(label: String)(df: => DataFrame): Double = {
+            spark.catalog.clearCache(); System.gc()
+            val t0 = System.nanoTime()
+            val rows = materialize(df)
+            val sec = (System.nanoTime() - t0) / 1e9
+            println(s"""{"scale":$k,"variant":"n15","form":"$label","cells":${d11Cells(k)},"sec":${f2(sec)},"rows":$rows}""")
+            sec
+          }
+          val probeSec = timed("n13_probe")(
+            graft.queries.Similarity.probeIvfPqIndex(spark, dir, idx, nprobe = 2))
+          val rescoreSec = timed("n15_probe_rescore")(
+            graft.queries.Similarity.rescoreProbedIndex(spark, dir, idx, nprobe = 2))
+          println(s"""{"scale":$k,"variant":"n15","form":"premium","sec":${f2(rescoreSec - probeSec)}}""")
+        }
+        spark.stop()
+        return
+      }
+
     // Entity-resolution scale experiment (SPARK_GRAFT_J4=k1,k2,...): j4's
     // scale claim is that cost tracks DISTINCT values, not rows. Replicate
     // part k-fold with offset ids and UNCHANGED names — the natural shape

@@ -8,20 +8,16 @@ import java.nio.file.{Files, Path, Paths}
   */
 object FsUtil {
 
-  /** Whether `path` exists, resolved through the Hadoop [[FileSystem]] of
-    * the path's OWN scheme — `file:`, `hdfs://`, `s3a://` alike. The
+  /** Whether every path exists, each resolved through the Hadoop
+    * [[FileSystem]] of the path's OWN scheme — `file:`, `hdfs://`,
+    * `s3a://` alike — with ONE Hadoop conf construction for the batch
+    * (the index memos' intactness probes run on every warm build request,
+    * and newHadoopConf copies the whole session conf per call). The
     * java.nio spelling this replaces is scheme-blind: on a remote FS it
     * reports every artifact missing, so a build-once/probe-many memo
     * silently rebuilds its index on every probe — the exact hazard class
     * the round-15 sweep killed in Layout.compactRoundtrip (SCALING.md).
-    */
-  def exists(spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
-    allExist(spark, Seq(path))
-
-  /** [[exists]] over several paths with ONE Hadoop conf construction —
-    * the index memos' intactness probes run on every (warm) build
-    * request, and newHadoopConf copies the whole session conf per call,
-    * so the multi-artifact checks batch it.
+    * This is the probe entry point both index freshness checks call.
     */
   def allExist(spark: org.apache.spark.sql.SparkSession,
       paths: Seq[String]): Boolean = {

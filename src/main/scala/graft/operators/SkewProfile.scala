@@ -38,12 +38,14 @@ object SkewProfile {
     */
   def report(df: DataFrame, keys: Seq[String], topN: Int = 10): DataFrame = {
     require(keys.nonEmpty, "no candidate keys declared")
-    require(keys.distinct.size == keys.size, "duplicate candidate keys")
     require(topN > 0, s"topN must be positive, got $topN")
-    keys.foreach { k =>
-      require(df.columns.contains(k),
-        s"candidate key '$k' is not a column of the frame " +
-          s"(columns: ${df.columns.mkString(", ")})")
+    // candidate keys resolve CASE-INSENSITIVELY to the frame's own
+    // spelling (matching Spark's default resolver — a caller passing
+    // USER_ID against user_id profiles the column Spark itself would
+    // resolve), exact spelling winning when a case-sensitive frame
+    // carries both; the canonical spelling is what the generated SQL
+    // quotes and what key_col reports
+    val resolved = keys.map { k =>
       // key names are embedded in the generated stack() SQL: identifiers
       // ride backtick quoting, literals ride backslash-doubling then
       // single-quote doubling (the parser escape-processes literals by
@@ -51,8 +53,22 @@ object SkewProfile {
       // backtick in the name itself has no escape, so reject it
       require(!k.contains("`"),
         s"candidate key '$k' contains a backtick")
+      val hits = df.columns.filter(_.equalsIgnoreCase(k))
+      require(hits.nonEmpty,
+        s"candidate key '$k' is not a column of the frame " +
+          s"(columns: ${df.columns.mkString(", ")})")
+      if (hits.contains(k)) k
+      else {
+        require(hits.length == 1,
+          s"candidate key '$k' is ambiguous under case-insensitive " +
+            s"resolution (matches: ${hits.mkString(", ")})")
+        hits.head
+      }
     }
-    val stackArgs = keys
+    require(resolved.distinct.size == resolved.size,
+      "duplicate candidate keys (after case-insensitive resolution): " +
+        resolved.diff(resolved.distinct).distinct.mkString(", "))
+    val stackArgs = resolved
       .map(k => s"'${k.replace("\\", "\\\\").replace("'", "''")}', " +
         s"CAST(`$k` AS STRING)")
       .mkString(",\n")

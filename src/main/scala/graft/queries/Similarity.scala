@@ -652,7 +652,7 @@ object Similarity {
     * never drift from the from-scratch computation.
     */
   def ivfIndexTopK(spark: SparkSession, dir: String): DataFrame = {
-    val idx = indexDirFor(dir)
+    val idx = indexDirFor(spark, dir)
     // build returns the centroids it just wrote (doubles round-trip parquet
     // exactly), so the in-process build→probe path skips the read-back job;
     // a standalone probe ([[probeIvfIndex]]) still reads them from the index
@@ -660,8 +660,22 @@ object Similarity {
     probeWithCents(spark, dir, idx, cents, NumProbe)
   }
 
-  private[queries] def indexDirFor(dir: String): String =
-    "target/ivf_index/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+  /** Root under which the REGISTRY TWINS place their index artifacts.
+    * [[ivfIndexTopK]]/[[ivfPqIndexTopK]]/[[ivfPqIndexRescoreTopK]] take
+    * only a corpus dir (the `(SparkSession, String) => DataFrame` registry
+    * shape), so they must derive an indexDir — a HARNESS PLACEMENT, not an
+    * index contract. The default is CWD-relative `target/` (right for the
+    * local driver, Verify, Bench); a deployment sets `graft.index.root`
+    * once (runtime conf; any Hadoop FS scheme — the freshness probes and
+    * writers resolve through the path's own FileSystem) and every derived
+    * dir follows. The build/probe APIs take an explicit indexDir and never
+    * consult this.
+    */
+  private def indexRoot(spark: SparkSession): String =
+    spark.conf.get("graft.index.root", "target")
+
+  private[queries] def indexDirFor(spark: SparkSession, dir: String): String =
+    s"${indexRoot(spark)}/ivf_index/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
 
   private val indexMemo = new BoundedMemo[
     (String, String, String, Int, Int), Seq[Centroid]](MemoCapacity)
@@ -684,7 +698,7 @@ object Similarity {
     // a memo hit is honored only while BOTH artifacts survive on disk —
     // centroids alone would pair memoized centroids with missing (or, per
     // the rebuild rule below, foreign) inverted lists. The probe resolves
-    // through the indexDir's OWN FileSystem scheme (FsUtil.exists): a
+    // through the indexDir's OWN FileSystem scheme (FsUtil.allExist): a
     // scheme-blind java.nio check reports remote artifacts missing and
     // turns build-once/probe-many into rebuild-every-probe.
     def artifactIntact: Boolean =
@@ -1391,9 +1405,14 @@ object Similarity {
     */
   val PqRescorePool = 64
 
-  def ivfPqRescoreTopK(spark: SparkSession, dir: String,
-      numCells: Int = NumCells, pool: Int = PqRescorePool): DataFrame = {
-    val scored = ivfPqScored(spark, dir, numCells)
+  /** The shared n14/n15 stage-2: pool the `pool` best ADC candidates per
+    * query from `scored` (any cell-pruned ADC stage carrying
+    * (query_id, vec_id, afp) — n14 passes the session-memoized
+    * [[ivfPqScored]], n15 the persisted index's [[probeIvfPqScored]]),
+    * fetch raw vectors for the pool ONLY, and re-rank by exact cosine.
+    */
+  private def rescoredTopK(spark: SparkSession, dir: String,
+      scored: DataFrame, pool: Int): DataFrame = {
     val wPool = Window.partitionBy("query_id").orderBy(asc("afp"), asc("vec_id"))
     val pooled = scored
       .withColumn("crank", row_number().over(wPool))
@@ -1416,7 +1435,7 @@ object Similarity {
     val rescored = fetched.join(broadcast(q), Seq("query_id"))
       .withColumn("cos",
         round(expr("graft_dot(qv, nv)") / (col("qn") * col("nn")), 4))
-    // ≤ |Q|·PqRescorePool rows reach this window — pool-bounded, not corpus
+    // ≤ |Q|·pool rows reach this window — pool-bounded, not corpus
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
     rescored
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -1425,6 +1444,15 @@ object Similarity {
         col("cos"), col("adist"))
       .orderBy("query_id", "rank")
   }
+
+  /** `pool` is the recall dial (see the sizing note above) for PROGRAMMATIC
+    * callers; [[ivfPqRescoreTopKSql]] pins [[PqRescorePool]], so only the
+    * default-pool call is oracle-matched — a registry entry must bind
+    * pool = PqRescorePool (both registered twins, n14/n15, do).
+    */
+  def ivfPqRescoreTopK(spark: SparkSession, dir: String,
+      numCells: Int = NumCells, pool: Int = PqRescorePool): DataFrame =
+    rescoredTopK(spark, dir, ivfPqScored(spark, dir, numCells), pool)
 
   /** n14's oracle: n12's CTE chain (coarse cells + PQ codes + ADC
     * scores), pooled at [[PqRescorePool]] by the same exact-integer afp
@@ -1488,8 +1516,11 @@ object Similarity {
 
   // ----------------------------------------------------------- n13
 
-  private[queries] def pqIndexDirFor(dir: String): String =
-    "target/ivfpq_index/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+  /** [[indexDirFor]]'s PQ twin — same harness-placement contract, same
+    * `graft.index.root` override.
+    */
+  private[queries] def pqIndexDirFor(spark: SparkSession, dir: String): String =
+    s"${indexRoot(spark)}/ivfpq_index/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
 
   private val pqIndexMemo = new BoundedMemo[
     (String, String, String, Int), (Seq[Centroid], PqBook)](MemoCapacity)
@@ -1564,15 +1595,19 @@ object Similarity {
     (cents, book)
   }
 
-  /** Probe the persisted IVF+PQ index: quantizers come back FROM THE
-    * INDEX (two metadata-scale collects, the n7 centroid-read class),
-    * probe cells collect to ≤ |Q|·nprobe driver rows serving both the
+  /** The persisted-index twin of [[ivfPqScored]]: the cell-pruned,
+    * ADC-scored candidate stage (query_id, vec_id, cell, afp) with every
+    * input read FROM THE INDEX — quantizers come back as two
+    * metadata-scale collects (the n7 centroid-read class), probe cells
+    * collect to ≤ |Q|·nprobe driver rows serving both the
     * partition-pruning predicate and the broadcast probe relation, and
     * the scoring job reads ONLY the probed cells' code partitions — the
-    * raw corpus is never opened.
+    * raw corpus is never opened. [[probeIvfPqIndex]] (n13) ranks this
+    * frame directly; [[ivfPqIndexRescoreTopK]] (n15) pools it and
+    * exact-rescores.
     */
-  def probeIvfPqIndex(spark: SparkSession, dir: String, indexDir: String,
-      nprobe: Int): DataFrame = {
+  private def probeIvfPqScored(spark: SparkSession, dir: String,
+      indexDir: String, nprobe: Int): DataFrame = {
     VectorOps.register(spark)
     import spark.implicits._
     val cents = spark.read.parquet(s"$indexDir/centroids.parquet")
@@ -1608,10 +1643,18 @@ object Similarity {
     val corpus = spark.read.parquet(s"$indexDir/codes")
       .withColumn("cell", col("cell").cast("long"))
       .filter(col("cell").isin(probedCells: _*))
-    val scored = corpus.join(broadcast(probe), Seq("cell"))
+    corpus.join(broadcast(probe), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .join(broadcast(lutW), Seq("query_id"))
       .withColumn("afp", adcAfp)
+  }
+
+  /** Probe the persisted IVF+PQ index ([[probeIvfPqScored]]) and rank —
+    * n13's serving read path.
+    */
+  def probeIvfPqIndex(spark: SparkSession, dir: String, indexDir: String,
+      nprobe: Int): DataFrame = {
+    val scored = probeIvfPqScored(spark, dir, indexDir, nprobe)
     val w = Window.partitionBy("query_id").orderBy(asc("afp"), asc("vec_id"))
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -1626,10 +1669,41 @@ object Similarity {
     * reproduce n12's from-scratch result exactly (shared oracle).
     */
   def ivfPqIndexTopK(spark: SparkSession, dir: String): DataFrame = {
-    val idx = pqIndexDirFor(dir)
+    val idx = pqIndexDirFor(spark, dir)
     buildIvfPqIndex(spark, dir, idx)
     probeIvfPqIndex(spark, dir, idx, NumProbe)
   }
+
+  /** n15: the SERVING composition — the persisted index's partition-pruned
+    * disk probe (n13's [[probeIvfPqScored]]: quantizers and codes read
+    * from the artifact, only the probed cells' partitions opened) feeding
+    * n14's exact-rescore stage ([[rescoredTopK]]: pool the best
+    * [[PqRescorePool]] ADC candidates per query, point-fetch their raw
+    * vectors through the pool broadcast, re-rank by exact cosine). This is
+    * the query path a deployment actually runs — index built offline once,
+    * every query paying (pruned code partitions) + (|Q|·pool raw fetches).
+    *
+    * Shares n14's oracle verbatim: doubles round-trip parquet exactly and
+    * codes are integers, so the disk probe's afp equals the from-scratch
+    * stage's bit-for-bit (n13's proof), and the rescore is deterministic
+    * in its pool — the composition can never drift from the two stages it
+    * composes. IvfPqIndexSpec extends the poisoned-partition proof through
+    * the rescore: a corrupted unprobed cell directory never fails n15.
+    */
+  def ivfPqIndexRescoreTopK(spark: SparkSession, dir: String): DataFrame = {
+    val idx = pqIndexDirFor(spark, dir)
+    buildIvfPqIndex(spark, dir, idx)
+    rescoreProbedIndex(spark, dir, idx)
+  }
+
+  /** n15's probe+rescore against an EXPLICIT index dir — the deployment
+    * shape (the registry twin derives its dir then delegates here; a
+    * serving tier passes its own artifact root and nprobe).
+    */
+  def rescoreProbedIndex(spark: SparkSession, dir: String,
+      indexDir: String, nprobe: Int = NumProbe): DataFrame =
+    rescoredTopK(spark, dir,
+      probeIvfPqScored(spark, dir, indexDir, nprobe), PqRescorePool)
 
   /** Streaming cell assignment (st16's projection stage): the coarse
     * quantizer trains BATCH-side from the corpus dir (memoized — the same
@@ -1666,6 +1740,7 @@ object Similarity {
     "n12_ivfpq_topk" -> ((s: SparkSession, d: String) => ivfPqTopK(s, d)),
     "n13_ivfpq_index_topk" -> (ivfPqIndexTopK _),
     "n14_ivfpq_rescore_topk" -> ((s: SparkSession, d: String) => ivfPqRescoreTopK(s, d)),
+    "n15_ivfpq_index_rescore_topk" -> (ivfPqIndexRescoreTopK _),
     "n7_ivf_index_topk" -> (ivfIndexTopK _),
     "n8_hard_negatives" -> (hardNegativesTopK _),
     "n5_quantize" -> (quantize _),
@@ -1683,6 +1758,9 @@ object Similarity {
     // the persisted index must reproduce the from-scratch IVF+PQ exactly
     "n13_ivfpq_index_topk" -> ivfPqTopKSql,
     "n14_ivfpq_rescore_topk" -> ivfPqRescoreTopKSql,
+    // the persisted probe reproduces the from-scratch ADC stage exactly
+    // (n13's proof), so the composition shares n14's oracle verbatim
+    "n15_ivfpq_index_rescore_topk" -> ivfPqRescoreTopKSql,
     // the persisted index must reproduce the from-scratch IVF exactly
     "n7_ivf_index_topk" -> ivfTopKSql,
     "n8_hard_negatives" -> hardNegativesTopKSql,

@@ -29,6 +29,12 @@ object TestSpark {
 
 abstract class SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = TestSpark.spark
+
+  /** The driver-generated fixture root (TESTDATA.md) at a scale factor —
+    * specs name fixtures through this so a relocation is one edit here,
+    * not a sweep over hardcoded paths.
+    */
+  def testData(sf: String): String = s"/root/testdata/sf$sf"
   /** Unique scratch dir per suite under target/. */
   def scratch(name: String): String = {
     val dir = s"/root/repo/target/test-scratch/$name"

@@ -11,7 +11,7 @@ import graft.SparkTestBase
   */
 class SkewProfileSpec extends SparkTestBase {
 
-  private val sf = "/root/testdata/sf0.01"
+  private lazy val sf = testData("0.01")
 
   test("exact shares on a hand-built distribution; nulls excluded") {
     import spark.implicits._
@@ -82,5 +82,18 @@ class SkewProfileSpec extends SparkTestBase {
       assert(r2.length === 1 && r2.head.getString(0) === name,
         s"key_col must round-trip '$name' exactly")
     }
+  }
+
+  test("keys resolve case-insensitively to the frame's spelling") {
+    import spark.implicits._
+    val df = Seq(("x", 1), ("y", 2), ("y", 3)).toDF("user_id", "n")
+    // Spark's default resolver would accept USER_ID — so does the report,
+    // and key_col carries the frame's own spelling
+    val r = SkewProfile.report(df, Seq("USER_ID")).collect()
+    assert(r.length === 1 && r.head.getString(0) === "user_id")
+    assert(r.head.getLong(1) === 3L && r.head.getLong(2) === 2L)
+    // two spellings of one column are a duplicate key, not two keys
+    intercept[IllegalArgumentException](
+      SkewProfile.report(df, Seq("user_id", "USER_ID")))
   }
 }

@@ -63,6 +63,48 @@ class IvfPqIndexSpec extends SparkTestBase {
       norm(Similarity.ivfPqTopK(spark, SfDir)))
   }
 
+  test("n15: rescore over the persisted probe equals from-scratch n14; pruned, no shuffle join") {
+    val idx = scratch("ivfpq_idx_rescore")
+    Similarity.buildIvfPqIndex(spark, SfDir, idx)
+    val df = Similarity.rescoreProbedIndex(spark, SfDir, idx)
+    // plan read BEFORE collect, uncached: the probed-cells predicate must
+    // still partition-prune the codes table with the rescore stage on top,
+    // and every join in both stages rides a broadcast
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "the rescore composition must not shuffle any join side")
+    assert(norm(df) == norm(Similarity.ivfPqRescoreTopK(spark, SfDir)),
+      "the serving composition must reproduce the from-scratch n14 exactly")
+  }
+
+  test("n15 pruning is real: a poisoned unprobed codes partition never fails the rescore") {
+    val idx = scratch("ivfpq_idx_rescore_poison")
+    Similarity.buildIvfPqIndex(spark, SfDir, idx)
+    val poison = Paths.get(s"$idx/codes/cell=999/garbage.parquet")
+    Files.createDirectories(poison.getParent)
+    Files.write(poison, "this is not a parquet file".getBytes("UTF-8"))
+    intercept[Throwable] {
+      spark.read.parquet(s"$idx/codes").count()
+    }
+    val got = Similarity.rescoreProbedIndex(spark, SfDir, idx)
+    assert(norm(got) == norm(Similarity.ivfPqRescoreTopK(spark, SfDir)))
+  }
+
+  test("the registry twins' derived index dirs follow graft.index.root") {
+    // the derived dirs are harness placements: CWD-relative target/ by
+    // default, one conf away from any scheme-qualified root
+    assert(Similarity.pqIndexDirFor(spark, SfDir).startsWith("target/"))
+    assert(Similarity.indexDirFor(spark, SfDir).startsWith("target/"))
+    spark.conf.set("graft.index.root", "file:/idx/root")
+    try {
+      assert(Similarity.pqIndexDirFor(spark, SfDir)
+        .startsWith("file:/idx/root/ivfpq_index/"))
+      assert(Similarity.indexDirFor(spark, SfDir)
+        .startsWith("file:/idx/root/ivf_index/"))
+    } finally spark.conf.unset("graft.index.root")
+  }
+
   test("index layout: hive-partitioned codes, metadata-scale quantizer tables") {
     val idx = scratch("ivfpq_idx_layout")
     Similarity.buildIvfPqIndex(spark, SfDir, idx)

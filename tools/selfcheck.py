@@ -47,12 +47,18 @@ def connect_views(sf_dir):
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
+        # paths land inside SQL string literals: double any single quote
+        q = p.replace("'", "''")
         if os.path.isdir(p):
+            # recursive glob + hive_partitioning so a partition-written
+            # table (cell=N/... subdirs) reads whole, not just the flat
+            # part files its root happens to hold
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM "
-                f"read_parquet('{p}/*.parquet')")
+                f"read_parquet('{q}/**/*.parquet', hive_partitioning=true)")
         elif os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{q}')")
     return con
 
 
@@ -77,8 +83,8 @@ def main(sf_dir, out_dir):
         print(f"  [FAIL-MISSING] {missing}: no verify output written")
         n_fail += 1
     for name in names:
-        got = con.sql(
-            f"SELECT * FROM '{os.path.join(out_dir, name)}/*.parquet'")
+        qname = os.path.join(out_dir, name).replace("'", "''")
+        got = con.sql(f"SELECT * FROM read_parquet('{qname}/*.parquet')")
         # The driver's compare sorts rows via pandas, which cannot hash
         # array cells — an array-typed output column WILL crash it even
         # though this script could stringify it. Mirror the restriction.
