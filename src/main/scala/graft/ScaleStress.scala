@@ -362,7 +362,11 @@ object ScaleStress {
     // over the PERSISTED-index probe that n14 measures over the in-session
     // stage — fixed per-query machinery, corpus-independent. Same session,
     // same artifact: time the bare n13 probe, then n15 (probe + rescore);
-    // premium = the difference at each scale.
+    // premium = the difference at each scale. Each form is min-of-2 so
+    // BOTH time the warm serving path — the first n13 rep pays the
+    // probe-plan collect (pqProbeMemo cold) that every later rep of
+    // either form memo-hits; a single-shot A/B charges that one-time cost
+    // entirely to whichever form runs first.
     sys.env.get("SPARK_GRAFT_N15").map(_.split(",").map(_.trim.toInt).toSeq)
       .foreach { ks =>
         ks.foreach { k =>
@@ -375,11 +379,14 @@ object ScaleStress {
           graft.queries.Similarity.buildIvfPqIndex(spark, dir, idx,
             numCells = d11Cells(k))
           def timed(label: String)(df: => DataFrame): Double = {
-            spark.catalog.clearCache(); System.gc()
-            val t0 = System.nanoTime()
-            val rows = materialize(df)
-            val sec = (System.nanoTime() - t0) / 1e9
-            println(s"""{"scale":$k,"variant":"n15","form":"$label","cells":${d11Cells(k)},"sec":${f2(sec)},"rows":$rows}""")
+            val secs = (1 to 2).map { _ =>
+              spark.catalog.clearCache(); System.gc()
+              val t0 = System.nanoTime()
+              materialize(df)
+              (System.nanoTime() - t0) / 1e9
+            }
+            val sec = secs.min
+            println(s"""{"scale":$k,"variant":"n15","form":"$label","cells":${d11Cells(k)},"sec":${f2(sec)},"sec_runs":[${secs.map(f2).mkString(",")}]}""")
             sec
           }
           val probeSec = timed("n13_probe")(
