@@ -39,12 +39,16 @@ object SkewProfile {
   def report(df: DataFrame, keys: Seq[String], topN: Int = 10): DataFrame = {
     require(keys.nonEmpty, "no candidate keys declared")
     require(topN > 0, s"topN must be positive, got $topN")
-    // candidate keys resolve CASE-INSENSITIVELY to the frame's own
-    // spelling (matching Spark's default resolver — a caller passing
-    // USER_ID against user_id profiles the column Spark itself would
-    // resolve), exact spelling winning when a case-sensitive frame
-    // carries both; the canonical spelling is what the generated SQL
-    // quotes and what key_col reports
+    // candidate keys resolve to the frame's own spelling under the
+    // SESSION'S resolver — case-insensitively by default (a caller
+    // passing USER_ID against user_id profiles the column Spark itself
+    // would resolve), exact under spark.sql.caseSensitive=true — and a
+    // key several columns answer fails loud HERE, with the operator's
+    // message, instead of as an AMBIGUOUS_REFERENCE from deep inside
+    // analysis of the generated SQL; the canonical spelling is what the
+    // SQL quotes and what key_col reports
+    val caseSensitive =
+      df.sparkSession.sessionState.conf.caseSensitiveAnalysis
     val resolved = keys.map { k =>
       // key names are embedded in the generated stack() SQL: identifiers
       // ride backtick quoting, literals ride backslash-doubling then
@@ -53,17 +57,16 @@ object SkewProfile {
       // backtick in the name itself has no escape, so reject it
       require(!k.contains("`"),
         s"candidate key '$k' contains a backtick")
-      val hits = df.columns.filter(_.equalsIgnoreCase(k))
+      val hits =
+        if (caseSensitive) df.columns.filter(_ == k)
+        else df.columns.filter(_.equalsIgnoreCase(k))
       require(hits.nonEmpty,
         s"candidate key '$k' is not a column of the frame " +
           s"(columns: ${df.columns.mkString(", ")})")
-      if (hits.contains(k)) k
-      else {
-        require(hits.length == 1,
-          s"candidate key '$k' is ambiguous under case-insensitive " +
-            s"resolution (matches: ${hits.mkString(", ")})")
-        hits.head
-      }
+      require(hits.length == 1,
+        s"candidate key '$k' is ambiguous under the session's resolver " +
+          s"(matches: ${hits.mkString(", ")})")
+      hits.head
     }
     require(resolved.distinct.size == resolved.size,
       "duplicate candidate keys (after case-insensitive resolution): " +

@@ -1698,12 +1698,15 @@ object Similarity {
 
   /** n15's probe+rescore against an EXPLICIT index dir — the deployment
     * shape (the registry twin derives its dir then delegates here; a
-    * serving tier passes its own artifact root and nprobe).
+    * serving tier passes its own artifact root, nprobe, and pool — the
+    * recall dial, sized per the n14 note; only the default pool is
+    * oracle-matched).
     */
   def rescoreProbedIndex(spark: SparkSession, dir: String,
-      indexDir: String, nprobe: Int = NumProbe): DataFrame =
+      indexDir: String, nprobe: Int = NumProbe,
+      pool: Int = PqRescorePool): DataFrame =
     rescoredTopK(spark, dir,
-      probeIvfPqScored(spark, dir, indexDir, nprobe), PqRescorePool)
+      probeIvfPqScored(spark, dir, indexDir, nprobe), pool)
 
   /** Streaming cell assignment (st16's projection stage): the coarse
     * quantizer trains BATCH-side from the corpus dir (memoized — the same

@@ -14,7 +14,7 @@ import graft.queries.Temporal
 class ScaleStressSpec extends SparkTestBase {
 
   private val K = 3
-  private val base = "/root/testdata/sf0.001"
+  private lazy val base = testData("0.001")
 
   private lazy val dir: String = {
     val d = scratch("scale-stress-spec")

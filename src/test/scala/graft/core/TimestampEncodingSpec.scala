@@ -24,7 +24,7 @@ import graft.streaming.{EventStreams, ReplayFixtures}
   */
 class TimestampEncodingSpec extends SparkTestBase {
 
-  private val SfDir = "/root/testdata/sf0.001"
+  private lazy val SfDir = testData("0.001")
 
   /** (event_id, micros) pairs — the encoding-independent ground truth. */
   private def canon(df: DataFrame): Set[(Long, Long)] =

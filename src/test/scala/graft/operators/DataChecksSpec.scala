@@ -117,7 +117,7 @@ class DataChecksSpec extends SparkTestBase {
 
   test("pr3's bound report runs off one scan and carries a failing gate row") {
     val rep = graft.queries.Profiling
-      .constraintReport(spark, "/root/testdata/sf0.001")
+      .constraintReport(spark, testData("0.001"))
     val plan = rep.queryExecution.executedPlan.toString
     val scans = "Scan parquet".r.findAllIn(plan).size
     assert(scans === 1, s"all checks must fold into ONE scan, saw $scans")

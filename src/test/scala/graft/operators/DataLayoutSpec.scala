@@ -75,7 +75,7 @@ class DataLayoutSpec extends SparkTestBase {
   test("compact: file count = ceil(bytes/target); rows byte-identical") {
     val frag = scratch("compact-frag")
     val out = scratch("compact-out")
-    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val docs = spark.read.parquet(testData("0.001") + "/documents.parquet")
     docs.repartition(32).write.mode("overwrite").parquet(frag)
     def pq(d: java.io.File): Seq[java.io.File] =
       if (d.isDirectory) d.listFiles().toSeq.flatMap(pq)
@@ -94,7 +94,7 @@ class DataLayoutSpec extends SparkTestBase {
     import org.apache.spark.sql.functions.col
     val frag = scratch("compact-part-frag")
     val out = scratch("compact-part-out")
-    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val docs = spark.read.parquet(testData("0.001") + "/documents.parquet")
     docs.repartition(16).write.mode("overwrite")
       .partitionBy("lang").parquet(frag)
     val langDirs = new java.io.File(frag).listFiles()
@@ -118,7 +118,7 @@ class DataLayoutSpec extends SparkTestBase {
 
   test("parquetBytes sizes through the dir's own filesystem: scheme-qualified paths and missing dirs") {
     val frag = scratch("pqbytes-frag")
-    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    spark.read.parquet(testData("0.001") + "/documents.parquet")
       .repartition(4).write.mode("overwrite").parquet(frag)
     def pq(d: java.io.File): Seq[java.io.File] =
       if (d.isDirectory) d.listFiles().toSeq.flatMap(pq)

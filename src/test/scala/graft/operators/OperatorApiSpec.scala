@@ -111,7 +111,7 @@ class OperatorApiSpec extends SparkTestBase {
     // P(no band collision) < 1e-4 at j >= 0.92, where all fixture pairs
     // live; a missed pair fails loudly here.
     import org.apache.spark.sql.functions._
-    val docs = graft.core.Tables(spark, "/root/testdata/sf0.01").documents
+    val docs = graft.core.Tables(spark, testData("0.01")).documents
     val train = docs.filter(col("doc_id") % 10 =!= 0)
     val eval = docs.filter(col("doc_id") % 10 === 0)
     def sets(df: org.apache.spark.sql.DataFrame, idc: String) = df.select(

@@ -95,5 +95,12 @@ class SkewProfileSpec extends SparkTestBase {
     // two spellings of one column are a duplicate key, not two keys
     intercept[IllegalArgumentException](
       SkewProfile.report(df, Seq("user_id", "USER_ID")))
+    // a key several case-variant columns answer fails loud with the
+    // operator's message, not as an AMBIGUOUS_REFERENCE thrown later
+    // from analysis of the generated SQL (Spark's default resolver
+    // could not pick one either)
+    val both = Seq((1, 2)).toDF("amb_key", "AMB_KEY")
+    intercept[IllegalArgumentException](
+      SkewProfile.report(both, Seq("amb_key")))
   }
 }

@@ -11,7 +11,7 @@ import graft.SparkTestBase
   */
 class ExportJobSpec extends SparkTestBase {
 
-  private val Sf = "/root/testdata/sf0.001"
+  private lazy val Sf = testData("0.001")
 
   test("export writes one directory per shard, round-trips, and bounds files") {
     val out = scratch("export-shards")

@@ -45,7 +45,7 @@ class AsOfJoinExecSpec extends SparkTestBase {
       .sortBy(t => (t._1, t._2))
 
   test("plans as AsOfJoinExec — no window, no sort-merge, no nested loop") {
-    val df = graft.SparkEntry.queries("j3_asof_exec")(spark, "/root/testdata/sf0.001")
+    val df = graft.SparkEntry.queries("j3_asof_exec")(spark, testData("0.001"))
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("AsOfJoin ["), plan) // nodeName strips the Exec suffix
     assert(!plan.contains("SortMergeJoin"), "fell through to a standard join")
@@ -54,7 +54,7 @@ class AsOfJoinExecSpec extends SparkTestBase {
   }
 
   test("agrees with the union+window formulation on the events fixture") {
-    val ev = graft.core.Tables(spark, "/root/testdata/sf0.001").events
+    val ev = graft.core.Tables(spark, testData("0.001")).events
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
     val triggers = ev.filter(col("event_type").isin("view", "click"))

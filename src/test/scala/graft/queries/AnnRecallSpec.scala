@@ -16,7 +16,7 @@ import graft.SparkTestBase
   */
 class AnnRecallSpec extends SparkTestBase {
 
-  private val sf = "/root/testdata/sf0.01"
+  private lazy val sf = testData("0.01")
 
   test("n4 IVF and n2 LSH recall@5 vs n1 exact, floors hold") {
     val exact = Similarity.bruteForceTopK(spark, sf)

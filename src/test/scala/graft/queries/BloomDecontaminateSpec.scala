@@ -13,7 +13,7 @@ import graft.SparkTestBase
   */
 class BloomDecontaminateSpec extends SparkTestBase {
 
-  private val dir = "/root/testdata/sf0.001"
+  private lazy val dir = testData("0.001")
 
   private def canon(df: org.apache.spark.sql.DataFrame) =
     df.collect().map(_.toSeq).sortBy(_.toString)

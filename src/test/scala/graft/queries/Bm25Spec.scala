@@ -14,7 +14,7 @@ import graft.core.Tables
   */
 class Bm25Spec extends SparkTestBase {
 
-  private val SfDir = "/root/testdata/sf0.001"
+  private lazy val SfDir = testData("0.001")
 
   test("t19 matches a from-scratch BM25 over the collected fixture") {
     val docs = Tables(spark, SfDir).documents

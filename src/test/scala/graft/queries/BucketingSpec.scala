@@ -13,7 +13,7 @@ import graft.SparkTestBase
   */
 class BucketingSpec extends SparkTestBase {
 
-  private val sf = "/root/testdata/sf0.001"
+  private lazy val sf = testData("0.001")
 
   test("bucketed fact tables join with zero exchanges and match the shuffle join") {
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")

@@ -12,7 +12,7 @@ import graft.SparkTestBase
   */
 class IvfIndexSpec extends SparkTestBase {
 
-  private val SfDir = "/root/testdata/sf0.001"
+  private lazy val SfDir = testData("0.001")
 
   private def norm(df: org.apache.spark.sql.DataFrame) =
     df.collect().map(_.toSeq).toSeq

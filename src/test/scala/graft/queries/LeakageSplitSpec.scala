@@ -12,7 +12,7 @@ import graft.SparkTestBase
   */
 class LeakageSplitSpec extends SparkTestBase {
 
-  private val dir = "/root/testdata/sf0.001"
+  private lazy val dir = testData("0.001")
 
   test("t24: every near-dup cluster lands wholly in one split") {
     val split = Sampling.leakageSplit(spark, dir)

@@ -11,7 +11,7 @@ import graft.SparkTestBase
   */
 class PlanSpec extends SparkTestBase {
 
-  private val sf = "/root/testdata/sf0.001"
+  private lazy val sf = testData("0.001")
 
   private def plan(name: String): String =
     graft.SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString

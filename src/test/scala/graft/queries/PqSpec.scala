@@ -11,7 +11,7 @@ import graft.SparkTestBase
   */
 class PqSpec extends SparkTestBase {
 
-  private val sf = "/root/testdata/sf0.01"
+  private lazy val sf = testData("0.01")
 
   test("n10 codes: M rows per vector, codes in the seed-cid set, mse finite") {
     val codes = Similarity.pqCodes(spark, sf).cache()

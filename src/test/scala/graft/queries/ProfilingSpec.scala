@@ -10,7 +10,7 @@ import graft.SparkTestBase
   */
 class ProfilingSpec extends SparkTestBase {
 
-  private val sf = "/root/testdata/sf0.001"
+  private lazy val sf = testData("0.001")
 
   test("pr1 column profile: one scan, ratios in range, distincts bounded") {
     // no .cache(): the cache manager would substitute plan-equal subtrees

@@ -271,7 +271,7 @@ class QuantileSelectSpec extends SparkTestBase {
     * parquet scan is most of the I/O story for a multi-pass plan.
     */
   test("plan: selection scans prune to the two live columns") {
-    val li = graft.core.Tables(spark, "/root/testdata/sf0.001").lineitem
+    val li = graft.core.Tables(spark, testData("0.001")).lineitem
     val p = Sketches.selHistogramFrame(li, "l_returnflag",
       "l_extendedprice", Seq(Sketches.SelTask("A", 0.0, 1e9)), buckets = 16)
       .queryExecution.executedPlan.toString
@@ -283,8 +283,8 @@ class QuantileSelectSpec extends SparkTestBase {
   }
 
   test("z3 equals Spark's own percentile_cont on the fixture") {
-    val got = Sketches.priceQuantiles(spark, "/root/testdata/sf0.001").collect()
-    graft.core.Tables(spark, "/root/testdata/sf0.001").lineitem
+    val got = Sketches.priceQuantiles(spark, testData("0.001")).collect()
+    graft.core.Tables(spark, testData("0.001")).lineitem
       .createOrReplaceTempView("qsel_li")
     val want = spark.sql(
       """SELECT l_returnflag,

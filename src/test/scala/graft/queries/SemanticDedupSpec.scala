@@ -13,7 +13,7 @@ import graft.SparkTestBase
   */
 class SemanticDedupSpec extends SparkTestBase {
 
-  private val sf = "/root/testdata/sf0.001"
+  private lazy val sf = testData("0.001")
 
   test("d11 drop list is witnessed and survivors are pairwise below threshold") {
     val drops = Dedup.queries("d11_semantic_dedup")(spark, sf).collect()

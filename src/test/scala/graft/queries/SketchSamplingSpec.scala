@@ -19,7 +19,7 @@ import graft.SparkTestBase
   */
 class SketchSamplingSpec extends SparkTestBase {
 
-  private val SfDir = "/root/testdata/sf0.001"
+  private lazy val SfDir = testData("0.001")
 
   /** Synthetic corpus with exactly known token counts: "aa" x 500 spread
     * over many docs, "bb" on the inclusion boundary, "cc" just under it,

@@ -11,7 +11,7 @@ import graft.SparkTestBase
   */
 class TemporalSamplingSpec extends SparkTestBase {
 
-  private val Sf = "/root/testdata/sf0.001"
+  private lazy val Sf = testData("0.001")
 
   test("as-of join compiles to shuffle+window, never a nested-loop join (j1)") {
     val df = Temporal.asofAttribution(spark, Sf)

@@ -10,7 +10,7 @@ import graft.SparkTestBase
   */
 class TextQualitySpec extends SparkTestBase {
 
-  private val Sf = "/root/testdata/sf0.001"
+  private lazy val Sf = testData("0.001")
 
   test("unigram perplexity matches the per-doc NLL definition (t16)") {
     val docs = graft.core.Tables(spark, Sf).documents

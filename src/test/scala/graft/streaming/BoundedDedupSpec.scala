@@ -30,7 +30,7 @@ import graft.SparkTestBase
   */
 class BoundedDedupSpec extends SparkTestBase {
 
-  private val SfDir = "/root/testdata/sf0.001"
+  private lazy val SfDir = testData("0.001")
   private val T0 = 1700000000000L // fixed epoch; files staggered by mtime
   private val Hour = 3600000L
 

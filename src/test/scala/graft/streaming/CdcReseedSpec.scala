@@ -24,7 +24,7 @@ import graft.SparkTestBase
   */
 class CdcReseedSpec extends SparkTestBase {
 
-  private val SfDir = "/root/testdata/sf0.001"
+  private lazy val SfDir = testData("0.001")
   private val T0 = 1700000000000L
 
   private def at(df: DataFrame, ts: Long): DataFrame =

@@ -33,7 +33,7 @@ import graft.SparkTestBase
   */
 class CdcTtlSpec extends SparkTestBase {
 
-  private val SfDir = "/root/testdata/sf0.001"
+  private lazy val SfDir = testData("0.001")
   private val T0 = 1700000000000L
   private val Hour = 3600000L
 

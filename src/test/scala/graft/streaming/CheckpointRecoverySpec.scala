@@ -33,7 +33,7 @@ import graft.queries.{Dedup, EventStreaming, Events, Temporal}
   */
 class CheckpointRecoverySpec extends SparkTestBase {
 
-  private val SfDir = "/root/testdata/sf0.001"
+  private lazy val SfDir = testData("0.001")
   private val Slices = 10
   private val Poison = 4L // crash after writing (not committing) batch 4
 
@@ -56,7 +56,7 @@ class CheckpointRecoverySpec extends SparkTestBase {
     * under contiguous slicing) — the rows that force the restarted query to
     * REMEMBER pre-crash counts to emit n_copies=2.
     */
-  private val DocsSfDir = "/root/testdata/sf0.1"
+  private lazy val DocsSfDir = testData("0.1")
 
   /** Documents zone as [[Slices]] doc-id-ordered single-file parquets. */
   private def docsZone(name: String): String = {

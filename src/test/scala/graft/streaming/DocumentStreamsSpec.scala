@@ -15,7 +15,7 @@ import graft.queries.EventStreaming
   */
 class DocumentStreamsSpec extends SparkTestBase {
 
-  private val SfDir = "/root/testdata/sf0.001"
+  private lazy val SfDir = testData("0.001")
 
   private def writeOne(df: DataFrame, dst: String, mtime: Long): Unit =
     ReplayFixtures.writeOne(df, dst, mtime)

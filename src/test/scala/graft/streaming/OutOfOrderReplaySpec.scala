@@ -17,7 +17,7 @@ import graft.queries.{EventStreaming, Events, Temporal}
   */
 class OutOfOrderReplaySpec extends SparkTestBase {
 
-  private val SfDir = "/root/testdata/sf0.001"
+  private lazy val SfDir = testData("0.001")
 
   /** Split the events table into time-thirds and write them as three
     * single-file parquets whose MODIFICATION TIMES impose the given arrival

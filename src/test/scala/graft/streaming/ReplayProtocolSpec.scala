@@ -20,7 +20,7 @@ import graft.SparkTestBase
   */
 class ReplayProtocolSpec extends SparkTestBase {
 
-  private val SfDir = "/root/testdata/sf0.001"
+  private lazy val SfDir = testData("0.001")
 
   private def norm(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
@@ -83,8 +83,8 @@ class ReplayProtocolSpec extends SparkTestBase {
     // note) — the equality must not hold vacuously
     bothWays("keyedrange") { () =>
       (EventStreams.keyedRangeJoin(
-        EventStreams.readEvents(spark, "/root/testdata/sf0.01"),
-        EventStreams.readEvents(spark, "/root/testdata/sf0.01"),
+        EventStreams.readEvents(spark, testData("0.01")),
+        EventStreams.readEvents(spark, testData("0.01")),
         windowUs = 1800000000L),
         org.apache.spark.sql.streaming.OutputMode.Append())
     }

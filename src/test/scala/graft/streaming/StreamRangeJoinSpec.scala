@@ -19,7 +19,7 @@ class StreamRangeJoinSpec extends SparkTestBase {
 
   // sf0.001 has ZERO within-60s purchase-error pairs — the equality would
   // pass vacuously; sf0.01's 182 pairs make it a real contract
-  private val SfDir = "/root/testdata/sf0.01"
+  private lazy val SfDir = testData("0.01")
   private val WindowUs = 60000000L
 
   private def splitZone(name: String, arrivalOrder: Seq[Int]): String = {

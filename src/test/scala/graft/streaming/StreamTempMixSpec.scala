@@ -14,7 +14,7 @@ import graft.queries.Sampling
   */
 class StreamTempMixSpec extends SparkTestBase {
 
-  private val SfDir = "/root/testdata/sf0.01"
+  private lazy val SfDir = testData("0.01")
 
   test("multi-batch replay admits exactly the batch t25 set") {
     val dir = scratch("tempmix_replay")

@@ -17,7 +17,7 @@ import graft.queries.EventStreaming
   */
 class StreamingNearDupSpec extends SparkTestBase {
 
-  private val SfDir = "/root/testdata/sf0.001"
+  private lazy val SfDir = testData("0.001")
 
   private def docs: DataFrame =
     spark.read.parquet(s"$SfDir/documents.parquet") // 500 docs

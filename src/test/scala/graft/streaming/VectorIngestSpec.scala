@@ -14,7 +14,7 @@ import graft.queries.{EventStreaming, Similarity}
   */
 class VectorIngestSpec extends SparkTestBase {
 
-  private val SfDir = "/root/testdata/sf0.001"
+  private lazy val SfDir = testData("0.001")
 
   test("multi-batch census equals the single-batch assignment census") {
     val dir = scratch("vector_ingest")

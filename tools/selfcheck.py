@@ -117,7 +117,7 @@ def main(sf_dir, out_dir):
         # (int vs float vs object...) per column; width differences
         # (int32 vs int64) render identically and are fine.
         gdt = {c: d.kind for c, d in
-               con.sql(f"SELECT * FROM '{os.path.join(out_dir, name)}/*.parquet'")
+               con.sql(f"SELECT * FROM read_parquet('{qname}/*.parquet')")
                .df().dtypes.items()}
         wdt = {c: d.kind for c, d in con.sql(oracles[name]).df().dtypes.items()}
         kind_bad = [c for c in gdt if gdt[c] != wdt[c]]
