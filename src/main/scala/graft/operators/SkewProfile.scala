@@ -69,7 +69,12 @@ object SkewProfile {
       hits.head
     }
     require(resolved.distinct.size == resolved.size,
-      "duplicate candidate keys (after case-insensitive resolution): " +
+      // name the resolution mode that actually ran — under
+      // caseSensitive=true resolution was exact, and claiming
+      // "case-insensitive" there would misdirect the debugging
+      s"duplicate candidate keys (after ${
+        if (caseSensitive) "exact" else "case-insensitive"
+      } resolution): " +
         resolved.diff(resolved.distinct).distinct.mkString(", "))
     val stackArgs = resolved
       .map(k => s"'${k.replace("\\", "\\\\").replace("'", "''")}', " +

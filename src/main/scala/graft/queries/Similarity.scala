@@ -329,6 +329,7 @@ object Similarity {
     pqMemo.clear()
     pqIndexMemo.clear()
     pqProbeMemo.clear()
+    appendIdxMemo.clear()
   }
 
   /** Session identity for memo keys WITHOUT retaining the session object:
@@ -397,14 +398,15 @@ object Similarity {
   /** One SQL assignment CTE against the given centroid CTE — the twin of
     * [[assignCells]], reused by every Lloyd round and the final build.
     */
-  private def assignCteSql(name: String, centCte: String): String =
+  private def assignCteSql(name: String, centCte: String,
+      src: String = "n"): String =
     s"""$name AS (
        |  SELECT vec_id, cid AS cell FROM (
        |    SELECT n.vec_id, c.cid,
        |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
        |        round(list_dot_product(n.v, c.cv) / (n.norm * c.cnorm), 4) DESC,
        |        c.cid) AS arn
-       |    FROM n CROSS JOIN $centCte c)
+       |    FROM $src n CROSS JOIN $centCte c)
        |  WHERE arn = 1)""".stripMargin
 
   /** The Lloyd-round CTEs (twin of [[lloydRound]]): fixed-point BIGINT
@@ -457,11 +459,19 @@ object Similarity {
     * of [[semanticCells]]; [[ivfTopKSql]] and d11's oracle both build on it
     * so the quantizer can never drift between the two queries' oracles.
     */
-  private[queries] def cellsCteSqlFor(numCells: Int): String =
-    s"""WITH e AS (
+  /** The whole-corpus `e` CTE every oracle chain opens with. */
+  private def eCteSql: String =
+    s"""e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings),
-       |n AS (
+       |  FROM embeddings)""".stripMargin
+
+  /** The coarse-quantizer chain AFTER `e` (n → cent0..L → assign) —
+    * [[cellsCteSqlFor]] prefixes the whole-corpus `e`; n16's oracle
+    * prefixes a BASE-corpus `e` instead, so the identical training text
+    * runs over the pre-append corpus only.
+    */
+  private def cellsBodyCtesFor(numCells: Int): String =
+    s"""n AS (
        |  SELECT vec_id, v,
        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e),
        |cent0 AS (
@@ -469,6 +479,10 @@ object Similarity {
        |  WHERE vec_id < $numCells),
        |${(1 to LloydIters).map(lloydCtesSql).mkString(",\n")},
        |${assignCteSql("assign", s"cent$LloydIters")}""".stripMargin
+
+  private[queries] def cellsCteSqlFor(numCells: Int): String =
+    s"""WITH $eCteSql,
+       |${cellsBodyCtesFor(numCells)}""".stripMargin
 
   private[queries] val cellsCteSql: String = cellsCteSqlFor(NumCells)
 
@@ -674,8 +688,20 @@ object Similarity {
   private def indexRoot(spark: SparkSession): String =
     spark.conf.get("graft.index.root", "target")
 
+  /** Collision-proof artifact name for a corpus dir: the readable mangle
+    * plus a short hash of the RAW string. The mangle alone maps distinct
+    * corpora like `data/x_y` and `data_x/y` to one name — answers stayed
+    * right (the build memos' sibling-eviction rule forces a rebuild when a
+    * different corpus claims the dir) but two such registry-twin corpora
+    * alternating in a session would rebuild per alternation instead of
+    * build-once/probe-many. `String.hashCode` is JLS-specified, so the
+    * derived name is stable across JVMs and sessions.
+    */
+  private def mangledCorpusName(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9.]", "_") + f"_${dir.hashCode}%08x"
+
   private[queries] def indexDirFor(spark: SparkSession, dir: String): String =
-    s"${indexRoot(spark)}/ivf_index/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    s"${indexRoot(spark)}/ivf_index/${mangledCorpusName(dir)}"
 
   private val indexMemo = new BoundedMemo[
     (String, String, String, Int, Int), Seq[Centroid]](MemoCapacity)
@@ -1087,14 +1113,15 @@ object Similarity {
     * (exact under any aggregation order), empty codewords keeping the
     * prior sub-centroid.
     */
-  private def pqAssignCteSql(name: String, centCte: String): String =
+  private def pqAssignCteSql(name: String, centCte: String,
+      src: String = "sub"): String =
     s"""$name AS (
        |  SELECT vec_id, m, code FROM (
        |    SELECT s.vec_id, s.m, c.cid AS code,
        |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
        |        round(2 * list_dot_product(s.sv, c.cv) - c.csq, 4) DESC,
        |        c.cid) AS arn
-       |    FROM sub s JOIN $centCte c ON c.m = s.m)
+       |    FROM $src s JOIN $centCte c ON c.m = s.m)
        |  WHERE arn = 1)""".stripMargin
 
   private def pqLloydCtesSql(r: Int): String =
@@ -1140,9 +1167,7 @@ object Similarity {
        |${pqAssignCteSql("codes", s"pcent$PqIters")}""".stripMargin
 
   private def pqCteSql: String =
-    s"""WITH e AS (
-       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings),
+    s"""WITH $eCteSql,
        |$pqBodyCtes""".stripMargin
 
   val pqCodesSql: String =
@@ -1520,7 +1545,7 @@ object Similarity {
     * `graft.index.root` override.
     */
   private[queries] def pqIndexDirFor(spark: SparkSession, dir: String): String =
-    s"${indexRoot(spark)}/ivfpq_index/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    s"${indexRoot(spark)}/ivfpq_index/${mangledCorpusName(dir)}"
 
   private val pqIndexMemo = new BoundedMemo[
     (String, String, String, Int), (Seq[Centroid], PqBook)](MemoCapacity)
@@ -1606,10 +1631,14 @@ object Similarity {
     * frame directly; [[ivfPqIndexRescoreTopK]] (n15) pools it and
     * exact-rescores.
     */
-  private def probeIvfPqScored(spark: SparkSession, dir: String,
-      indexDir: String, nprobe: Int): DataFrame = {
-    VectorOps.register(spark)
-    import spark.implicits._
+  /** The frozen quantizers read back from a persisted IVF+PQ index — two
+    * metadata-scale collects (the n7 centroid-read class: K·Dim +
+    * M·K·subDim doubles, never data). Shared by the disk probe (n13/n15)
+    * and the append path (n16), which must code deltas under EXACTLY the
+    * artifact's quantizers.
+    */
+  private[queries] def readIvfPqQuantizers(spark: SparkSession,
+      indexDir: String): (Seq[Centroid], PqBook) = {
     val cents = spark.read.parquet(s"$indexDir/centroids.parquet")
       .collect().toSeq
       .map(r => Centroid(r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
@@ -1621,6 +1650,14 @@ object Similarity {
     val book = PqBook(cids, Array.tabulate(PqM) { m =>
       bookRows.filter(_._1 == m.toLong).sortBy(_._2).map(_._3).toArray
     })
+    (cents, book)
+  }
+
+  private def probeIvfPqScored(spark: SparkSession, dir: String,
+      indexDir: String, nprobe: Int): DataFrame = {
+    VectorOps.register(spark)
+    import spark.implicits._
+    val (cents, book) = readIvfPqQuantizers(spark, indexDir)
     // probe-plan memo, the n7 probeMemo discipline: for a fixed corpus,
     // artifact and nprobe the ≤ |Q|·nprobe collected rows are immutable,
     // so repeat probes (bench reps, every consumer after the first) skip
@@ -1708,6 +1745,283 @@ object Similarity {
     rescoredTopK(spark, dir,
       probeIvfPqScored(spark, dir, indexDir, nprobe), pool)
 
+  // ----------------------------------------------------------- n16
+
+  /** n16's corpus split for the oracle-gated append demonstration: the
+    * DELTA batch is every vector with vec_id ≡ [[AppendRem]] (mod
+    * [[AppendMod]]) — ~10% of the corpus — and the BASE is the rest. The
+    * split is mod-based (not hashed) so the oracle spells it verbatim.
+    */
+  private[queries] val AppendMod = 10L
+  private[queries] val AppendRem = 7L
+
+  /** [[pqIndexDirFor]]'s append twin — a SEPARATE artifact family: the
+    * appended index holds BASE-trained quantizers, so sharing n13's dir
+    * would make the two registry twins alternate-evict each other's
+    * artifacts (the sibling-eviction rebuild rule).
+    */
+  private[queries] def appendIndexDirFor(spark: SparkSession, dir: String): String =
+    s"${indexRoot(spark)}/ivfpq_append_index/${mangledCorpusName(dir)}"
+
+  /** Memo-key namespace for the BASE-split quantizers: quantMemo/pqMemo
+    * key on the corpus STRING (the frame rides alongside), so training on
+    * a filtered frame under the raw `dir` key would poison the
+    * full-corpus entries every other consumer shares.
+    */
+  private def appendBaseKey(dir: String): String =
+    s"$dir#append_base_${AppendMod}_$AppendRem"
+
+  private def appendBasePredicate: Column =
+    col("vec_id") % AppendMod =!= AppendRem
+
+  /** The delta batch of [[ivfPqAppendTopK]]'s split, in the
+    * embeddings-table shape [[appendToIvfPqIndex]] ingests.
+    */
+  private[graft] def appendDelta(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).embeddings
+      .filter(col("vec_id") % AppendMod === AppendRem)
+      .select("vec_id", "embedding")
+
+  /** Build the persisted IVF+PQ index over the BASE split only — the
+    * pre-append deployment state: quantizers trained on, and `codes/`
+    * covering, the corpus minus the delta. [[buildIvfPqIndexCold]] with
+    * the split applied to both training frames.
+    */
+  private[graft] def buildIvfPqBaseIndex(spark: SparkSession, dir: String,
+      indexDir: String, numCells: Int = NumCells): Unit = {
+    VectorOps.register(spark)
+    import spark.implicits._
+    val eAll = widen(Tables(spark, dir).embeddings
+      .filter(appendBasePredicate)
+      .select(col("vec_id"), asDouble("embedding").as("v"))
+      .withColumn("norm", sqrt(expr("graft_dot(v, v)"))))
+    val cents = refinedCentroidsFor(spark, appendBaseKey(dir), eAll,
+      numCells, LloydIters)
+    cents.map(c => (c.cid, c.cv.toSeq, c.cnorm)).toDF("cid", "cv", "cnorm")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$indexDir/centroids.parquet")
+    val e = widen(pqCorpus(spark, dir).filter(appendBasePredicate))
+    val book = pqBookFor(spark, appendBaseKey(dir), e)
+    pqBookDf(spark, book).coalesce(1).write.mode("overwrite")
+      .parquet(s"$indexDir/codebooks.parquet")
+    e.withColumn("norm", sqrt(expr("graft_dot(v, v)")))
+      .withColumn("cell", cellExpr(cents, col("v"), col("norm")))
+      .select(col("vec_id") +: col("cell") +: pqCodeCols(book): _*)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/codes")
+  }
+
+  /** APPEND a delta batch of vectors into an EXISTING persisted IVF+PQ
+    * index with FROZEN quantizers — the online-maintenance path st16's
+    * census watches for ("index built offline, maintained online"): new
+    * vectors enter `codes/` through this until the per-cell census says
+    * the quantizers have drifted, and only that drift signal triggers
+    * [[buildIvfPqIndex]]'s full retrain+rebuild. `delta` carries
+    * (vec_id, embedding) — the embeddings-table shape st16's ingest
+    * stream projects. Every step is bounded by the DELTA (and the cells
+    * it touches), never the corpus:
+    *
+    *  1. read the quantizers from the index ([[readIvfPqQuantizers]], two
+    *     metadata-scale collects) — FROZEN: retraining here would silently
+    *     pair every previously written code with foreign codewords;
+    *  2. assign cell + M codes inline over the delta scan (TopCells +
+    *     PqNearest in one projection — the build's own kernels, zero new
+    *     ones), after the corpus-wide finiteness guard;
+    *  3. gather the touched cells: ONE ≤K-row collect, bounded by the
+    *     quantizer size (metadata, the CleanJob partition-key class);
+    *  4. rewrite ONLY the touched cell partitions: their existing rows —
+    *     read through explicit `cell=N` paths, so untouched directories
+    *     are never listed, let alone opened — anti-joined against the
+    *     delta's ids (same-id redelivery REPLACES the row: upsert
+    *     semantics; the delta side is batch-sized, AQE broadcasts it),
+    *     unioned with the delta's fresh codes, written back via dynamic
+    *     partition overwrite.
+    *
+    * Crash-consistency contract (the reference's idempotent
+    * partition-granular overwrite — `pnp-cleanerLambda.py:116` — applied
+    * to the ANN artifact): dynamic overwrite stages files and swaps the
+    * touched partitions at job commit, so a crash BEFORE commit leaves
+    * every old partition intact and a crash MID-commit can leave a prefix
+    * of the touched partitions swapped; re-running the SAME append
+    * restores full consistency because the merge is content-idempotent
+    * (anti-join ∪ delta yields identical rows whether or not a partition
+    * already reflects the append). The quantizer artifacts are never
+    * touched, so concurrent probes keep resolving (they read old-or-new
+    * partition content, both valid indexes of old-or-new corpus state).
+    *
+    * Returns the touched cell ids — the cost surface a maintainer
+    * monitors, and what the A/B scale study logs. At 100 TB: an appended
+    * batch costs (|delta| kernel work) + (touched cells' code rows read +
+    * rewritten, each cell ~4 bytes/vector of n/K vectors) — a full
+    * rebuild costs the corpus scan PLUS quantizer retraining, so the
+    * maintenance loop runs appends until the census drift check fails.
+    */
+  def appendToIvfPqIndex(spark: SparkSession, indexDir: String,
+      delta: DataFrame): Seq[Long] = {
+    VectorOps.register(spark)
+    val (cents, book) = readIvfPqQuantizers(spark, indexDir)
+    val d = widen(delta
+        .select(col("vec_id"), asDouble("embedding").as("v"))
+        .withColumn("amax", expr("array_max(transform(v, x -> abs(x)))"))
+        .filter(col("amax") > 0 && !isnan(col("amax")) &&
+          col("amax") =!= lit(Double.PositiveInfinity))
+        .drop("amax"))
+      .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
+      .withColumn("cell", cellExpr(cents, col("v"), col("norm")))
+      .select(col("vec_id") +: col("cell") +: pqCodeCols(book): _*)
+    // cache: the coded delta feeds the touched-cells gather AND the merge
+    // write — without it the assignment kernels run twice
+    d.persist()
+    try {
+      val touched = d.select("cell").distinct()
+        .collect().map(_.getLong(0)).sorted.toSeq
+      if (touched.nonEmpty) {
+        val codesRoot = s"$indexDir/codes"
+        // existing rows of the touched cells ONLY, via explicit
+        // partition-dir paths (basePath keeps the cell column). The input
+        // paths are the cell dirs, the output path their parent, so the
+        // self-overwrite guard stays quiet while dynamic overwrite swaps
+        // exactly these partitions at commit.
+        val existingDirs = touched.map(c => s"$codesRoot/cell=$c")
+          .filter(p => graft.core.FsUtil.allExist(spark, Seq(p)))
+        val cols = ("vec_id" +: (0 until PqM).map(m => s"c$m") :+ "cell")
+          .map(col)
+        val merged =
+          if (existingDirs.isEmpty) d.select(cols: _*)
+          else spark.read.option("basePath", codesRoot)
+            .parquet(existingDirs: _*)
+            .withColumn("cell", col("cell").cast("long"))
+            .join(d.select("vec_id"), Seq("vec_id"), "left_anti")
+            .select(cols: _*)
+            .unionByName(d.select(cols: _*))
+        merged.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("cell")
+          .parquet(codesRoot)
+      }
+      touched
+    } finally d.unpersist()
+  }
+
+  private val appendIdxMemo = new BoundedMemo[
+    (String, String, String, Int), Seq[Long]](MemoCapacity)
+
+  /** The n16 artifact, built once per (session, corpus, dir, schedule):
+    * the BASE-split index plus one frozen-quantizer append of the delta
+    * split — memo honored only while the artifact survives on disk, the
+    * [[buildIvfPqIndex]] discipline (sibling schedules evicted before the
+    * artifact is rewritten; probe plans for the dir dropped with them).
+    */
+  private def appendedIvfPqIndex(spark: SparkSession, dir: String,
+      indexDir: String, numCells: Int = NumCells): Unit = {
+    val key = (sessionKey(spark), dir, indexDir, numCells)
+    def artifactIntact: Boolean =
+      graft.core.FsUtil.allExist(spark,
+        Seq("centroids.parquet", "codebooks.parquet", "codes")
+          .map(a => s"$indexDir/$a"))
+    appendIdxMemo.get(key) match {
+      case Some(_) if artifactIntact => ()
+      case _ =>
+        appendIdxMemo.keys
+          .filter(k => k._3 == indexDir && k != key)
+          .foreach(appendIdxMemo.remove)
+        pqProbeMemo.keys.filter(_._2 == indexDir).foreach(pqProbeMemo.remove)
+        buildIvfPqBaseIndex(spark, dir, indexDir, numCells)
+        val touched = appendToIvfPqIndex(spark, indexDir,
+          appendDelta(spark, dir))
+        appendIdxMemo.put(key, touched)
+    }
+  }
+
+  /** n16: INCREMENTAL INDEX MAINTENANCE — the persisted IVF+PQ index
+    * built over the BASE split, the DELTA split appended under frozen
+    * quantizers ([[appendToIvfPqIndex]]), then probed exactly like n13.
+    *
+    * Oracle: n12's CTE chain over the UNION corpus with every quantizer
+    * CTE pinned to the BASE corpus — with frozen quantizers,
+    * append-then-probe must reproduce rebuild-then-probe bit-for-bit
+    * (codes are integers; the quantizer doubles round-trip parquet
+    * exactly — n13's round-trip argument with training corpus ≠ coded
+    * corpus). That equivalence is what makes online maintenance SAFE: an
+    * appended index can never drift from what a frozen-quantizer rebuild
+    * would serve. IvfPqAppendSpec pins the same claim on disk
+    * (append == one-shot frozen rebuild, content-idempotent re-append,
+    * untouched partitions byte-unchanged, a poisoned foreign partition
+    * never read), and the SPARK_GRAFT_N16 ScaleStress A/B measures append
+    * cost tracking the DELTA while the frozen rebuild tracks the corpus.
+    */
+  def ivfPqAppendTopK(spark: SparkSession, dir: String): DataFrame = {
+    val idx = appendIndexDirFor(spark, dir)
+    appendedIvfPqIndex(spark, dir, idx)
+    probeIvfPqIndex(spark, dir, idx, NumProbe)
+  }
+
+  /** n16's oracle: the n12 chain re-pointed — `e` (feeding both quantizer
+    * training chains, reused verbatim via [[cellsBodyCtesFor]] and
+    * [[pqBodyCtes]]) is the BASE corpus; the assignment, codes, queries,
+    * probe, and ADC scoring run over the UNION corpus (`eu` chain)
+    * against the base-trained `cent*`/`pcent*` CTEs.
+    */
+  val ivfPqAppendTopKSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings WHERE vec_id % $AppendMod <> $AppendRem),
+       |${cellsBodyCtesFor(NumCells)},
+       |$pqBodyCtes,
+       |eu AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |nu AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM eu),
+       |${assignCteSql("assignu", s"cent$LloydIters", src = "nu")},
+       |nzu AS (
+       |  SELECT vec_id, v FROM (
+       |    SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax
+       |    FROM eu)
+       |  WHERE amax > 0 AND NOT isnan(amax) AND amax <> CAST('inf' AS DOUBLE)),
+       |subu AS (
+       |  SELECT vec_id, t.m,
+       |    list_slice(v, CAST(t.m * $PqSubDim + 1 AS INT),
+       |      CAST((t.m + 1) * $PqSubDim AS INT)) AS sv
+       |  FROM nzu, generate_series(0, ${PqM - 1}) t(m)),
+       |${pqAssignCteSql("codesu", s"pcent$PqIters", src = "subu")},
+       |q16 AS (
+       |  SELECT vec_id AS query_id, v,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS n1
+       |  FROM nzu WHERE vec_id < $NumQueries),
+       |probe16 AS (
+       |  SELECT query_id, cid AS cell FROM (
+       |    SELECT q.query_id, c.cid,
+       |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |        round(list_dot_product(q.v, c.cv) / (q.n1 * c.cnorm), 4) DESC,
+       |        c.cid) AS prn
+       |    FROM q16 q CROSS JOIN cent$LloydIters c)
+       |  WHERE prn <= $NumProbe),
+       |lut16 AS (
+       |  SELECT q.vec_id AS query_id, c.m, c.cid,
+       |    CAST(round(list_sum(list_transform(generate_series(1, $PqSubDim),
+       |      i -> (q.sv[i] - c.cv[i]) * (q.sv[i] - c.cv[i]))) * $QuantScale)
+       |      AS BIGINT) AS fp
+       |  FROM subu q JOIN pcent$PqIters c ON c.m = q.m
+       |  WHERE q.vec_id < $NumQueries),
+       |scored16 AS (
+       |  SELECT l.query_id, x.vec_id AS neighbor_id, a.cell,
+       |    CAST(sum(l.fp) AS BIGINT) AS afp
+       |  FROM codesu x
+       |    JOIN assignu a ON a.vec_id = x.vec_id
+       |    JOIN probe16 p ON p.cell = a.cell
+       |    JOIN lut16 l ON l.query_id = p.query_id AND l.m = x.m
+       |      AND l.cid = x.code AND l.query_id <> x.vec_id
+       |  GROUP BY 1, 2, 3)
+       |SELECT query_id, rank, neighbor_id, cell,
+       |  round(CAST(afp AS DOUBLE) / $QuantScale.0, 4) AS adist
+       |FROM (SELECT *, CAST(row_number() OVER (
+       |        PARTITION BY query_id ORDER BY afp, neighbor_id) AS BIGINT) AS rank
+       |      FROM scored16)
+       |WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+
   /** Streaming cell assignment (st16's projection stage): the coarse
     * quantizer trains BATCH-side from the corpus dir (memoized — the same
     * centroids n4/d11/n12 share: index built offline, maintained online),
@@ -1744,6 +2058,7 @@ object Similarity {
     "n13_ivfpq_index_topk" -> (ivfPqIndexTopK _),
     "n14_ivfpq_rescore_topk" -> ((s: SparkSession, d: String) => ivfPqRescoreTopK(s, d)),
     "n15_ivfpq_index_rescore_topk" -> (ivfPqIndexRescoreTopK _),
+    "n16_ivfpq_append_topk" -> (ivfPqAppendTopK _),
     "n7_ivf_index_topk" -> (ivfIndexTopK _),
     "n8_hard_negatives" -> (hardNegativesTopK _),
     "n5_quantize" -> (quantize _),
@@ -1764,6 +2079,9 @@ object Similarity {
     // the persisted probe reproduces the from-scratch ADC stage exactly
     // (n13's proof), so the composition shares n14's oracle verbatim
     "n15_ivfpq_index_rescore_topk" -> ivfPqRescoreTopKSql,
+    // append-then-probe == frozen-quantizer rebuild-then-probe: n12's
+    // chain over the union corpus, quantizer CTEs pinned to the base
+    "n16_ivfpq_append_topk" -> ivfPqAppendTopKSql,
     // the persisted index must reproduce the from-scratch IVF exactly
     "n7_ivf_index_topk" -> ivfTopKSql,
     "n8_hard_negatives" -> hardNegativesTopKSql,

@@ -31,8 +31,9 @@ class IvfIndexSpec extends SparkTestBase {
     Similarity.buildIvfIndex(spark, SfDir, idx)
     val plan = Similarity.probeIvfIndex(spark, SfDir, idx, nprobe = 2)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: ["), plan)
-    assert(plan.contains("cell#"), "the cell predicate must be a partition filter")
+    // non-empty filter content on the cell column — "PartitionFilters: ["
+    // alone also matches an empty list (r18 advice)
+    assert(plan.contains("PartitionFilters: [cell#"), plan)
   }
 
   test("pruning is real: a poisoned unprobed cell directory never fails a probe") {

@@ -30,8 +30,9 @@ class IvfPqIndexSpec extends SparkTestBase {
     Similarity.buildIvfPqIndex(spark, SfDir, idx)
     val plan = Similarity.probeIvfPqIndex(spark, SfDir, idx, nprobe = 2)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: ["), plan)
-    assert(plan.contains("cell#"), "the cell predicate must be a partition filter")
+    // a NON-EMPTY filter list on the cell column — "PartitionFilters: ["
+    // alone also matches an empty list (r18 advice)
+    assert(plan.contains("PartitionFilters: [cell#"), plan)
   }
 
   test("pruning is real: a poisoned unprobed codes partition never fails a probe") {
@@ -71,7 +72,8 @@ class IvfPqIndexSpec extends SparkTestBase {
     // still partition-prune the codes table with the rescore stage on top,
     // and every join in both stages rides a broadcast
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: ["), plan)
+    // non-empty filter content, not just the list header (r18 advice)
+    assert(plan.contains("PartitionFilters: [cell#"), plan)
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
       "the rescore composition must not shuffle any join side")
     assert(norm(df) == norm(Similarity.ivfPqRescoreTopK(spark, SfDir)),
@@ -103,6 +105,35 @@ class IvfPqIndexSpec extends SparkTestBase {
       assert(Similarity.indexDirFor(spark, SfDir)
         .startsWith("file:/idx/root/ivf_index/"))
     } finally spark.conf.unset("graft.index.root")
+  }
+
+  test("graft.index.root end-to-end: the registry twin builds and probes under a file:-scheme root") {
+    // the string test above pins the DERIVATION; this pins the whole path
+    // through writers, freshness probes (FsUtil.allExist) and the
+    // partition-pruned read resolving via the root's OWN FileSystem —
+    // the last untested edge of the r16→r18 scheme-awareness arc
+    val root = "file:" + scratch("idx_root_scheme_e2e")
+    spark.conf.set("graft.index.root", root)
+    try {
+      val got = norm(Similarity.ivfPqIndexTopK(spark, SfDir))
+      assert(got.nonEmpty && got == norm(Similarity.ivfPqTopK(spark, SfDir)),
+        "the scheme-rooted twin must reproduce the from-scratch n12")
+      assert(fsFingerprint(s"$root/ivfpq_index").nonEmpty,
+        "the artifacts must land under the scheme-qualified root")
+      // and the n16 twin's append path end-to-end under the same root
+      assert(norm(Similarity.ivfPqAppendTopK(spark, SfDir)).nonEmpty)
+      assert(fsFingerprint(s"$root/ivfpq_append_index").nonEmpty)
+    } finally spark.conf.unset("graft.index.root")
+  }
+
+  test("distinct corpora whose mangles collide derive distinct index dirs") {
+    // `data/x_y` and `data_x/y` mangle to one readable name; the raw-dir
+    // hash suffix keeps their artifacts apart so alternating registry
+    // twins stay build-once/probe-many instead of rebuild-per-alternation
+    for (f <- Seq[(org.apache.spark.sql.SparkSession, String) => String](
+        Similarity.indexDirFor, Similarity.pqIndexDirFor,
+        Similarity.appendIndexDirFor))
+      assert(f(spark, "data/x_y") != f(spark, "data_x/y"))
   }
 
   test("index layout: hive-partitioned codes, metadata-scale quantizer tables") {

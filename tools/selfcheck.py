@@ -38,6 +38,31 @@ def canon(rows, cols):
     return out
 
 
+def hive_partition_pins(path):
+    """Partition keys under path whose DuckDB type should be PINNED.
+    Spark writes partition VALUES as strings and both engines re-infer a
+    type on read; the two inferences can disagree (DuckDB hive
+    autodetection vs Spark partitionColumnTypeInference), which would trip
+    the dtype-kind gate or join semantics. Pin the one shape the repo's
+    Spark writers produce - integral values (cell=N) -> BIGINT (Spark
+    reads them as an int kind too); leave anything else to autodetection
+    rather than invent a pin Spark might not share (r18 advice)."""
+    keys = {}
+    for root, dirs, _ in os.walk(path):
+        for d in dirs:
+            if "=" in d:
+                k, v = d.split("=", 1)
+                keys.setdefault(k, set()).add(v)
+    def integral(v):
+        try:
+            int(v)
+            return True
+        except ValueError:
+            return False
+    return {k: "BIGINT" for k, vs in keys.items()
+            if all(integral(v) for v in vs)}
+
+
 def connect_views(sf_dir):
     """One DuckDB connection with a view per fixture table (shared with
     tools/oracletime.py so the table list cannot drift between them).
@@ -52,10 +77,18 @@ def connect_views(sf_dir):
         if os.path.isdir(p):
             # recursive glob + hive_partitioning so a partition-written
             # table (cell=N/... subdirs) reads whole, not just the flat
-            # part files its root happens to hold
+            # part files its root happens to hold; integral partition-key
+            # types pinned instead of autodetected
+            pins = hive_partition_pins(p)
+            hive_types = ""
+            if pins:
+                inner = ", ".join(
+                    f"'{k}': {ty}" for k, ty in sorted(pins.items()))
+                hive_types = f", hive_types={{{inner}}}"
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM "
-                f"read_parquet('{q}/**/*.parquet', hive_partitioning=true)")
+                f"read_parquet('{q}/**/*.parquet', hive_partitioning=true"
+                f"{hive_types})")
         elif os.path.exists(p):
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{q}')")
