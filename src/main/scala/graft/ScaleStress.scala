@@ -430,6 +430,18 @@ object ScaleStress {
           val delta = graft.queries.Similarity.appendDelta(spark, dir)
           val union = spark.read.parquet(s"$dir/embeddings.parquet")
             .select("vec_id", "embedding")
+          // LOCAL batch: every vector the base index holds in its lowest
+          // cell — an upsert batch guaranteed to touch exactly ONE
+          // partition, the serving-shaped case (real ingest batches
+          // cluster by topic/source; the uniform mod-split delta is the
+          // adversarial opposite, touching ~every cell)
+          val firstCell = new java.io.File(s"$idx/codes").listFiles()
+            .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+            .map(_.getName.stripPrefix("cell=").toLong).min
+          val local = spark.read.parquet(s"$dir/embeddings.parquet")
+            .join(spark.read.parquet(s"$idx/codes/cell=$firstCell")
+              .select("vec_id"), Seq("vec_id"), "left_semi")
+            .select("vec_id", "embedding")
           def timedAppend(label: String, batch: DataFrame): Double = {
             var touched = 0
             val secs = (1 to 2).map { _ =>
@@ -440,12 +452,13 @@ object ScaleStress {
               (System.nanoTime() - t0) / 1e9
             }
             val sec = secs.min
-            println(s"""{"scale":$k,"query":"$label","sec":${f2(sec)},"sec_runs":[${secs.map(f2).mkString(",")}],"cells":${d11Cells(k)},"touched_cells":$touched}""")
+            println(s"""{"scale":$k,"query":"$label","sec":${f2(sec)},"sec_runs":[${secs.map(f2).mkString(",")}],"cells":${d11Cells(k)},"touched_cells":$touched,"batch_rows":${batch.count()}}""")
             sec
           }
+          val localSec = timedAppend("n16_append_local", local)
           val appendSec = timedAppend("n16_append_delta", delta)
           val rebuildSec = timedAppend("n16_recode_union", union)
-          println(s"""{"scale":$k,"query":"append_vs_recode","build_sec":${f2(buildSec)},"append_sec":${f2(appendSec)},"recode_sec":${f2(rebuildSec)},"delta_rows":${delta.count()},"corpus_rows":${union.count()}}""")
+          println(s"""{"scale":$k,"query":"append_vs_recode","build_sec":${f2(buildSec)},"local_sec":${f2(localSec)},"append_sec":${f2(appendSec)},"recode_sec":${f2(rebuildSec)},"delta_rows":${delta.count()},"corpus_rows":${union.count()}}""")
         }
         spark.stop()
         return

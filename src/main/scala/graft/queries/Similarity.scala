@@ -455,10 +455,6 @@ object Similarity {
     e.withColumn("cell", cellExpr(cents, col("v"), col("norm")))
   }
 
-  /** Shared oracle CTE chain `e → n → cent0..centL → assign` — the SQL twin
-    * of [[semanticCells]]; [[ivfTopKSql]] and d11's oracle both build on it
-    * so the quantizer can never drift between the two queries' oracles.
-    */
   /** The whole-corpus `e` CTE every oracle chain opens with. */
   private def eCteSql: String =
     s"""e AS (
@@ -480,6 +476,10 @@ object Similarity {
        |${(1 to LloydIters).map(lloydCtesSql).mkString(",\n")},
        |${assignCteSql("assign", s"cent$LloydIters")}""".stripMargin
 
+  /** Shared oracle CTE chain `e → n → cent0..centL → assign` — the SQL twin
+    * of [[semanticCells]]; [[ivfTopKSql]] and d11's oracle both build on it
+    * so the quantizer can never drift between the two queries' oracles.
+    */
   private[queries] def cellsCteSqlFor(numCells: Int): String =
     s"""WITH $eCteSql,
        |${cellsBodyCtesFor(numCells)}""".stripMargin
@@ -1832,22 +1832,36 @@ object Similarity {
     *  4. rewrite ONLY the touched cell partitions: their existing rows —
     *     read through explicit `cell=N` paths, so untouched directories
     *     are never listed, let alone opened — anti-joined against the
-    *     delta's ids (same-id redelivery REPLACES the row: upsert
-    *     semantics; the delta side is batch-sized, AQE broadcasts it),
+    *     delta's ids (the delta side is batch-sized, AQE broadcasts it),
     *     unioned with the delta's fresh codes, written back via dynamic
     *     partition overwrite.
     *
+    * Redelivery contract — upsert WITHIN the frozen assignment: cell
+    * assignment is deterministic under frozen quantizers, so a
+    * redelivered id with an UNCHANGED embedding lands in its own cell
+    * and the anti-join replaces its row exactly (content-idempotent,
+    * spec-pinned). A redelivered id whose embedding CHANGED CELL is a
+    * vector UPDATE, which this operator does not support: the stale row
+    * in the old cell is outside the touched set and would survive as a
+    * duplicate id — locating it means a corpus-wide id lookup, exactly
+    * the cost the append exists to avoid. Route updates through the
+    * frozen recode (this method with the full corpus as the batch) or
+    * keep an id→cell ledger upstream, the d14 discipline.
+    *
     * Crash-consistency contract (the reference's idempotent
     * partition-granular overwrite — `pnp-cleanerLambda.py:116` — applied
-    * to the ANN artifact): dynamic overwrite stages files and swaps the
-    * touched partitions at job commit, so a crash BEFORE commit leaves
-    * every old partition intact and a crash MID-commit can leave a prefix
-    * of the touched partitions swapped; re-running the SAME append
-    * restores full consistency because the merge is content-idempotent
-    * (anti-join ∪ delta yields identical rows whether or not a partition
-    * already reflects the append). The quantizer artifacts are never
-    * touched, so concurrent probes keep resolving (they read old-or-new
-    * partition content, both valid indexes of old-or-new corpus state).
+    * to the ANN artifact): dynamic overwrite stages files and commits by
+    * per-partition delete+rename, so a crash BEFORE commit leaves every
+    * old partition intact, and re-running the same append then lands the
+    * identical content. A crash INSIDE the commit window can leave a
+    * touched partition deleted-but-not-renamed — and a re-run does NOT
+    * resurrect that partition's prior rows (it only re-lands the delta's).
+    * That is an acceptable contract precisely because `codes/` is DERIVED
+    * data: the raw corpus remains the source of truth, and the repair is
+    * the frozen recode (no retraining — quantizer artifacts are never
+    * touched by any append, so concurrent probes keep resolving
+    * throughout). A zone that needs crash-EVIDENT state instead pairs the
+    * artifact with ExportJob's manifest discipline.
     *
     * Returns the touched cell ids — the cost surface a maintainer
     * monitors, and what the A/B scale study logs. At 100 TB: an appended
@@ -1881,9 +1895,14 @@ object Similarity {
         // partition-dir paths (basePath keeps the cell column). The input
         // paths are the cell dirs, the output path their parent, so the
         // self-overwrite guard stays quiet while dynamic overwrite swaps
-        // exactly these partitions at commit.
+        // exactly these partitions at commit. ONE FileSystem handle for
+        // the whole batch of existence probes (per-path FsUtil.allExist
+        // would copy the Hadoop conf once per touched cell), resolved
+        // through the root's own scheme like every FsUtil probe.
+        val rootPath = new org.apache.hadoop.fs.Path(codesRoot)
+        val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
         val existingDirs = touched.map(c => s"$codesRoot/cell=$c")
-          .filter(p => graft.core.FsUtil.allExist(spark, Seq(p)))
+          .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
         val cols = ("vec_id" +: (0 until PqM).map(m => s"c$m") :+ "cell")
           .map(col)
         val merged =

@@ -10,6 +10,7 @@ sorts columns by name / rows by value, and compares.
 import json
 import math
 import os
+import re
 import sys
 
 import duckdb
@@ -53,14 +54,13 @@ def hive_partition_pins(path):
             if "=" in d:
                 k, v = d.split("=", 1)
                 keys.setdefault(k, set()).add(v)
-    def integral(v):
-        try:
-            int(v)
-            return True
-        except ValueError:
-            return False
+    # strict digit shape, NOT int(): Python's int() also accepts
+    # underscores, a leading '+', surrounding whitespace and non-ASCII
+    # digits - values DuckDB's BIGINT hive cast would reject or Spark
+    # would infer differently, the exact divergence the pin prevents
+    integral = re.compile(r"^-?[0-9]+$")
     return {k: "BIGINT" for k, vs in keys.items()
-            if all(integral(v) for v in vs)}
+            if all(integral.match(v) for v in vs)}
 
 
 def connect_views(sf_dir):
