@@ -104,6 +104,16 @@ object Bench {
     // a single GC pause or scheduler stall can't swing.
     val canaryFn = SparkEntry.queries("q6_revenue_forecast")
     def runPass(): Pass = {
+      // write-roundtrip hygiene (r19 band bisection, SCALING.md): x3/x4/
+      // x6 rebuild their export zones per invocation, but the zones'
+      // PARENT directory inode ages across a long session (directory
+      // entries never shrink locally; thousands of create/delete cycles
+      // leave large sparse dirs), and the r19 pair bisected the band
+      // drift to exactly this family. Dropping the parent per pass gives
+      // every pass fresh directory state, so the family's timings
+      // measure the operators, not the session's age.
+      graft.core.FsUtil.deleteRecursively(
+        new java.io.File(graft.queries.Sampling.ExportRoot).getParent)
       val canaryTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
       def canary(): Unit = {
         System.gc()

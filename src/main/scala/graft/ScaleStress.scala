@@ -421,6 +421,12 @@ object ScaleStress {
           val dir = s"target/scale/x$k"
           generate(spark, baseDir, dir, k)
           val idx = s"target/scale/ivfpq_append_x$k"
+          // fresh artifact dir (r19 advice): under the session-global
+          // dynamic overwrite mode a base build over a dir left by a
+          // prior run would keep that run's full-union partitions alive,
+          // deriving the local batch and first-cell contents from dirty
+          // state on repeat runs
+          graft.core.FsUtil.deleteRecursively(idx)
           graft.queries.Similarity.clearQuantMemo()
           spark.catalog.clearCache(); System.gc()
           val b0 = System.nanoTime()
@@ -438,10 +444,18 @@ object ScaleStress {
           val firstCell = new java.io.File(s"$idx/codes").listFiles()
             .filter(f => f.isDirectory && f.getName.startsWith("cell="))
             .map(_.getName.stripPrefix("cell=").toLong).min
-          val local = spark.read.parquet(s"$dir/embeddings.parquet")
+          // materialized to scratch parquet BEFORE timing (r19 advice):
+          // rep 1's append rewrites the very cell partition this batch
+          // derives from, so a lazy frame would re-derive rep 2's batch
+          // (and the logged batch_rows) from the mutated index
+          val localPath = s"target/scale/n16_local_batch_x$k"
+          graft.core.FsUtil.deleteRecursively(localPath)
+          spark.read.parquet(s"$dir/embeddings.parquet")
             .join(spark.read.parquet(s"$idx/codes/cell=$firstCell")
               .select("vec_id"), Seq("vec_id"), "left_semi")
             .select("vec_id", "embedding")
+            .write.parquet(localPath)
+          val local = spark.read.parquet(localPath)
           def timedAppend(label: String, batch: DataFrame): Double = {
             var touched = 0
             val secs = (1 to 2).map { _ =>
@@ -459,6 +473,151 @@ object ScaleStress {
           val appendSec = timedAppend("n16_append_delta", delta)
           val rebuildSec = timedAppend("n16_recode_union", union)
           println(s"""{"scale":$k,"query":"append_vs_recode","build_sec":${f2(buildSec)},"local_sec":${f2(localSec)},"append_sec":${f2(appendSec)},"recode_sec":${f2(rebuildSec)},"delta_rows":${delta.count()},"corpus_rows":${union.count()}}""")
+        }
+        spark.stop()
+        return
+      }
+
+    // Upsert A/B (SPARK_GRAFT_N17=k1,k2,...): n17's claim is that a
+    // vector UPDATE costs the batch's kernel work plus the touched (old ∪
+    // new) cell partitions and the batch's ledger buckets — never the
+    // corpus — while the pre-n17 alternative for a cell-moving update
+    // (frozen recode of the post-update corpus) pays the whole corpus.
+    // Forms: a cell-LOCAL move (one cell's members negated — old cell
+    // empties, roughly one new cell fills), the corpus-UNIFORM negated
+    // mod-split (the oracle-gated adversarial shape, touching ~every
+    // cell), and the frozen recode of the post-upsert corpus. A RE-LANDED
+    // upsert is cheaper by design (the ledger already points the ids at
+    // their new cells, so the old partitions drop out of the touched
+    // set), so reps rebuild the base between runs — both reps time the
+    // MOVE, min-of-2 still absorbing one-off plan costs.
+    sys.env.get("SPARK_GRAFT_N17").map(_.split(",").map(_.trim.toInt).toSeq)
+      .foreach { ks =>
+        ks.foreach { k =>
+          val dir = s"target/scale/x$k"
+          generate(spark, baseDir, dir, k)
+          val idx = s"target/scale/ivfpq_upsert_x$k"
+          graft.queries.Similarity.clearQuantMemo()
+          var buildSec = -1.0
+          def rebuildBase(): Unit = {
+            graft.core.FsUtil.deleteRecursively(idx)
+            spark.catalog.clearCache(); System.gc()
+            val b0 = System.nanoTime()
+            graft.queries.Similarity.buildIvfPqIndex(spark, dir, idx,
+              numCells = d11Cells(k))
+            val sec = (System.nanoTime() - b0) / 1e9
+            if (buildSec < 0) buildSec = sec // first build is the cold one
+          }
+          rebuildBase()
+          // cell-LOCAL move batch, materialized to scratch parquet before
+          // timing (the n16 lesson: the source partition mutates)
+          val firstCell = new java.io.File(s"$idx/codes").listFiles()
+            .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+            .map(_.getName.stripPrefix("cell=").toLong).min
+          val localPath = s"target/scale/n17_local_batch_x$k"
+          graft.core.FsUtil.deleteRecursively(localPath)
+          spark.read.parquet(s"$dir/embeddings.parquet")
+            .join(spark.read.parquet(s"$idx/codes/cell=$firstCell")
+              .select("vec_id"), Seq("vec_id"), "left_semi")
+            .select(col("vec_id"),
+              expr("transform(embedding, x -> -x)").as("embedding"))
+            .write.parquet(localPath)
+          val local = spark.read.parquet(localPath)
+          val uniform = graft.queries.Similarity.upsertBatch(spark, dir)
+          val post = graft.queries.Similarity.postUpsertCorpus(spark, dir)
+          def timedForm(label: String,
+              run: () => Int, batch: DataFrame): Double = {
+            var touched = 0
+            val secs = (1 to 2).map { _ =>
+              rebuildBase()
+              spark.catalog.clearCache(); System.gc()
+              val t0 = System.nanoTime()
+              touched = run()
+              (System.nanoTime() - t0) / 1e9
+            }
+            val sec = secs.min
+            println(s"""{"scale":$k,"query":"$label","sec":${f2(sec)},"sec_runs":[${secs.map(f2).mkString(",")}],"cells":${d11Cells(k)},"touched_cells":$touched,"batch_rows":${batch.count()}}""")
+            sec
+          }
+          val localSec = timedForm("n17_upsert_local", () =>
+            graft.queries.Similarity.upsertIvfPqIndex(spark, idx, local).size,
+            local)
+          val uniformSec = timedForm("n17_upsert_uniform", () =>
+            graft.queries.Similarity.upsertIvfPqIndex(spark, idx, uniform).size,
+            uniform)
+          val recodeSec = timedForm("n17_recode_post", () =>
+            graft.queries.Similarity.appendToIvfPqIndex(spark, idx, post).size,
+            post)
+          println(s"""{"scale":$k,"query":"upsert_vs_recode","build_sec":${f2(buildSec)},"local_sec":${f2(localSec)},"uniform_sec":${f2(uniformSec)},"recode_sec":${f2(recodeSec)}}""")
+        }
+        spark.stop()
+        return
+      }
+
+    // Router A/B (SPARK_GRAFT_N17R=k1,k2,...): maintainIvfPqIndex must
+    // (a) route a cell-local INSERT batch to append and a corpus-uniform
+    // one to the frozen recode, and (b) cost what the cheaper direct form
+    // costs plus the delta-bounded pricing pass. Same base/delta split as
+    // the N16 study; rebuild between reps (appends mutate the artifact).
+    sys.env.get("SPARK_GRAFT_N17R").map(_.split(",").map(_.trim.toInt).toSeq)
+      .foreach { ks =>
+        ks.foreach { k =>
+          val dir = s"target/scale/x$k"
+          generate(spark, baseDir, dir, k)
+          val idx = s"target/scale/ivfpq_router_x$k"
+          graft.queries.Similarity.clearQuantMemo()
+          def rebuildBase(): Unit = {
+            graft.core.FsUtil.deleteRecursively(idx)
+            spark.catalog.clearCache(); System.gc()
+            graft.queries.Similarity.buildIvfPqBaseIndex(spark, dir, idx,
+              numCells = d11Cells(k))
+          }
+          rebuildBase()
+          val firstCell = new java.io.File(s"$idx/codes").listFiles()
+            .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+            .map(_.getName.stripPrefix("cell=").toLong).min
+          val localPath = s"target/scale/n17r_local_batch_x$k"
+          graft.core.FsUtil.deleteRecursively(localPath)
+          spark.read.parquet(s"$dir/embeddings.parquet")
+            .join(spark.read.parquet(s"$idx/codes/cell=$firstCell")
+              .select("vec_id"), Seq("vec_id"), "left_semi")
+            .select("vec_id", "embedding")
+            .write.parquet(localPath)
+          val local = spark.read.parquet(localPath)
+          val delta = graft.queries.Similarity.appendDelta(spark, dir)
+          val union = spark.read.parquet(s"$dir/embeddings.parquet")
+            .select("vec_id", "embedding")
+          def timedForm(label: String, run: () => (String, Int)): Double = {
+            var route = ""
+            var touched = 0
+            val secs = (1 to 2).map { _ =>
+              rebuildBase()
+              spark.catalog.clearCache(); System.gc()
+              val t0 = System.nanoTime()
+              val r = run()
+              route = r._1; touched = r._2
+              (System.nanoTime() - t0) / 1e9
+            }
+            val sec = secs.min
+            println(s"""{"scale":$k,"query":"$label","sec":${f2(sec)},"sec_runs":[${secs.map(f2).mkString(",")}],"cells":${d11Cells(k)},"route":"$route","touched_cells":$touched}""")
+            sec
+          }
+          timedForm("n17r_direct_local", () =>
+            ("append",
+              graft.queries.Similarity.appendToIvfPqIndex(spark, idx, local).size))
+          timedForm("n17r_router_local", () => {
+            val (r, t) = graft.queries.Similarity
+              .maintainIvfPqIndex(spark, idx, local, union)
+            (r, t.size)
+          })
+          timedForm("n17r_direct_uniform", () =>
+            ("recode",
+              graft.queries.Similarity.appendToIvfPqIndex(spark, idx, union).size))
+          timedForm("n17r_router_uniform", () => {
+            val (r, t) = graft.queries.Similarity
+              .maintainIvfPqIndex(spark, idx, delta, union)
+            (r, t.size)
+          })
         }
         spark.stop()
         return

@@ -330,6 +330,7 @@ object Similarity {
     pqIndexMemo.clear()
     pqProbeMemo.clear()
     appendIdxMemo.clear()
+    upsertIdxMemo.clear()
   }
 
   /** Session identity for memo keys WITHOUT retaining the session object:
@@ -1579,7 +1580,7 @@ object Similarity {
     // scheme-aware like buildIvfIndex's probe — see the comment there
     def artifactIntact: Boolean =
       graft.core.FsUtil.allExist(spark,
-        Seq("centroids.parquet", "codebooks.parquet", "codes")
+        Seq("centroids.parquet", "codebooks.parquet", "codes", "ledger")
           .map(a => s"$indexDir/$a"))
     pqIndexMemo.get(key) match {
       case Some(v) if artifactIntact => v
@@ -1612,11 +1613,18 @@ object Similarity {
     val book = pqBookFor(spark, dir, e)
     pqBookDf(spark, book).coalesce(1).write.mode("overwrite")
       .parquet(s"$indexDir/codebooks.parquet")
+    // STATIC overwrite (r19 advice): the session-global dynamic mode would
+    // leave a cell partition from a PREVIOUS artifact under this dir alive
+    // whenever the new build assigns it no rows — a rebuild must truncate
+    // codes/ wholly, stale cells included
     e.withColumn("norm", sqrt(expr("graft_dot(v, v)")))
       .withColumn("cell", cellExpr(cents, col("v"), col("norm")))
       .select(col("vec_id") +: col("cell") +: pqCodeCols(book): _*)
-      .write.mode("overwrite").partitionBy("cell")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("cell")
       .parquet(s"$indexDir/codes")
+    writeLedgerFromCodes(spark, indexDir)
     (cents, book)
   }
 
@@ -1804,11 +1812,171 @@ object Similarity {
     val book = pqBookFor(spark, appendBaseKey(dir), e)
     pqBookDf(spark, book).coalesce(1).write.mode("overwrite")
       .parquet(s"$indexDir/codebooks.parquet")
+    // static overwrite for the same reason as buildIvfPqIndexCold's codes
+    // write (r19 advice): a rebuild truncates codes/, stale cells included
     e.withColumn("norm", sqrt(expr("graft_dot(v, v)")))
       .withColumn("cell", cellExpr(cents, col("v"), col("norm")))
       .select(col("vec_id") +: col("cell") +: pqCodeCols(book): _*)
-      .write.mode("overwrite").partitionBy("cell")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("cell")
       .parquet(s"$indexDir/codes")
+    writeLedgerFromCodes(spark, indexDir)
+  }
+
+  // -------------------------------------------------- the id→cell ledger
+
+  /** Hash-bucket count for the `ledger/` artifact — a CONSTANT, so a
+    * batch's bucket set collects to ≤ this many driver rows whatever the
+    * corpus size. 16 suffices because the ledger is only ever read
+    * bucket-PRUNED by a batch's ids; more buckets would only shrink the
+    * per-lookup read at the cost of more tiny files at fixture scale.
+    * At 100 TB a deployment sizes this like any Hive bucket count
+    * (√corpus-ish); the operators take the count from the constant at
+    * write AND read, so they can never disagree.
+    */
+  private[queries] val LedgerBuckets = 16L
+
+  private def ledgerBucket(id: Column): Column = pmod(id, lit(LedgerBuckets))
+
+  /** Derive `ledger/` — the compact (vec_id → cell) map, Hive-partitioned
+    * by `b = vec_id mod [[LedgerBuckets]]` — wholesale from the COMMITTED
+    * `codes/`: a column-pruned read of the 4-byte/vector artifact (never
+    * the raw corpus), so the builds pay one codes-sized projection write
+    * and a crashed maintenance run repairs the ledger with exactly this
+    * call. The ledger exists for n17's old-cell lookup: `codes/` is
+    * partitioned by CELL, so locating a batch of IDS there would list and
+    * scan every cell directory, while the bucket layout prunes the lookup
+    * to the batch's ≤ [[LedgerBuckets]] bucket dirs — the d14 ledger
+    * discipline applied to the ANN artifact. Static overwrite for the
+    * same stale-partition reason as the codes builds.
+    */
+  private[graft] def writeLedgerFromCodes(spark: SparkSession,
+      indexDir: String): Unit =
+    spark.read.parquet(s"$indexDir/codes")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+      .withColumn("b", ledgerBucket(col("vec_id")))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("b")
+      .parquet(s"$indexDir/ledger")
+
+  /** Self-heal for pre-ledger artifacts (and the documented crash
+    * repair): if `ledger/` is missing, re-derive it from `codes/`. Cost
+    * is bounded by the codes artifact, and it requires codes/ to be
+    * wholly readable — an artifact with foreign garbage partitions must
+    * be repaired before its first maintenance call, never during one.
+    */
+  private def ensureLedger(spark: SparkSession, indexDir: String): Unit =
+    if (!graft.core.FsUtil.allExist(spark, Seq(s"$indexDir/ledger")))
+      writeLedgerFromCodes(spark, indexDir)
+
+  /** The delta batch coded under FROZEN quantizers: finiteness guard
+    * (identical to [[pqCorpus]]'s), then cell + M codes in one projection
+    * — the build's own TopCells/PqNearest kernels. Shared by append
+    * (n16), upsert (n17) and the router's pricing pass.
+    */
+  private def codedBatch(batch: DataFrame, cents: Seq[Centroid],
+      book: PqBook): DataFrame =
+    widen(batch
+        .select(col("vec_id"), asDouble("embedding").as("v"))
+        .withColumn("amax", expr("array_max(transform(v, x -> abs(x)))"))
+        .filter(col("amax") > 0 && !isnan(col("amax")) &&
+          col("amax") =!= lit(Double.PositiveInfinity))
+        .drop("amax"))
+      .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
+      .withColumn("cell", cellExpr(cents, col("v"), col("norm")))
+      .select(col("vec_id") +: col("cell") +: pqCodeCols(book): _*)
+
+  /** Rewrite ONLY the `touched` cell partitions of `codes/`: their
+    * existing rows — read through explicit `cell=N` paths, so untouched
+    * directories are never listed, let alone opened — anti-joined against
+    * `ids` (batch-sized, AQE broadcasts it), unioned with the freshly
+    * coded `d` rows, written back via dynamic partition overwrite (input
+    * paths are the cell dirs, the output path their parent, so the
+    * self-overwrite guard stays quiet). ONE FileSystem handle for the
+    * whole batch of existence probes, resolved through the root's own
+    * scheme like every FsUtil probe.
+    *
+    * `deleteEmptied` is the UPSERT-only epilogue: dynamic overwrite only
+    * replaces partitions PRESENT in the written frame, so a touched cell
+    * whose every row moved out would keep its stale directory. Upsert
+    * therefore pins the merged frame, collects the ≤K cells that still
+    * receive rows (quantizer-bounded metadata), and deletes the
+    * touched-minus-present dirs after the commit. Append skips all of it:
+    * every cell it touches receives delta rows by construction.
+    */
+  private def rewriteTouchedCells(spark: SparkSession, indexDir: String,
+      touched: Seq[Long], ids: DataFrame, d: DataFrame,
+      deleteEmptied: Boolean): Unit = {
+    val codesRoot = s"$indexDir/codes"
+    val rootPath = new org.apache.hadoop.fs.Path(codesRoot)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val existingDirs = touched.map(c => s"$codesRoot/cell=$c")
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    val cols = ("vec_id" +: (0 until PqM).map(m => s"c$m") :+ "cell")
+      .map(col)
+    val merged =
+      if (existingDirs.isEmpty) d.select(cols: _*)
+      else spark.read.option("basePath", codesRoot)
+        .parquet(existingDirs: _*)
+        .withColumn("cell", col("cell").cast("long"))
+        .join(ids, Seq("vec_id"), "left_anti")
+        .select(cols: _*)
+        .unionByName(d.select(cols: _*))
+    def write(df: DataFrame): Unit =
+      df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell")
+        .parquet(codesRoot)
+    if (!deleteEmptied) write(merged)
+    else {
+      // pin the merged frame: the present-cells job and the write must
+      // see ONE evaluation (the write's input paths are the partitions
+      // being replaced)
+      merged.persist()
+      try {
+        val present = merged.select("cell").distinct()
+          .collect().map(_.getLong(0)).toSet
+        write(merged)
+        touched.filterNot(present).foreach { c =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$codesRoot/cell=$c"), true)
+        }
+      } finally merged.unpersist()
+    }
+  }
+
+  /** Merge a batch into `ledger/`: the batch's ≤ [[LedgerBuckets]] bucket
+    * partitions read through explicit `b=N` paths, rows for `ids` dropped
+    * (so moved, re-landed and guard-rejected ids leave no stale mapping),
+    * the fresh (vec_id, cell) pairs unioned in, dynamic overwrite — the
+    * codes rewrite's own shape on the 2-long ledger rows. A bucket
+    * emptied by a pure delete keeps its rows on disk (dynamic overwrite
+    * cannot truncate an absent partition) — harmless by contract: a
+    * superfluous ledger row only ever WIDENS a later upsert's touched
+    * set (its anti-join then no-ops), never changes an answer.
+    */
+  private def mergeLedger(spark: SparkSession, indexDir: String,
+      buckets: Seq[Long], ids: DataFrame, d: DataFrame): Unit = {
+    val ledgerRoot = s"$indexDir/ledger"
+    val rootPath = new org.apache.hadoop.fs.Path(ledgerRoot)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val existingDirs = buckets.map(b => s"$ledgerRoot/b=$b")
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    val fresh = d.select(col("vec_id"), col("cell"))
+      .withColumn("b", ledgerBucket(col("vec_id")))
+    val merged =
+      if (existingDirs.isEmpty) fresh
+      else spark.read.option("basePath", ledgerRoot)
+        .parquet(existingDirs: _*)
+        .withColumn("b", col("b").cast("long"))
+        .join(ids, Seq("vec_id"), "left_anti")
+        .select("vec_id", "cell", "b")
+        .unionByName(fresh)
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("b")
+      .parquet(ledgerRoot)
   }
 
   /** APPEND a delta batch of vectors into an EXISTING persisted IVF+PQ
@@ -1827,26 +1995,34 @@ object Similarity {
     *  2. assign cell + M codes inline over the delta scan (TopCells +
     *     PqNearest in one projection — the build's own kernels, zero new
     *     ones), after the corpus-wide finiteness guard;
-    *  3. gather the touched cells: ONE ≤K-row collect, bounded by the
-    *     quantizer size (metadata, the CleanJob partition-key class);
+    *  3. gather the touched (cell, ledger-bucket) pairs: ONE
+    *     ≤ K·[[LedgerBuckets]]-row collect, bounded by the quantizer size
+    *     times a constant (metadata, the CleanJob partition-key class);
     *  4. rewrite ONLY the touched cell partitions: their existing rows —
     *     read through explicit `cell=N` paths, so untouched directories
     *     are never listed, let alone opened — anti-joined against the
     *     delta's ids (the delta side is batch-sized, AQE broadcasts it),
     *     unioned with the delta's fresh codes, written back via dynamic
-    *     partition overwrite.
+    *     partition overwrite ([[rewriteTouchedCells]]);
+    *  5. merge the delta's (vec_id, cell) pairs into `ledger/` the same
+    *     way, pruned to the batch's bucket partitions ([[mergeLedger]])
+    *     — the id→cell map [[upsertIvfPqIndex]] reads old cells from.
     *
     * Redelivery contract — upsert WITHIN the frozen assignment: cell
     * assignment is deterministic under frozen quantizers, so a
     * redelivered id with an UNCHANGED embedding lands in its own cell
     * and the anti-join replaces its row exactly (content-idempotent,
     * spec-pinned). A redelivered id whose embedding CHANGED CELL is a
-    * vector UPDATE, which this operator does not support: the stale row
-    * in the old cell is outside the touched set and would survive as a
-    * duplicate id — locating it means a corpus-wide id lookup, exactly
-    * the cost the append exists to avoid. Route updates through the
-    * frozen recode (this method with the full corpus as the batch) or
-    * keep an id→cell ledger upstream, the d14 discipline.
+    * vector UPDATE, which THIS operator does not handle: the stale row
+    * in the old cell is outside the delta's cell set and would survive
+    * as a duplicate id. Route updates through [[upsertIvfPqIndex]]
+    * (n17), which reads the old cells from the `ledger/` artifact this
+    * method maintains and widens the touched set with them. Intra-batch
+    * id uniqueness is the CALLER's obligation (r19 advice): two rows
+    * sharing a vec_id within ONE batch both survive the union — there
+    * is no order column to arbitrate a winner, so the operator refuses
+    * to pick one silently; dedupe upstream (d1's digest discipline)
+    * before landing a batch.
     *
     * Crash-consistency contract (the reference's idempotent
     * partition-granular overwrite — `pnp-cleanerLambda.py:116` — applied
@@ -1861,7 +2037,14 @@ object Similarity {
     * the frozen recode (no retraining — quantizer artifacts are never
     * touched by any append, so concurrent probes keep resolving
     * throughout). A zone that needs crash-EVIDENT state instead pairs the
-    * artifact with ExportJob's manifest discipline.
+    * artifact with ExportJob's manifest discipline. The `codes/` and
+    * `ledger/` writes commit SEPARATELY (codes first): a crash between
+    * them leaves the ledger behind the codes, and a later upsert reading
+    * that stale map could miss a moved id's true partition — so the
+    * repair after ANY mid-maintenance crash is [[writeLedgerFromCodes]]
+    * (artifact-bounded, no retraining) before the next maintenance call;
+    * a zone needing the two commits atomic pairs them with a manifest,
+    * same discipline as above.
     *
     * Returns the touched cell ids — the cost surface a maintainer
     * monitors, and what the A/B scale study logs. At 100 TB: an appended
@@ -1874,52 +2057,32 @@ object Similarity {
       delta: DataFrame): Seq[Long] = {
     VectorOps.register(spark)
     val (cents, book) = readIvfPqQuantizers(spark, indexDir)
-    val d = widen(delta
-        .select(col("vec_id"), asDouble("embedding").as("v"))
-        .withColumn("amax", expr("array_max(transform(v, x -> abs(x)))"))
-        .filter(col("amax") > 0 && !isnan(col("amax")) &&
-          col("amax") =!= lit(Double.PositiveInfinity))
-        .drop("amax"))
-      .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
-      .withColumn("cell", cellExpr(cents, col("v"), col("norm")))
-      .select(col("vec_id") +: col("cell") +: pqCodeCols(book): _*)
-    // cache: the coded delta feeds the touched-cells gather AND the merge
-    // write — without it the assignment kernels run twice
-    d.persist()
-    try {
-      val touched = d.select("cell").distinct()
-        .collect().map(_.getLong(0)).sorted.toSeq
-      if (touched.nonEmpty) {
-        val codesRoot = s"$indexDir/codes"
-        // existing rows of the touched cells ONLY, via explicit
-        // partition-dir paths (basePath keeps the cell column). The input
-        // paths are the cell dirs, the output path their parent, so the
-        // self-overwrite guard stays quiet while dynamic overwrite swaps
-        // exactly these partitions at commit. ONE FileSystem handle for
-        // the whole batch of existence probes (per-path FsUtil.allExist
-        // would copy the Hadoop conf once per touched cell), resolved
-        // through the root's own scheme like every FsUtil probe.
-        val rootPath = new org.apache.hadoop.fs.Path(codesRoot)
-        val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
-        val existingDirs = touched.map(c => s"$codesRoot/cell=$c")
-          .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
-        val cols = ("vec_id" +: (0 until PqM).map(m => s"c$m") :+ "cell")
-          .map(col)
-        val merged =
-          if (existingDirs.isEmpty) d.select(cols: _*)
-          else spark.read.option("basePath", codesRoot)
-            .parquet(existingDirs: _*)
-            .withColumn("cell", col("cell").cast("long"))
-            .join(d.select("vec_id"), Seq("vec_id"), "left_anti")
-            .select(cols: _*)
-            .unionByName(d.select(cols: _*))
-        merged.write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("cell")
-          .parquet(codesRoot)
-      }
-      touched
-    } finally d.unpersist()
+    ensureLedger(spark, indexDir)
+    // localCheckpoint, NOT persist: the coded delta feeds the
+    // touched-cells gather and BOTH merge writes, and the codes commit
+    // ends in a refreshByPath that invalidates — and lazily RE-EXECUTES —
+    // any cached plan whose lineage reads the artifact. A batch derived
+    // from the index itself (the natural "re-land these rows" shape, and
+    // exactly what the maintenance specs feed) would then re-read
+    // partitions the commit just replaced; truncating the lineage pins
+    // the coded batch to its pre-write evaluation instead. Eager, so the
+    // assignment kernels run exactly once.
+    val d = codedBatch(delta, cents, book).localCheckpoint()
+    // ONE ≤ K·LedgerBuckets-row collect (quantizer- and constant-bounded)
+    // serves both the codes rewrite's touched-cell set and the ledger
+    // merge's bucket pruning
+    val cellBuckets = d
+      .select(col("cell"), ledgerBucket(col("vec_id")).as("b"))
+      .distinct().collect()
+    val touched = cellBuckets.map(_.getLong(0)).distinct.sorted.toSeq
+    if (touched.nonEmpty) {
+      rewriteTouchedCells(spark, indexDir, touched, d.select("vec_id"), d,
+        deleteEmptied = false)
+      mergeLedger(spark, indexDir,
+        cellBuckets.map(_.getLong(1)).distinct.sorted.toSeq,
+        d.select("vec_id"), d)
+    }
+    touched
   }
 
   private val appendIdxMemo = new BoundedMemo[
@@ -1936,7 +2099,7 @@ object Similarity {
     val key = (sessionKey(spark), dir, indexDir, numCells)
     def artifactIntact: Boolean =
       graft.core.FsUtil.allExist(spark,
-        Seq("centroids.parquet", "codebooks.parquet", "codes")
+        Seq("centroids.parquet", "codebooks.parquet", "codes", "ledger")
           .map(a => s"$indexDir/$a"))
     appendIdxMemo.get(key) match {
       case Some(_) if artifactIntact => ()
@@ -1981,16 +2144,16 @@ object Similarity {
     * probe, and ADC scoring run over the UNION corpus (`eu` chain)
     * against the base-trained `cent*`/`pcent*` CTEs.
     */
-  val ivfPqAppendTopKSql: String =
-    s"""WITH e AS (
-       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings WHERE vec_id % $AppendMod <> $AppendRem),
-       |${cellsBodyCtesFor(NumCells)},
-       |$pqBodyCtes,
-       |eu AS (
-       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings),
-       |nu AS (
+  /** The frozen-quantizer probe chain over a served-corpus CTE `eu`,
+    * against base-trained `cent*`/`pcent*` CTEs — shared VERBATIM by n16
+    * (append) and n17 (upsert): both operators' contract is "maintenance
+    * under frozen quantizers serves exactly what a frozen rebuild over
+    * the post-maintenance corpus serves", so both oracles run this same
+    * text and differ only in `e` (the quantizer-training corpus) and
+    * `eu` (the served corpus).
+    */
+  private def frozenProbeOverEuSql: String =
+    s"""nu AS (
        |  SELECT vec_id, v,
        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM eu),
        |${assignCteSql("assignu", s"cent$LloydIters", src = "nu")},
@@ -2005,41 +2168,311 @@ object Similarity {
        |      CAST((t.m + 1) * $PqSubDim AS INT)) AS sv
        |  FROM nzu, generate_series(0, ${PqM - 1}) t(m)),
        |${pqAssignCteSql("codesu", s"pcent$PqIters", src = "subu")},
-       |q16 AS (
+       |qu AS (
        |  SELECT vec_id AS query_id, v,
        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS n1
        |  FROM nzu WHERE vec_id < $NumQueries),
-       |probe16 AS (
+       |probeu AS (
        |  SELECT query_id, cid AS cell FROM (
        |    SELECT q.query_id, c.cid,
        |      row_number() OVER (PARTITION BY q.query_id ORDER BY
        |        round(list_dot_product(q.v, c.cv) / (q.n1 * c.cnorm), 4) DESC,
        |        c.cid) AS prn
-       |    FROM q16 q CROSS JOIN cent$LloydIters c)
+       |    FROM qu q CROSS JOIN cent$LloydIters c)
        |  WHERE prn <= $NumProbe),
-       |lut16 AS (
+       |lutu AS (
        |  SELECT q.vec_id AS query_id, c.m, c.cid,
        |    CAST(round(list_sum(list_transform(generate_series(1, $PqSubDim),
        |      i -> (q.sv[i] - c.cv[i]) * (q.sv[i] - c.cv[i]))) * $QuantScale)
        |      AS BIGINT) AS fp
        |  FROM subu q JOIN pcent$PqIters c ON c.m = q.m
        |  WHERE q.vec_id < $NumQueries),
-       |scored16 AS (
+       |scoredu AS (
        |  SELECT l.query_id, x.vec_id AS neighbor_id, a.cell,
        |    CAST(sum(l.fp) AS BIGINT) AS afp
        |  FROM codesu x
        |    JOIN assignu a ON a.vec_id = x.vec_id
-       |    JOIN probe16 p ON p.cell = a.cell
-       |    JOIN lut16 l ON l.query_id = p.query_id AND l.m = x.m
+       |    JOIN probeu p ON p.cell = a.cell
+       |    JOIN lutu l ON l.query_id = p.query_id AND l.m = x.m
        |      AND l.cid = x.code AND l.query_id <> x.vec_id
        |  GROUP BY 1, 2, 3)
        |SELECT query_id, rank, neighbor_id, cell,
        |  round(CAST(afp AS DOUBLE) / $QuantScale.0, 4) AS adist
        |FROM (SELECT *, CAST(row_number() OVER (
        |        PARTITION BY query_id ORDER BY afp, neighbor_id) AS BIGINT) AS rank
-       |      FROM scored16)
+       |      FROM scoredu)
        |WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
+
+  val ivfPqAppendTopKSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings WHERE vec_id % $AppendMod <> $AppendRem),
+       |${cellsBodyCtesFor(NumCells)},
+       |$pqBodyCtes,
+       |eu AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |$frozenProbeOverEuSql""".stripMargin
+
+  // ----------------------------------------------------------- n17
+
+  /** n17's demonstration split: the UPSERT batch re-embeds every vector
+    * with vec_id ≡ [[UpsertRem]] (mod [[UpsertMod]]) — EXCLUDING the
+    * query ids, which stay fixed so the probe side is identical on both
+    * engines — to its NEGATION. Negating a vector flips its cosine to
+    * every centroid, so the batch is all but guaranteed to change cells:
+    * the exact case n16's contract names unsupported and n17 exists for.
+    * Mod-based (not hashed) and rem ≠ [[AppendRem]], so the oracle spells
+    * it verbatim and the two demo splits never collide.
+    */
+  private[queries] val UpsertMod = 10L
+  private[queries] val UpsertRem = 3L
+
+  private def upsertPredicate: Column =
+    col("vec_id") % UpsertMod === UpsertRem && col("vec_id") >= NumQueries
+
+  /** The demo upsert batch in the embeddings-table shape
+    * [[upsertIvfPqIndex]] ingests: the split's ids with NEGATED float
+    * embeddings (float negation is a sign-bit flip — exact — so negating
+    * before or after the double widening is bit-identical, and the
+    * oracle's `-CAST(x AS DOUBLE)` matches).
+    */
+  private[graft] def upsertBatch(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).embeddings
+      .filter(upsertPredicate)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> -x)").as("embedding"))
+
+  /** The post-upsert corpus (original rows with the batch's replacing
+    * them) — what a frozen rebuild after the upsert would code; the
+    * equivalence arm IvfPqUpsertSpec and the scale harness recode.
+    */
+  private[graft] def postUpsertCorpus(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).embeddings
+      .filter(!upsertPredicate)
+      .select("vec_id", "embedding")
+      .unionByName(upsertBatch(spark, dir))
+
+  /** [[pqIndexDirFor]]'s upsert twin — a third artifact family: the
+    * registry demo MUTATES its index, so sharing n13's dir would hand
+    * n13/n15 a corpus the oracle they pin never saw.
+    */
+  private[queries] def upsertIndexDirFor(spark: SparkSession, dir: String): String =
+    s"${indexRoot(spark)}/ivfpq_upsert_index/${mangledCorpusName(dir)}"
+
+  /** UPSERT a batch of vectors into an EXISTING persisted IVF+PQ index
+    * with FROZEN quantizers — n16's append completed for UPDATES: a
+    * batch id may already live in the index in a DIFFERENT cell (its
+    * embedding changed), and that stale row must go. The old cells come
+    * from the `ledger/` artifact (the id→cell map every build and
+    * maintenance write keeps next to `codes/`), so locating them costs a
+    * bucket-pruned ledger lookup — never the corpus-wide id scan n16's
+    * contract refused to hide. Every step is bounded by the BATCH, the
+    * cells it touches, and the ledger buckets its ids hash to:
+    *
+    *  1. quantizers read FROZEN from the artifact, ledger self-healed if
+    *     absent ([[ensureLedger]] — pre-r20 artifacts);
+    *  2. the batch coded inline ([[codedBatch]] — the build's own
+    *     kernels) after the finiteness guard;
+    *  3. the batch's ledger BUCKETS gathered: ONE ≤ [[LedgerBuckets]]-row
+    *     collect (constant-bounded);
+    *  4. OLD cells looked up: the bucket partitions of `ledger/` read
+    *     through explicit `b=N` paths, semi-joined against the batch's
+    *     ids (batch-sized, AQE broadcasts it);
+    *  5. the touched set gathered: new cells ∪ old cells, ONE ≤K-row
+    *     collect (quantizer-bounded);
+    *  6. the touched cell partitions rewritten ([[rewriteTouchedCells]]):
+    *     anti-join drops every batch id wherever it lived — the stale
+    *     row in a moved id's OLD cell included — and the fresh codes
+    *     land in the NEW cells; a partition left EMPTY by the moves is
+    *     deleted outright (dynamic overwrite cannot truncate a partition
+    *     it writes no rows for — stale-dir hazard, spec-pinned);
+    *  7. the ledger merged the same way ([[mergeLedger]]).
+    *
+    * DELETE semantics fall out of the guard: an update to a
+    * non-representable embedding (zero/NaN/±Inf) codes no row, so the
+    * anti-join removes the id from codes AND ledger and nothing re-lands
+    * — exactly what a frozen rebuild over the post-update corpus serves,
+    * the F6-quarantine shape. Intra-batch id uniqueness is the caller's
+    * obligation, as for append. Crash contract: identical to append's
+    * (codes commits, then ledger; repair = [[writeLedgerFromCodes]]),
+    * plus the emptied-dir deletes run AFTER the codes commit — a crash
+    * between them leaves stale dirs that the SAME upsert re-landed
+    * (content-idempotent) removes, because the still-stale ledger keeps
+    * their cells in the touched set.
+    *
+    * Returns the touched cell ids (old ∪ new), the maintainer's cost
+    * surface. At 100 TB: |batch| kernel work + (touched cells' code
+    * rows) + (batch buckets' ledger rows) — the corpus artifact is never
+    * scanned, and the raw corpus never opened at all.
+    */
+  def upsertIvfPqIndex(spark: SparkSession, indexDir: String,
+      batch: DataFrame): Seq[Long] = {
+    VectorOps.register(spark)
+    val (cents, book) = readIvfPqQuantizers(spark, indexDir)
+    ensureLedger(spark, indexDir)
+    // PRE-guard ids: a guard-rejected update must still delete its stale
+    // row, so the anti-joins and the ledger lookup run on every batch id.
+    // localCheckpoint for the same reason as append's coded batch: an
+    // update batch NATURALLY derives from the index ("move the ids this
+    // query surfaced"), and the commit's refreshByPath would re-execute
+    // a merely-cached lineage over partitions the commit replaced or the
+    // emptied-dir epilogue deleted.
+    val ids = batch.select("vec_id").distinct().localCheckpoint()
+    val d = codedBatch(batch, cents, book).localCheckpoint()
+    val buckets = ids.select(ledgerBucket(col("vec_id")).as("b"))
+      .distinct().collect().map(_.getLong(0)).sorted.toSeq
+    val ledgerRoot = s"$indexDir/ledger"
+    val rootPath = new org.apache.hadoop.fs.Path(ledgerRoot)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val bucketDirs = buckets.map(b => s"$ledgerRoot/b=$b")
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    val oldCells =
+      if (bucketDirs.isEmpty)
+        spark.range(0).select(col("id").as("cell"))
+      else spark.read.option("basePath", ledgerRoot)
+        .parquet(bucketDirs: _*)
+        .join(ids, Seq("vec_id"), "left_semi")
+        .select(col("cell").cast("long").as("cell"))
+    val touched = d.select("cell").unionByName(oldCells).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    if (touched.nonEmpty) {
+      rewriteTouchedCells(spark, indexDir, touched, ids, d,
+        deleteEmptied = true)
+      mergeLedger(spark, indexDir, buckets, ids, d)
+    }
+    touched
+  }
+
+  /** Router crossover: append wins when its rewrite volume (touched
+    * cells at average occupancy, plus the batch) is under this fraction
+    * of the frozen recode's (the whole codes table, plus the batch).
+    * SCALESTRESS_r19 brackets the real crossover — a batch touching
+    * 100% of cells costs 1.28× the recode (append pays read-back +
+    * anti-join on every partition the recode blindly overwrites), a
+    * batch touching one cell costs 5–8× LESS — and 0.5 splits the
+    * bracket conservatively. A mis-route costs time, never answers:
+    * both routes are the same frozen-quantizer coding (IvfPqAppendSpec's
+    * equivalence proof), which is why this needs no oracle of its own.
+    */
+  private[queries] val RouterTheta = 0.5
+
+  /** The append-vs-recode ROUTER — the decision rule SCALING.md's r19
+    * study derived, now in code: price a batch of NEW vectors with the
+    * same one-projection cell assignment the append itself would run,
+    * compare the volumes, and route. `corpus` is the full post-batch
+    * corpus (base ∪ delta), consumed only on the recode route — the
+    * frozen recode is [[appendToIvfPqIndex]] with the corpus as the
+    * batch, replacing every row under the unchanged quantizers.
+    *
+    * Pricing cost, priced honestly: one |delta| pass through the coarse
+    * kernel (the PQ kernels are skipped — cells alone decide the route)
+    * collecting ≤K (cell, count) rows, plus a parquet row-COUNT of
+    * `codes/` (footer statistics — no data pages read). On the append
+    * route the delta then pays its assignment kernels again inside the
+    * append; at 100 TB that double kernel work is |delta|·K multiply-adds
+    * against the terabytes of rewrite I/O the routing decision governs.
+    * The estimate prices guard-rejected rows too (they cost a touched
+    * cell in the estimate but code no row) — an over-count, never under.
+    *
+    * Returns (route, touched cells). The maintenance loop this slots
+    * into: route inserts here, updates through [[upsertIvfPqIndex]], and
+    * full retrain+rebuild ([[buildIvfPqIndex]]) only when st16's census
+    * says the quantizers drifted.
+    */
+  def maintainIvfPqIndex(spark: SparkSession, indexDir: String,
+      delta: DataFrame, corpus: DataFrame): (String, Seq[Long]) = {
+    VectorOps.register(spark)
+    val (cents, _) = readIvfPqQuantizers(spark, indexDir)
+    val priced = widen(delta
+        .select(col("vec_id"), asDouble("embedding").as("v")))
+      .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
+      .withColumn("cell", cellExpr(cents, col("v"), col("norm")))
+      .groupBy("cell").count().collect()
+    val deltaRows = priced.map(_.getLong(1)).sum.toDouble
+    val total = spark.read.parquet(s"$indexDir/codes").count().toDouble
+    val appendVolume = priced.length * (total / cents.size) + deltaRows
+    val recodeVolume = total + deltaRows
+    if (appendVolume <= RouterTheta * recodeVolume)
+      ("append", appendToIvfPqIndex(spark, indexDir, delta))
+    else
+      ("recode", appendToIvfPqIndex(spark, indexDir, corpus))
+  }
+
+  private val upsertIdxMemo = new BoundedMemo[
+    (String, String, String, Int), Seq[Long]](MemoCapacity)
+
+  /** The n17 artifact, built once per (session, corpus, dir, schedule):
+    * the FULL-corpus index (n13's quantizer training, memo-shared) plus
+    * one upsert of the negated split — the [[appendedIvfPqIndex]]
+    * discipline (memo honored only while the artifact survives; sibling
+    * schedules and the dir's probe plans evicted before a rewrite).
+    */
+  private def upsertedIvfPqIndex(spark: SparkSession, dir: String,
+      indexDir: String, numCells: Int = NumCells): Unit = {
+    val key = (sessionKey(spark), dir, indexDir, numCells)
+    def artifactIntact: Boolean =
+      graft.core.FsUtil.allExist(spark,
+        Seq("centroids.parquet", "codebooks.parquet", "codes", "ledger")
+          .map(a => s"$indexDir/$a"))
+    upsertIdxMemo.get(key) match {
+      case Some(_) if artifactIntact => ()
+      case _ =>
+        upsertIdxMemo.keys
+          .filter(k => k._3 == indexDir && k != key)
+          .foreach(upsertIdxMemo.remove)
+        pqProbeMemo.keys.filter(_._2 == indexDir).foreach(pqProbeMemo.remove)
+        buildIvfPqIndexCold(spark, dir, indexDir, numCells)
+        val touched = upsertIvfPqIndex(spark, indexDir,
+          upsertBatch(spark, dir))
+        upsertIdxMemo.put(key, touched)
+    }
+  }
+
+  /** n17: VECTOR UPDATE on the persisted IVF+PQ index — the full-corpus
+    * index built once, the negated split UPSERTED under frozen quantizers
+    * ([[upsertIvfPqIndex]]: stale rows located through the ledger, old
+    * and new cell partitions rewritten, emptied partitions deleted),
+    * then probed exactly like n13.
+    *
+    * Oracle: n12's chain over the POST-UPSERT corpus with every
+    * quantizer CTE pinned to the ORIGINAL corpus — with frozen
+    * quantizers, upsert-then-probe must reproduce
+    * rebuild-over-the-updated-corpus-then-probe bit-for-bit (the n16
+    * round-trip argument with served corpus ≠ training corpus in the
+    * other direction: training sees rows the serving corpus replaced).
+    * That equivalence is what makes updates SAFE online: an upserted
+    * index can never drift from what a frozen rebuild would serve, no
+    * matter how many ids changed cells. IvfPqUpsertSpec pins the same
+    * claim on disk (upsert == frozen recode byte-content-wise, moved ids
+    * leave no stale row, emptied partitions leave no stale dir,
+    * content-idempotent re-land, guard-rejects delete), and the
+    * SPARK_GRAFT_N17 ScaleStress A/B measures cost tracking the batch's
+    * touched cells against the recode's corpus.
+    */
+  def ivfPqUpsertTopK(spark: SparkSession, dir: String): DataFrame = {
+    val idx = upsertIndexDirFor(spark, dir)
+    upsertedIvfPqIndex(spark, dir, idx)
+    probeIvfPqIndex(spark, dir, idx, NumProbe)
+  }
+
+  /** n17's oracle: [[frozenProbeOverEuSql]] — n16's exact probe text —
+    * with `e` (quantizer training) the ORIGINAL full corpus and `eu`
+    * (the served corpus) the post-upsert one: the split's non-query ids
+    * negated in place.
+    */
+  val ivfPqUpsertTopKSql: String =
+    s"""WITH $eCteSql,
+       |${cellsBodyCtesFor(NumCells)},
+       |$pqBodyCtes,
+       |eu AS (
+       |  SELECT vec_id,
+       |    CASE WHEN vec_id % $UpsertMod = $UpsertRem AND vec_id >= $NumQueries
+       |      THEN list_transform(embedding, x -> -CAST(x AS DOUBLE))
+       |      ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS v
+       |  FROM embeddings),
+       |$frozenProbeOverEuSql""".stripMargin
 
   /** Streaming cell assignment (st16's projection stage): the coarse
     * quantizer trains BATCH-side from the corpus dir (memoized — the same
@@ -2078,6 +2511,7 @@ object Similarity {
     "n14_ivfpq_rescore_topk" -> ((s: SparkSession, d: String) => ivfPqRescoreTopK(s, d)),
     "n15_ivfpq_index_rescore_topk" -> (ivfPqIndexRescoreTopK _),
     "n16_ivfpq_append_topk" -> (ivfPqAppendTopK _),
+    "n17_ivfpq_upsert_topk" -> (ivfPqUpsertTopK _),
     "n7_ivf_index_topk" -> (ivfIndexTopK _),
     "n8_hard_negatives" -> (hardNegativesTopK _),
     "n5_quantize" -> (quantize _),
@@ -2101,6 +2535,9 @@ object Similarity {
     // append-then-probe == frozen-quantizer rebuild-then-probe: n12's
     // chain over the union corpus, quantizer CTEs pinned to the base
     "n16_ivfpq_append_topk" -> ivfPqAppendTopKSql,
+    // upsert-then-probe == frozen-quantizer rebuild over the POST-UPSERT
+    // corpus: the same shared probe text, eu carrying the updated rows
+    "n17_ivfpq_upsert_topk" -> ivfPqUpsertTopKSql,
     // the persisted index must reproduce the from-scratch IVF exactly
     "n7_ivf_index_topk" -> ivfTopKSql,
     "n8_hard_negatives" -> hardNegativesTopKSql,

@@ -132,7 +132,7 @@ class IvfPqIndexSpec extends SparkTestBase {
     // twins stay build-once/probe-many instead of rebuild-per-alternation
     for (f <- Seq[(org.apache.spark.sql.SparkSession, String) => String](
         Similarity.indexDirFor, Similarity.pqIndexDirFor,
-        Similarity.appendIndexDirFor))
+        Similarity.appendIndexDirFor, Similarity.upsertIndexDirFor))
       assert(f(spark, "data/x_y") != f(spark, "data_x/y"))
   }
 
