@@ -509,18 +509,28 @@ object ScaleStress {
             if (buildSec < 0) buildSec = sec // first build is the cold one
           }
           rebuildBase()
-          // cell-LOCAL move batch, materialized to scratch parquet before
-          // timing (the n16 lesson: the source partition mutates)
-          val firstCell = new java.io.File(s"$idx/codes").listFiles()
+          // cell-LOCAL move batch: one cell's members re-embedded to a
+          // DONOR vector from a sibling cell — a vector that lives in a
+          // cell re-codes to that same cell under the frozen quantizer,
+          // so the move touches EXACTLY two partitions (old + donor's).
+          // Negating the members instead is NOT local: a Voronoi cell of
+          // iid vectors holds diverse directions, and their negations
+          // scatter across ~every cell (measured before this form: the
+          // "local" negation touched 79/80 cells at x100). Materialized
+          // to scratch parquet before timing (the n16 lesson: the source
+          // partition mutates).
+          val cellIds = new java.io.File(s"$idx/codes").listFiles()
             .filter(f => f.isDirectory && f.getName.startsWith("cell="))
-            .map(_.getName.stripPrefix("cell=").toLong).min
+            .map(_.getName.stripPrefix("cell=").toLong).sorted
+          val firstCell = cellIds(0)
+          val donorCell = cellIds(1)
           val localPath = s"target/scale/n17_local_batch_x$k"
           graft.core.FsUtil.deleteRecursively(localPath)
-          spark.read.parquet(s"$dir/embeddings.parquet")
-            .join(spark.read.parquet(s"$idx/codes/cell=$firstCell")
-              .select("vec_id"), Seq("vec_id"), "left_semi")
-            .select(col("vec_id"),
-              expr("transform(embedding, x -> -x)").as("embedding"))
+          spark.read.parquet(s"$idx/codes/cell=$firstCell").select("vec_id")
+            .crossJoin(spark.read.parquet(s"$dir/embeddings.parquet")
+              .join(spark.read.parquet(s"$idx/codes/cell=$donorCell")
+                .select("vec_id").limit(1), Seq("vec_id"), "left_semi")
+              .select("embedding"))
             .write.parquet(localPath)
           val local = spark.read.parquet(localPath)
           val uniform = graft.queries.Similarity.upsertBatch(spark, dir)
