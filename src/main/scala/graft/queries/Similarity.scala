@@ -1578,10 +1578,7 @@ object Similarity {
       numCells: Int = NumCells): (Seq[Centroid], PqBook) = {
     val key = (sessionKey(spark), dir, indexDir, numCells)
     // scheme-aware like buildIvfIndex's probe — see the comment there
-    def artifactIntact: Boolean =
-      graft.core.FsUtil.allExist(spark,
-        Seq("centroids.parquet", "codebooks.parquet", "codes", "ledger")
-          .map(a => s"$indexDir/$a"))
+    def artifactIntact: Boolean = ivfPqArtifactIntact(spark, indexDir)
     pqIndexMemo.get(key) match {
       case Some(v) if artifactIntact => v
       case _ =>
@@ -1837,6 +1834,18 @@ object Similarity {
     */
   private[queries] val LedgerBuckets = 16L
 
+  /** The persisted IVF+PQ artifact's full shape — ONE definition shared
+    * by every memo family's freshness probe (the n13 build memo, the n16
+    * append and n17 upsert composition memos), so the families can never
+    * drift into validating different artifact shapes (the r20 review's
+    * lockstep-edit hazard: adding `ledger` meant editing three scattered
+    * copies identically).
+    */
+  private def ivfPqArtifactIntact(spark: SparkSession, indexDir: String): Boolean =
+    graft.core.FsUtil.allExist(spark,
+      Seq("centroids.parquet", "codebooks.parquet", "codes", "ledger")
+        .map(a => s"$indexDir/$a"))
+
   private def ledgerBucket(id: Column): Column = pmod(id, lit(LedgerBuckets))
 
   /** Derive `ledger/` — the compact (vec_id → cell) map, Hive-partitioned
@@ -1952,17 +1961,26 @@ object Similarity {
     * the fresh (vec_id, cell) pairs unioned in, dynamic overwrite — the
     * codes rewrite's own shape on the 2-long ledger rows. A bucket
     * emptied by a pure delete keeps its rows on disk (dynamic overwrite
-    * cannot truncate an absent partition) — harmless by contract: a
-    * superfluous ledger row only ever WIDENS a later upsert's touched
-    * set (its anti-join then no-ops), never changes an answer.
+    * cannot truncate an absent partition) — a DELIBERATE asymmetry with
+    * the codes rewrite's deleteEmptied epilogue, because the two
+    * artifacts' stale rows differ in kind: a stale CODES row changes
+    * probe answers, while a superfluous ledger row only ever WIDENS a
+    * later upsert's touched set (its anti-join then no-ops) — so the
+    * codes side pays a collect + dir deletes and the ledger side does
+    * not. `probedDirs` lets a caller that already existence-probed the
+    * bucket dirs (upsert) pass them through instead of paying the ≤16
+    * exists() round-trips twice.
     */
   private def mergeLedger(spark: SparkSession, indexDir: String,
-      buckets: Seq[Long], ids: DataFrame, d: DataFrame): Unit = {
+      buckets: Seq[Long], ids: DataFrame, d: DataFrame,
+      probedDirs: Option[Seq[String]] = None): Unit = {
     val ledgerRoot = s"$indexDir/ledger"
-    val rootPath = new org.apache.hadoop.fs.Path(ledgerRoot)
-    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
-    val existingDirs = buckets.map(b => s"$ledgerRoot/b=$b")
-      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    val existingDirs = probedDirs.getOrElse {
+      val rootPath = new org.apache.hadoop.fs.Path(ledgerRoot)
+      val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+      buckets.map(b => s"$ledgerRoot/b=$b")
+        .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    }
     val fresh = d.select(col("vec_id"), col("cell"))
       .withColumn("b", ledgerBucket(col("vec_id")))
     val merged =
@@ -2097,10 +2115,7 @@ object Similarity {
   private def appendedIvfPqIndex(spark: SparkSession, dir: String,
       indexDir: String, numCells: Int = NumCells): Unit = {
     val key = (sessionKey(spark), dir, indexDir, numCells)
-    def artifactIntact: Boolean =
-      graft.core.FsUtil.allExist(spark,
-        Seq("centroids.parquet", "codebooks.parquet", "codes", "ledger")
-          .map(a => s"$indexDir/$a"))
+    def artifactIntact: Boolean = ivfPqArtifactIntact(spark, indexDir)
     appendIdxMemo.get(key) match {
       case Some(_) if artifactIntact => ()
       case _ =>
@@ -2340,7 +2355,7 @@ object Similarity {
     if (touched.nonEmpty) {
       rewriteTouchedCells(spark, indexDir, touched, ids, d,
         deleteEmptied = true)
-      mergeLedger(spark, indexDir, buckets, ids, d)
+      mergeLedger(spark, indexDir, buckets, ids, d, Some(bucketDirs))
     }
     touched
   }
@@ -2412,10 +2427,7 @@ object Similarity {
   private def upsertedIvfPqIndex(spark: SparkSession, dir: String,
       indexDir: String, numCells: Int = NumCells): Unit = {
     val key = (sessionKey(spark), dir, indexDir, numCells)
-    def artifactIntact: Boolean =
-      graft.core.FsUtil.allExist(spark,
-        Seq("centroids.parquet", "codebooks.parquet", "codes", "ledger")
-          .map(a => s"$indexDir/$a"))
+    def artifactIntact: Boolean = ivfPqArtifactIntact(spark, indexDir)
     upsertIdxMemo.get(key) match {
       case Some(_) if artifactIntact => ()
       case _ =>

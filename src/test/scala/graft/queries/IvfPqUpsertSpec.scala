@@ -58,9 +58,17 @@ class IvfPqUpsertSpec extends SparkTestBase {
       Similarity.upsertBatch(spark, SfDir))
     assert(touched.nonEmpty, "the fixture batch must touch some cell")
     // frozen rebuild over the POST-update corpus: a fresh full-corpus
-    // base (same memoized quantizers), every row replaced by the frozen
-    // recode of (originals minus the split) ∪ (negated split)
+    // base gives the artifact its (frozen) quantizers + ledger, then
+    // codes/ is DROPPED before the recode append so the baseline is a
+    // pure fresh coding of (originals minus the split) ∪ (negated
+    // split). Appending onto the populated base instead would be
+    // fixture-fragile: append cannot truncate a cell wholly emptied by
+    // the update (its touched set is the batch's destination cells), so
+    // a cell whose entire membership fell in the split would keep stale
+    // rows in the BASELINE while the upsert correctly removes them
+    // (r20 review finding).
     Similarity.buildIvfPqIndex(spark, SfDir, idxR)
+    graft.core.FsUtil.deleteRecursively(s"$idxR/codes")
     Similarity.appendToIvfPqIndex(spark, idxR,
       Similarity.postUpsertCorpus(spark, SfDir))
     val u = norm(Similarity.probeIvfPqIndex(spark, SfDir, idxU, nprobe = 2))
@@ -163,6 +171,12 @@ class IvfPqUpsertSpec extends SparkTestBase {
       "the stale row must be gone from codes")
     assert(!ledgerMap(idx).contains(victim),
       "the stale mapping must be gone from the ledger")
+    // scope note: this pins the common case (the victim's bucket holds
+    // other ids, so dynamic overwrite rewrites it). A delete batch
+    // covering a bucket's ENTIRE id population would keep that bucket's
+    // rows on disk — the documented, deliberate ledger/codes truncation
+    // asymmetry (see mergeLedger's scaladoc): a stale ledger row cannot
+    // change an answer, only widen a later touched set.
   }
 
   test("re-landing the same upsert batch is content-idempotent") {
