@@ -123,6 +123,14 @@ class IvfPqIndexSpec extends SparkTestBase {
       // and the n16 twin's append path end-to-end under the same root
       assert(norm(Similarity.ivfPqAppendTopK(spark, SfDir)).nonEmpty)
       assert(fsFingerprint(s"$root/ivfpq_append_index").nonEmpty)
+      // and the n17 twin's upsert path (r20): its ledger bucket probes,
+      // emptied-dir deletes and ledger writes are exactly the
+      // scheme-sensitive class this spec exists for
+      assert(norm(Similarity.ivfPqUpsertTopK(spark, SfDir)).nonEmpty)
+      assert(fsFingerprint(s"$root/ivfpq_upsert_index/").nonEmpty)
+      assert(fsFingerprint(s"$root/ivfpq_upsert_index/")
+        .exists(_._1.contains("/ledger/b=")),
+        "the upsert twin's ledger must land under the scheme-qualified root")
     } finally spark.conf.unset("graft.index.root")
   }
 
