@@ -563,12 +563,18 @@ object ExportJob {
       // MERGE keys must be non-null: a null (or non-numeric, cast-to-null)
       // doc_id yields a null shard_id, which the affected-id collect would
       // coerce to 0, the fingerprint map would mis-key, and the changed-
-      // shard write filter would silently drop — reject the batch loudly
-      val nullKeys = up.filter(col("doc_id").isNull).count()
+      // shard write filter would silently drop — reject the batch loudly.
+      // ONE aggregation serves both the null-key guard and the affected-id
+      // collect (graft_hash60 is null-in-null-out, so null doc_id ⟺ null
+      // shard_id — the null group's count IS the null-key count); the
+      // guard used to be its own count() job, a second full pass over the
+      // persisted batch.
+      val byShard = up.groupBy("shard_id").agg(count(lit(1)).as("n")).collect()
+      val nullKeys = byShard.filter(_.isNullAt(0)).map(_.getAs[Long]("n")).sum
       require(nullKeys == 0, s"upsert batch contains $nullKeys rows whose " +
         "doc_id is null or not castable to long - MERGE keys must be non-null")
-      val affected = up.select("shard_id").distinct()
-        .collect().map(_.getAs[Long]("shard_id")).sorted.toSeq
+      val affected = byShard.filter(!_.isNullAt(0))
+        .map(_.getAs[Long]("shard_id")).sorted.toSeq
       val existing = readShards(spark, root, affected)
       val kept = existing.join(up.select("doc_id"), Seq("doc_id"), "left_anti")
       rewriteAffectedShards(spark, root, nShards, affected, existing,
@@ -775,19 +781,36 @@ object ExportJob {
       shardIds: Seq[Long]): DataFrame = {
     val dirs = shardIds.map(k => s"shard_id=$k")
       .filter(isDir(root, _)).map(d => s"$root/$d")
-    if (dirs.isEmpty) {
-      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    if (dirs.isEmpty)
       spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(
-          StructField("doc_id", LongType), StructField("text", StringType),
-          StructField("lang", StringType), StructField("source", StringType),
-          StructField("shard_id", LongType))))
-    } else spark.read
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ZoneSchema)
+    else spark.read
       .option("basePath", root)
+      // explicit schema: a schema-less json() read pays a FULL extra
+      // decompress+parse pass over every file just to infer the four
+      // columns this writer always produces (guide §6 — at 100 TB the
+      // inference pass is a second zone scan; at fixture scale it was
+      // ~2x the read cost). Types match what inference yielded on this
+      // zone's own output (integral JSON numbers → long), so downstream
+      // results are bit-identical; the casts below stay as the shape pin.
+      .schema(ZoneSchema)
       .json(dirs: _*)
       .select(col("doc_id").cast("long").as("doc_id"), col("text"),
         col("lang"), col("source"), col("shard_id").cast("long").as("shard_id"))
+  }
+
+  /** The exact frame schema of every shard-zone writer in this file
+    * (doc payload columns + the `shard_id` partition column) — passed to
+    * zone READS so they never pay JSON schema inference (a full extra
+    * decompress+parse pass over the zone). Public: the bench-facing
+    * roundtrip queries read zones back with it too.
+    */
+  val ZoneSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("shard_id", LongType)))
   }
 
   /** Shared tail of [[deleteFromShards]]/[[upsertShards]]: given the

@@ -635,13 +635,15 @@ object Dedup {
     // fixture scale (8.8s vs 16.6s). The pair-generation ahead of the loop
     // still runs under AQE (it owns the skew risk); per-round skew is
     // bounded because label frames hold one row per node.
-    // materialize the symmetric edge list (and the lazy pair-generation DAG
-    // behind it) BEFORE the toggle, so the skew-prone candidate join still
-    // runs adaptively; only the loop's label propagation runs fixed-plan
-    val symRaw = edges.select(col("d1").as("src"), col("d2").as("dst"))
-      .union(edges.select(col("d2").as("src"), col("d1").as("dst")))
-      .persist()
-    val edgeCount = symRaw.count()
+    // Size the loop's partitioning from the DIRECTED pair count (symmetric
+    // edge count = 2x): one tiny aggregate over the incoming pair frame
+    // (cache-served when d2/d4 warmed the pair memo) instead of a full
+    // materialization of the symmetric union — the union used to be
+    // persisted+counted here and then REPARTITIONED into a second persisted
+    // copy below, a double materialization of the same rows (measured 2.3 s
+    // + 1.2 s of the 6.7 s warm query at sf0.1; guide §1.2: remove passes
+    // before tuning inside them).
+    val edgeCount = 2L * profT("pair count") { edges.count() }
     // The conf mutations below (AQE off, loop-sized shuffle.partitions) are
     // session-scoped, so the loop runs in its OWN child session
     // (`spark.newSession()` — same SparkContext, executors, and cache, but
@@ -656,36 +658,42 @@ object Dedup {
     val tag = java.util.UUID.randomUUID.toString.replace("-", "")
     val symView = s"graft_cc_sym_$tag"
     val outView = s"graft_cc_out_$tag"
-    var sym: DataFrame = null
+    // With AQE off in the loop, the loop's shuffles all use the static
+    // shuffle partition count — size it from the MEASURED pair count (the
+    // count() above already paid for it) instead of the session default.
+    // Edges are two longs and label frames ≤1 row/node, so 100k
+    // rows/partition is comfortably in-memory; capped at 4096 for the
+    // billion-edge end. At fixture scale this collapses every loop stage to
+    // 1 task, and at 100 TB it GROWS the loop's parallelism past a
+    // too-small session default rather than inheriting it.
+    val loopParts = math.max(1L, math.min(4096L, edgeCount / 100000L)).toInt
+    // Symmetrize + pre-partition AND pre-sort the edge list by the
+    // per-round join key in ONE materialization, in the PARENT session (AQE
+    // on — when the pair-generation DAG behind `edges` is cold, the
+    // skew-prone candidate join still plans adaptively; the explicit
+    // repartition(n, dst) is preserved under AQE, so the cached layout is
+    // exactly the loop's join layout). InMemoryRelation preserves
+    // outputPartitioning/outputOrdering, so every round's sort-merge join
+    // reads sym's cached partitions with its exchange AND sort both elided
+    // — without the pre-layout, each round re-shuffled and re-sorted the
+    // full edge list from scratch (on a cluster, a full edge shuffle per
+    // round). The same one-partitioning-reused-across-iterations layout is
+    // what a real multi-node deployment wants.
+    val symParent = edges.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(edges.select(col("d2").as("src"), col("d1").as("dst")))
+      .repartition(loopParts, col("dst"))
+      .sortWithinPartitions("dst")
+      .persist()
     try {
       loop.conf.set("spark.sql.adaptive.enabled", "false")
-      // With AQE off, the loop's shuffles all use the static shuffle partition
-      // count — size it from the MEASURED edge count (the count() above
-      // already paid for it) instead of the session default. Edges are two
-      // longs and label frames ≤1 row/node, so 100k rows/partition is
-      // comfortably in-memory; capped at 4096 for the billion-edge end. At
-      // fixture scale this collapses every loop stage to 1 task, and at
-      // 100 TB it GROWS the loop's parallelism past a too-small session
-      // default rather than inheriting it.
-      val loopParts = math.max(1L, math.min(4096L, edgeCount / 100000L)).toInt
       loop.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
-      symRaw.createOrReplaceGlobalTempView(symView)
-      // Pre-partition AND pre-sort the edge list by the per-round join key
-      // ONCE: InMemoryRelation preserves outputPartitioning/outputOrdering,
-      // so every round's sort-merge join reads sym's cached partitions with
-      // its exchange AND sort both elided — without this, each round
-      // re-shuffled and re-sorted the full edge list from scratch (at
-      // fixture scale that was ~70 task launches/round of pure overhead;
-      // on a cluster it is a full edge shuffle per round). The same
-      // one-partitioning-reused-across-iterations layout is what a real
-      // multi-node deployment wants.
-      sym = loop.table(s"global_temp.$symView")
-        .repartition(loopParts, col("dst"))
-        .sortWithinPartitions("dst")
-        .persist()
-      sym.count()
-      symRaw.unpersist(false)
-      val (labels, rounds) = connectedComponentsLoop(sym)
+      profT("sym build (union+repartition+sort, one pass)") { symParent.count() }
+      symParent.createOrReplaceGlobalTempView(symView)
+      // the child re-resolves the SAME analyzed plan through the view, and
+      // the shared CacheManager serves symParent's persisted partitions —
+      // nothing recomputes or re-shuffles across the session boundary
+      val sym = loop.table(s"global_temp.$symView")
+      val (labels, rounds) = connectedComponentsLoop(sym, symParent)
       // Re-bind the result to the CALLER's session (labels is already
       // materialized by the loop's final localCheckpoint, so the parent
       // re-resolution just reads that RDD — no recompute): callers compose
@@ -694,24 +702,42 @@ object Dedup {
       labels.createOrReplaceGlobalTempView(outView)
       (spark.table(s"global_temp.$outView"), rounds)
     } finally {
-      // Release caches and the cross-session views on EVERY exit path — a
-      // failure mid-loop must not leave the edge frames pinned. The child
+      // Release the cache and the cross-session views on EVERY exit path —
+      // a failure mid-loop must not leave the edge frame pinned. The child
       // session's conf dies with it; there is nothing to restore. unpersist
-      // is idempotent, so the success-path releases (symRaw above, sym
-      // inside the loop) make these no-ops when nothing went wrong. The out
-      // view is dropped too: the returned frame's plan is already resolved,
-      // so the name doesn't need to outlive this call.
-      symRaw.unpersist(false)
-      if (sym != null) sym.unpersist(false)
+      // is idempotent, so the loop's success-path release makes this a
+      // no-op when nothing went wrong. The out view is dropped too: the
+      // returned frame's plan is already resolved, so the name doesn't
+      // need to outlive this call.
+      symParent.unpersist(false)
       spark.catalog.dropGlobalTempView(symView)
       spark.catalog.dropGlobalTempView(outView)
     }
   }
 
-  private def connectedComponentsLoop(sym: DataFrame): (DataFrame, Int) = {
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
-      .localCheckpoint(true)
+  // TEMP r21 profiling aid (removed before round end)
+  private def profT[A](name: String)(f: => A): A =
+    if (!sys.env.contains("SPARK_GRAFT_PROF")) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"[prof] cc $name: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
+
+  private def connectedComponentsLoop(sym: DataFrame,
+      symCache: DataFrame): (DataFrame, Int) = {
+    // LAZY localCheckpoint throughout the loop: the checkpoint is marked on
+    // the frame and MATERIALIZED by the lblSum action that follows, so each
+    // round costs ONE job (propagate+checkpoint+sum fused) instead of two
+    // (eager-checkpoint job, then a sum job over the materialized blocks) —
+    // one driver round-trip per round instead of two, which is the loop's
+    // real unit of cost at any scale (guide §1.2).
+    var labels = profT("init labels checkpoint") {
+      sym.select(col("src").as("id")).distinct()
+        .withColumn("lbl", col("id"))
+        .localCheckpoint(false)
+    }
     // convergence = unchanged label sum: labels only ever DECREASE (every
     // update is a min), so an equal sum means a fixpoint — one cheap agg
     // on the materialized checkpoint instead of a compare-join per round.
@@ -738,7 +764,10 @@ object Dedup {
       // round (derived frames aren't materialized) — 2x the work per
       // round for identical output. The pointer join is INNER because
       // every label is some node's id, so a matching row always exists;
-      // isolated nodes survive via the own-label branch.
+      // isolated nodes survive via the own-label branch. (A deeper
+      // pointer chain — lbl³ per round — was measured in r21 and did NOT
+      // reduce the fixture's round count; the extra self-join only added
+      // per-round cost, so the single jump stays.)
       val viaEdges = sym.join(labels, sym("dst") === labels("id"))
         .select(sym("src").as("id"), col("lbl"))
       val viaPtr = labels.as("x")
@@ -748,13 +777,15 @@ object Dedup {
       val next = labels.select(col("id"), col("lbl"))
         .union(viaEdges).union(viaPtr)
         .groupBy("id").agg(min("lbl").as("lbl"))
-        .localCheckpoint(true)
-      val s = lblSum(next)
+        .localCheckpoint(false)
+      // the sum action materializes the lazily-marked checkpoint as a side
+      // effect: one fused job per round
+      val s = profT(s"round $rounds propagate+checkpoint+sum") { lblSum(next) }
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels = next
     }
-    sym.unpersist()
+    symCache.unpersist()
     (labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id")), rounds)
   }
 

@@ -501,7 +501,11 @@ object Sampling {
   def exportRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     graft.core.FsUtil.deleteRecursively(ExportRoot)
     graft.pipeline.ExportJob.writeTrainingShards(spark, dir, ExportRoot)
-    spark.read.json(ExportRoot)
+    // read back with the writer's own schema: schema-less json() pays a
+    // full extra decompress+parse inference pass over the zone (guide §6);
+    // types are exactly what inference produced on this self-written zone,
+    // and the select's casts pin the output shape either way
+    spark.read.schema(graft.pipeline.ExportJob.ZoneSchema).json(ExportRoot)
       .select(col("doc_id").cast("long").as("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
         col("shard_id").cast("long").as("shard_id"))
@@ -579,7 +583,8 @@ object Sampling {
       .filter(pmod(col("doc_id"), lit(DeleteMod)) === 0L)
       .select("doc_id").collect().map(_.getLong(0)).toSeq
     graft.pipeline.ExportJob.deleteFromShards(spark, DeleteRoot, victims)
-    spark.read.json(DeleteRoot)
+    // explicit schema: see exportRoundtrip
+    spark.read.schema(graft.pipeline.ExportJob.ZoneSchema).json(DeleteRoot)
       .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
         col("source"), col("shard_id").cast("long").as("shard_id"))
       .orderBy("doc_id")
@@ -793,7 +798,8 @@ object Sampling {
         .filter(pmod(col("doc_id"), lit(DiffAddMod)) === 0L)
         .withColumn("doc_id", addedId(col("doc_id"))))
     graft.pipeline.ExportJob.upsertShards(spark, UpsertRoot, upserts)
-    spark.read.json(UpsertRoot)
+    // explicit schema: see exportRoundtrip
+    spark.read.schema(graft.pipeline.ExportJob.ZoneSchema).json(UpsertRoot)
       .select(col("doc_id").cast("long").as("doc_id"),
         md5(col("text")).as("text_md5"), col("source"))
       .orderBy("doc_id")

@@ -385,21 +385,54 @@ object EventStreams {
     replayImpl(stream, name, mode, stateShards,
       Trigger.Once(): @annotation.nowarn("cat=deprecation"))
 
+  /** Scratch base for the replay harness's EPHEMERAL checkpoints, or None
+    * to let Spark place them under java.io.tmpdir. A finite replay's
+    * checkpoint is disposable by construction (the drain into a memory
+    * table is re-run end-to-end every invocation and Spark deletes the
+    * default temp checkpoint on stop anyway), so its offset/commit logs
+    * and state-store delta files are pure scratch I/O — placing them on a
+    * RAM-backed dir (`/dev/shm` on Linux) keeps filesystem journaling out
+    * of the measured operator cost. Durability is NOT weakened where it
+    * matters: production-shaped streams (PipelineStreams, startReseeded)
+    * take caller-owned durable checkpoint locations and are untouched.
+    * Env-overridable (SPARK_GRAFT_REPLAY_CKPT=dir, or `default` for
+    * Spark's temp-dir behavior).
+    */
+  private def replayCheckpointBase: Option[String] =
+    sys.env.get("SPARK_GRAFT_REPLAY_CKPT") match {
+      case Some("default") => None
+      case Some(dir) => Some(dir)
+      case None =>
+        val shm = new java.io.File("/dev/shm")
+        if (shm.isDirectory && shm.canWrite) Some("/dev/shm/graft-replay-ckpt")
+        else None
+    }
+
   private def replayImpl(stream: DataFrame, name: String, mode: OutputMode,
       stateShards: Int, trigger: Trigger): DataFrame = {
     val spark = stream.sparkSession
     val key = "spark.sql.shuffle.partitions"
     val saved = spark.conf.get(key)
     spark.conf.set(key, stateShards.toString)
+    // unique per invocation: replays reuse query names across bench reps,
+    // and a leftover offset log would otherwise resume instead of replay
+    val ckpt = replayCheckpointBase.map(base =>
+      s"$base/$name-${java.util.UUID.randomUUID.toString.take(8)}")
     try {
-      val q = stream.writeStream
+      val w = stream.writeStream
         .queryName(name)
         .outputMode(mode)
         .format("memory")
         .trigger(trigger)
-        .start()
+      ckpt.foreach(w.option("checkpointLocation", _))
+      val q = w.start()
       q.awaitTermination()
-    } finally spark.conf.set(key, saved)
+    } finally {
+      spark.conf.set(key, saved)
+      // explicit checkpoints are the harness's to clean (Spark only
+      // auto-deletes the temp ones it placed itself)
+      ckpt.foreach(graft.core.FsUtil.deleteRecursively)
+    }
     spark.table(name)
   }
 }
