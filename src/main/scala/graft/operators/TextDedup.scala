@@ -179,6 +179,12 @@ object TextDedup {
     */
   def incrementalVerdicts(batch: DataFrame,
       ledger: DataFrame): (DataFrame, DataFrame) = {
+    // EAGER localCheckpoint, deliberately (r21 measured the lazy form: no
+    // local win, and lazy materialization-on-first-touch lets concurrent
+    // consumers — broadcast builds race the main stage — duplicate the
+    // batch signature pipeline on a cluster; the d13 lesson says that
+    // duplication is the expensive failure mode, so the one small
+    // materialization job stays).
     val bands = minhashBandsAgg(batch).localCheckpoint()
     val buckets = bands.select("band", "bh").distinct()
     val touched = ledger

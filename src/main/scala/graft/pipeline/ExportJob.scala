@@ -53,17 +53,24 @@ import graft.queries.Sampling
   */
 object ExportJob {
 
-  /** Cap on records per output file — below the fixture's largest shard
-    * (95 rows at sf0.001) so the spec actually exercises the file split;
-    * production sets it from target file size / mean record size.
+  /** Default cap on records per output file, sized for PRODUCTION file
+    * targets (guide: output files in the 128 MB – 1 GB range; at a few
+    * hundred bytes per JSONL row, 500k records ≈ 100 MB+). Deployments
+    * size it from target file size / mean record size. The r21 bench
+    * measured the old fixture-sized cap (50) writing 107 tiny gzip files
+    * per zone at sf0.1 — 2.4x the write cost of the same rows in 16
+    * right-sized files; the split-bound SPEC now passes its own small cap
+    * explicitly instead of shrinking every writer's files.
     */
-  val MaxRecordsPerFile = 50L
+  val MaxRecordsPerFile = 500000L
 
   /** Join the shard assignment back to the document payload and write
     * `outDir/shard_id=<k>/part-*.json.gz`. Returns the exported frame
     * (shard_id, doc_id, text, lang, source) for callers that chain.
+    * `maxRecordsPerFile` bounds individual files (see [[MaxRecordsPerFile]]).
     */
-  def writeTrainingShards(spark: SparkSession, dir: String, outDir: String): DataFrame = {
+  def writeTrainingShards(spark: SparkSession, dir: String, outDir: String,
+      maxRecordsPerFile: Long = MaxRecordsPerFile): DataFrame = {
     val shards = Sampling.tokenShards(spark, dir)
       .select("doc_id", "shard_id", "n_tokens")
     val docs = graft.core.Tables(spark, dir).documents
@@ -72,7 +79,7 @@ object ExportJob {
       .select("shard_id", "doc_id", "text", "lang", "source")
     // static = truncate-and-replace, pinned even under a session-wide
     // dynamic default (stale trailing shard dirs must not survive)
-    writeShardPartitions(export, outDir, "static")
+    writeShardPartitions(export, outDir, "static", maxRecordsPerFile)
     export
   }
 
@@ -300,13 +307,14 @@ object ExportJob {
     * and silently break the untouched-mtime contract.
     */
   private def writeShardPartitions(df: DataFrame, root: String,
-      overwriteMode: String): Unit =
+      overwriteMode: String,
+      maxRecordsPerFile: Long = MaxRecordsPerFile): Unit =
     df.hint("rebalance", col("shard_id"))
       .sortWithinPartitions("shard_id", "doc_id")
       .write
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", overwriteMode)
-      .option("maxRecordsPerFile", MaxRecordsPerFile)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
       .option("compression", "gzip")
       .partitionBy("shard_id")
       .json(root)

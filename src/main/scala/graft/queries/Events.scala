@@ -193,11 +193,20 @@ object Events {
     // and the oracle's TRY_CAST(... AS BIGINT) nulls the same values, so
     // "non-integral or unrepresentable ⇒ null, never abort" holds end to
     // end on both engines.
+    // ONE json parse + ONE regex pass per row: `when(raw.rlike(...),
+    // raw.try_cast(...))` evaluates the unconditional rlike branch and the
+    // conditional cast branch separately, and conditional branches are
+    // excluded from codegen subexpression elimination — so get_json_object
+    // re-parsed props per row (measured 1.14 s vs 0.69 s at sf0.1).
+    // regexp_extract applies the SAME anchored pattern (no match → "" →
+    // try_cast null, exactly the old when-otherwise-null), then the same
+    // try_cast degrades unrepresentable integrals to null — value-identical
+    // on every row (oracle-hash-checked), half the JSON/regex work.
     val raw = get_json_object(col("props"), "$.k")
     Tables(spark, dir).events
       .select(
         col("event_id"),
-        when(raw.rlike("^-?[0-9]+$"), raw.try_cast("long")).as("k"))
+        regexp_extract(raw, "^(-?[0-9]+)$", 1).try_cast("long").as("k"))
       .filter(col("k") >= 90)
       .orderBy("event_id")
   }

@@ -15,7 +15,12 @@ class ExportJobSpec extends SparkTestBase {
 
   test("export writes one directory per shard, round-trips, and bounds files") {
     val out = scratch("export-shards")
-    val exported = ExportJob.writeTrainingShards(spark, Sf, out).collect()
+    // explicit fixture-sized cap (below the fixture's largest shard, 95
+    // rows) so the file-split bound is actually exercised — the default
+    // cap is production-file-sized and would never bite at sf0.001
+    val cap = 50L
+    val exported = ExportJob.writeTrainingShards(spark, Sf, out,
+      maxRecordsPerFile = cap).collect()
 
     // layout: exactly the assigned shard ids appear as partition dirs
     val dirs = new File(out).listFiles().filter(_.isDirectory)
@@ -44,17 +49,16 @@ class ExportJobSpec extends SparkTestBase {
     back.groupBy(_._1).foreach { case (k, rows) =>
       val nFiles = new File(out, s"shard_id=$k").listFiles()
         .count(_.getName.endsWith(".json.gz"))
-      assert(rows.length <= nFiles * ExportJob.MaxRecordsPerFile,
+      assert(rows.length <= nFiles * cap,
         s"shard $k: ${rows.length} rows in $nFiles files")
     }
     // the record cap actually bit: some shard is over it and split files
-    assert(back.groupBy(_._1).values
-      .exists(_.length > ExportJob.MaxRecordsPerFile),
-      "fixture never exceeds MaxRecordsPerFile — the bound is untested")
+    assert(back.groupBy(_._1).values.exists(_.length > cap),
+      "fixture never exceeds the cap — the bound is untested")
     assert(files.length > dirs.length, "no shard split into multiple files")
 
     // idempotence: a second export over the same corpus leaves the same rows
-    ExportJob.writeTrainingShards(spark, Sf, out)
+    ExportJob.writeTrainingShards(spark, Sf, out, maxRecordsPerFile = cap)
     val again = spark.read.json(out).agg(count(lit(1)), sum("doc_id")).collect()(0)
     val first = (sent.length.toLong, sent.map(_._2).sum)
     assert((again.getLong(0), again.getLong(1)) === first)
