@@ -27,6 +27,34 @@ object FsUtil {
       p.getFileSystem(conf).exists(p)
     }
   }
+  /** Metadata signature of every file under the given paths (recursive):
+    * each file's qualified path, length, and mtime, sorted — two cheap
+    * metadata listings, no Spark jobs. Used to key process-resident caches
+    * of small immutable artifacts (the quantizer-read memo): any rewrite
+    * changes the part-file names (task UUIDs) and mtimes, so a stale cache
+    * entry can never match a mutated artifact. A missing path contributes
+    * a distinct `absent:` token rather than throwing — the caller's actual
+    * read supplies the real error.
+    */
+  def filesSig(spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String]): String = {
+    val conf = spark.sessionState.newHadoopConf()
+    val parts = Seq.newBuilder[String]
+    for (path <- paths) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) parts += s"absent:$path"
+      else {
+        val it = fs.listFiles(p, true)
+        while (it.hasNext) {
+          val f = it.next()
+          parts += s"${f.getPath}:${f.getLen}:${f.getModificationTime}"
+        }
+      }
+    }
+    parts.result().sorted.mkString("|")
+  }
+
   def deleteRecursively(dir: String): Unit = {
     val root: Path = Paths.get(dir)
     if (Files.exists(root)) {

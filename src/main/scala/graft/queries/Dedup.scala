@@ -693,7 +693,9 @@ object Dedup {
       // the shared CacheManager serves symParent's persisted partitions —
       // nothing recomputes or re-shuffles across the session boundary
       val sym = loop.table(s"global_temp.$symView")
-      val (labels, rounds) = connectedComponentsLoop(sym, symParent)
+      val (labels, rounds) = profT("loop total") {
+        connectedComponentsLoop(sym, symParent)
+      }
       // Re-bind the result to the CALLER's session (labels is already
       // materialized by the loop's final localCheckpoint, so the parent
       // re-resolution just reads that RDD — no recompute): callers compose
@@ -749,7 +751,7 @@ object Dedup {
       val s = df.agg(sum(col("lbl").cast("decimal(38,0)"))).first().getDecimal(0)
       if (s == null) java.math.BigDecimal.ZERO else s
     }
-    var prevSum = lblSum(labels)
+    var prevSum = profT("init sum (materializes init labels)") { lblSum(labels) }
     var converged = false
     var rounds = 0
     while (!converged) {
