@@ -643,7 +643,7 @@ object Dedup {
     // copy below, a double materialization of the same rows (measured 2.3 s
     // + 1.2 s of the 6.7 s warm query at sf0.1; guide §1.2: remove passes
     // before tuning inside them).
-    val edgeCount = 2L * profT("pair count") { edges.count() }
+    val edgeCount = 2L * edges.count()
     // The conf mutations below (AQE off, loop-sized shuffle.partitions) are
     // session-scoped, so the loop runs in its OWN child session
     // (`spark.newSession()` — same SparkContext, executors, and cache, but
@@ -687,15 +687,13 @@ object Dedup {
     try {
       loop.conf.set("spark.sql.adaptive.enabled", "false")
       loop.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
-      profT("sym build (union+repartition+sort, one pass)") { symParent.count() }
+      symParent.count()
       symParent.createOrReplaceGlobalTempView(symView)
       // the child re-resolves the SAME analyzed plan through the view, and
       // the shared CacheManager serves symParent's persisted partitions —
       // nothing recomputes or re-shuffles across the session boundary
       val sym = loop.table(s"global_temp.$symView")
-      val (labels, rounds) = profT("loop total") {
-        connectedComponentsLoop(sym, symParent)
-      }
+      val (labels, rounds) = connectedComponentsLoop(sym, symParent)
       // Re-bind the result to the CALLER's session (labels is already
       // materialized by the loop's final localCheckpoint, so the parent
       // re-resolution just reads that RDD — no recompute): callers compose
@@ -717,16 +715,6 @@ object Dedup {
     }
   }
 
-  // TEMP r21 profiling aid (removed before round end)
-  private def profT[A](name: String)(f: => A): A =
-    if (!sys.env.contains("SPARK_GRAFT_PROF")) f
-    else {
-      val t0 = System.nanoTime()
-      val r = f
-      System.err.println(f"[prof] cc $name: ${(System.nanoTime() - t0) / 1e9}%.3f s")
-      r
-    }
-
   private def connectedComponentsLoop(sym: DataFrame,
       symCache: DataFrame): (DataFrame, Int) = {
     // LAZY localCheckpoint throughout the loop: the checkpoint is marked on
@@ -735,11 +723,9 @@ object Dedup {
     // (eager-checkpoint job, then a sum job over the materialized blocks) —
     // one driver round-trip per round instead of two, which is the loop's
     // real unit of cost at any scale (guide §1.2).
-    var labels = profT("init labels checkpoint") {
-      sym.select(col("src").as("id")).distinct()
-        .withColumn("lbl", col("id"))
-        .localCheckpoint(false)
-    }
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint(false)
     // convergence = unchanged label sum: labels only ever DECREASE (every
     // update is a min), so an equal sum means a fixpoint — one cheap agg
     // on the materialized checkpoint instead of a compare-join per round.
@@ -751,7 +737,7 @@ object Dedup {
       val s = df.agg(sum(col("lbl").cast("decimal(38,0)"))).first().getDecimal(0)
       if (s == null) java.math.BigDecimal.ZERO else s
     }
-    var prevSum = profT("init sum (materializes init labels)") { lblSum(labels) }
+    var prevSum = lblSum(labels)
     var converged = false
     var rounds = 0
     while (!converged) {
@@ -782,7 +768,7 @@ object Dedup {
         .localCheckpoint(false)
       // the sum action materializes the lazily-marked checkpoint as a side
       // effect: one fused job per round
-      val s = profT(s"round $rounds propagate+checkpoint+sum") { lblSum(next) }
+      val s = lblSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels = next

