@@ -185,7 +185,23 @@ object TextDedup {
     // batch signature pipeline on a cluster; the d13 lesson says that
     // duplication is the expensive failure mode, so the one small
     // materialization job stays).
-    val bands = minhashBandsAgg(batch).localCheckpoint()
+    incrementalVerdictsFromBands(minhashBandsAgg(batch).localCheckpoint(),
+      ledger)
+  }
+
+  /** [[incrementalVerdicts]] for a caller that already holds the batch's
+    * MATERIALIZED banded signature frame (band, bh, doc_id). Contract: the
+    * frame must be exactly `minhashBandsAgg(batch)` for the ingested batch
+    * and must be cheap to re-derive (materialized, or a filter over a
+    * materialized frame) — every consumer below re-reads it, including two
+    * broadcast builds. An ingest driver that signature-computes several
+    * pending batches in ONE corpus pass (signatures are per-doc, so
+    * slicing the combined frame by the batch key is identical to
+    * per-batch computation) folds them through here one at a time without
+    * paying one signature scan per batch.
+    */
+  private[graft] def incrementalVerdictsFromBands(bands: DataFrame,
+      ledger: DataFrame): (DataFrame, DataFrame) = {
     val buckets = bands.select("band", "bh").distinct()
     val touched = ledger
       .join(broadcast(buckets), Seq("band", "bh"), "left_semi")
